@@ -1,0 +1,118 @@
+"""Table registry and loaders — the single seam for all data access.
+
+Every graded query loads via :func:`load_table`, which owns the one
+environment quirk (events.ts is parquet TIMESTAMP(NANOS); Spark 4.x
+refuses it — SURVEY.md §1.2) and applies runtime-settable session
+confs defensively, because the driver's verify harness constructs its
+own SparkSession.
+
+HBase connector seam
+--------------------
+The reference system's bulk read/write path (hbase-spark DataSource /
+``HFileOutputFormat2`` bulk load) belongs here. No HBase exists in
+this sandbox, so :func:`read_hbase` / :func:`write_hbase_bulk` are
+documented design stubs (SURVEY.md §2.1): at deploy time they resolve
+the ``org.apache.hadoop.hbase.spark`` DataSource with a catalog JSON
+mapping (rowkey → key column, cf:qualifier → typed column), giving
+partition-per-region scans with predicate pushdown on rowkey ranges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def ensure_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable confs the engine depends on (idempotent)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a typed DataFrame.
+
+    ``events.ts`` arrives as long nanoseconds (legacy conf) and is
+    converted with integer division — float division would lose
+    precision above 2^53 ns and can round across a µs boundary.
+    """
+    ensure_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views (mirrors the oracle's
+    view names 1:1 so ``spark.sql`` text can be shared)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --------------------------------------------------------------------------
+# File interchange (Export/ImportTsv analogs — SURVEY.md §2.1)
+# --------------------------------------------------------------------------
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+# --------------------------------------------------------------------------
+# HBase connector seam — design-only (no HBase in sandbox)
+# --------------------------------------------------------------------------
+
+def read_hbase(spark: SparkSession, catalog_json: str) -> DataFrame:
+    """Bulk-read an HBase table via the hbase-spark DataSource.
+
+    Deploy-time implementation (public `hbase-spark` connector):
+
+        spark.read.format("org.apache.hadoop.hbase.spark")
+             .options(catalog=catalog_json)
+             .option("hbase.spark.use.hbasecontext", False)
+             .load()
+
+    One Spark partition per region; rowkey range predicates push down
+    to scan start/stop rows. Not runnable in this sandbox.
+    """
+    raise NotImplementedError("HBase connector not available in this environment")
+
+
+def write_hbase_bulk(df: DataFrame, catalog_json: str) -> None:
+    """Bulk-load via sorted HFiles (HFileOutputFormat2 analog).
+
+    Deploy-time design: repartitionByRange on the rowkey to match
+    region boundaries, sortWithinPartitions(rowkey), write HFiles,
+    then LoadIncrementalHFiles. Keeps the write path off the
+    RegionServer WAL — the standard bulk-ingest pattern.
+    """
+    raise NotImplementedError("HBase connector not available in this environment")

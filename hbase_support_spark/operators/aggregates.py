@@ -1,0 +1,252 @@
+"""§2.5 Aggregations.
+
+RowCounter / CellCounter / AggregationClient coprocessor semantics
+(public HBase tooling, SURVEY.md §2.5) as hash aggregations. Spark
+plans every groupBy here as partial (map-side) + final aggregation,
+which is exactly the coprocessor's region-local-then-merge shape —
+at 100 TB only the partial results cross the network.
+
+Float parity: every floating aggregate is ROUND()ed identically in
+Spark and the oracle because summation order differs between engines
+(SURVEY.md §5.2). Sums over many rows round to 2 (absolute error
+grows with magnitude); per-group means/stddevs round to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "agg_rowcount",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS row_cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_rowcount(spark, sf_dir):
+    """RowCounter MR job / AggregationClient.rowCount."""
+    return load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.count("*").alias("row_cnt")
+    )
+
+
+@register(
+    "agg_cellcount",
+    oracle="""
+    SELECT qualifier, COUNT(*) AS cell_cnt, ROUND(SUM(cell_value), 2) AS cell_sum
+    FROM (
+      SELECT 'l_quantity' AS qualifier, l_quantity AS cell_value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY qualifier
+    """,
+)
+def agg_cellcount(spark, sf_dir):
+    """CellCounter — cells per qualifier. Columns unpivoted to
+    (qualifier, value) rows with `stack`, i.e. the row-to-cell-log
+    transform, then counted per qualifier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.select(
+        F.expr(
+            "stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice,"
+            " 'l_discount', l_discount, 'l_tax', l_tax) AS (qualifier, cell_value)"
+        )
+    )
+    return cells.groupBy("qualifier").agg(
+        F.count("*").alias("cell_cnt"),
+        F.round(F.sum("cell_value"), 2).alias("cell_sum"),
+    )
+
+
+@register(
+    "agg_sum_min_max_avg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
+           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           MIN(l_extendedprice)                                        AS min_price,
+           MAX(l_extendedprice)                                        AS max_price,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_sum_min_max_avg(spark, sf_dir):
+    """AggregationClient sum/min/max/avg — the TPC-H Q1 pricing
+    summary shape (bench headline q1)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_std_median",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 6) AS std_price,
+           ROUND(MEDIAN(CAST(l_extendedprice AS DOUBLE)), 6) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_std_median(spark, sf_dir):
+    """AggregationClient std/median (exact median — fine at test SF;
+    the 100-TB variant is `agg_percentile_approx` below)."""
+    return load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("std_price"),
+        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*) AS order_cnt
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.count("*").alias("order_cnt"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def agg_approx_distinct(spark, sf_dir):
+    """The 100-TB substitute for exact distinct: HyperLogLog++ with
+    2% rsd — single pass, fixed memory, no shuffle of raw keys."""
+    return load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("event_cnt"),
+    )
+
+
+@register("agg_percentile_approx")  # rows-only: sketch algorithm differs per engine
+def agg_percentile_approx(spark, sf_dir):
+    """Latency-percentile dashboards: approx_percentile sketch —
+    mergeable, bounded memory, the scale path for medians."""
+    return load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p50_p95_p99")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    ensure = load_table(spark, sf_dir, "orders")
+    ensure.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT event_type,
+           SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS big_cnt,
+           COUNT(*) FILTER (WHERE value <= 100) AS small_cnt,
+           ROUND(SUM(CASE WHEN value > 100 THEN value ELSE 0 END), 2) AS big_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    """Filtered counters — conditional aggregation, one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    big = F.when(F.col("value") > 100, 1).otherwise(0)
+    return ev.groupBy("event_type").agg(
+        F.sum(big).alias("big_cnt"),
+        F.count_if(F.col("value") <= 100).alias("small_cnt"),
+        F.round(F.sum(F.when(F.col("value") > 100, F.col("value")).otherwise(0.0)), 2).alias(
+            "big_value"
+        ),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT o_custkey, STRING_AGG(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS order_keys
+    FROM orders WHERE o_custkey < 50 GROUP BY o_custkey
+    """,
+)
+def agg_collect(spark, sf_dir):
+    """Row materialization per key. collect_list is unordered by
+    contract, so sort_array before joining — determinism rule for all
+    set-returning aggregates (SURVEY.md §7 hard-part 3)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("o_orderkey")), lambda x: x.cast("string")),
+            ",",
+        ).alias("order_keys")
+    )

@@ -1,0 +1,303 @@
+"""§2.4 Joins.
+
+HBase has no server-side join; its support tooling does client-side /
+MR joins (SURVEY.md §2.4). Here every join is declared as a DataFrame
+equi- or theta-join and Catalyst+AQE choose the physical strategy:
+broadcast-hash for dim tables, sort-merge for fact-fact, with AQE
+runtime demotion and skew splitting.
+
+Scale notes:
+  * `join_broadcast` pins the hint explicitly; all other equi-joins
+    leave the choice to AQE (right at 100 TB, where runtime sizes
+    beat static estimates).
+  * Theta joins (`join_range_theta`, `join_interval_overlap`) keep
+    one side broadcast-small or carry an equality key so the plan is
+    never a fact×fact nested loop.
+  * `join_multiway_star` is the flagship: dims broadcast, the two
+    fact tables sort-merge on their natural key, aggregation is
+    partial+final (map-side combine) — the shape that survives 1000
+    executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS order_cnt,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_inner_equi(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_cnt
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left(spark, sf_dir):
+    """Left enrichment join — customers keep a row even with zero
+    orders (COUNT of the null key = 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT n.n_name, COUNT(s.s_suppkey) AS supp_cnt
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("supp_cnt"))
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           COALESCE(a.click_cnt, 0) AS click_cnt,
+           COALESCE(b.purchase_cnt, 0) AS purchase_cnt
+    FROM (SELECT user_id, COUNT(*) AS click_cnt FROM events
+          WHERE event_type = 'click' GROUP BY user_id) a
+    FULL JOIN (SELECT user_id, COUNT(*) AS purchase_cnt FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id) b
+      ON a.user_id = b.user_id
+    """,
+)
+def join_full(spark, sf_dir):
+    """Full outer join; unmatched sides stabilized with COALESCE so
+    the hashed values are engine-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("click_cnt"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("purchase_cnt"))
+    )
+    j = clicks.alias("a").join(
+        purchases.alias("b"), F.col("a.user_id") == F.col("b.user_id"), "full"
+    )
+    return j.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("click_cnt"), F.lit(0)).alias("click_cnt"),
+        F.coalesce(F.col("purchase_cnt"), F.lit(0)).alias("purchase_cnt"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Existence probe ≈ batched multi-Get: left-semi never duplicates
+    the probe side and only ships the join key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """Missing-key detection (VerifyReplication's only-in-A set):
+    customers with no high-value order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS line_cnt,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """Small dim × huge fact — the classic HBase-dim pattern. The
+    explicit broadcast hint guarantees a map-side hash join: zero
+    shuffle of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("line_cnt"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT b.band, COUNT(*) AS event_cnt, ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN (VALUES (CAST(0.0 AS DOUBLE),   CAST(50.0 AS DOUBLE),  'low'),
+                 (CAST(50.0 AS DOUBLE),  CAST(150.0 AS DOUBLE), 'mid'),
+                 (CAST(150.0 AS DOUBLE), CAST(300.0 AS DOUBLE), 'high'),
+                 (CAST(300.0 AS DOUBLE), CAST(1000.0 AS DOUBLE),'extreme')) b(lo, hi, band)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_theta(spark, sf_dir):
+    """Band (theta) join: fact × tiny broadcast range table →
+    BroadcastNestedLoopJoin, which is the *correct* physical plan when
+    one side is 4 rows — the fact side is never shuffled."""
+    ev = load_table(spark, sf_dir, "events")
+    bands_schema = StructType(
+        [
+            StructField("lo", DoubleType()),
+            StructField("hi", DoubleType()),
+            StructField("band", StringType()),
+        ]
+    )
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 300.0, "high"), (300.0, 1000.0, "extreme")],
+        bands_schema,
+    )
+    return (
+        ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS overlap_cnt
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND o.o_orderdate <= l.l_shipdate + INTERVAL 30 DAY
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join ([date, date+30d] windows). Carries the
+    equi-key so the plan stays a hash/sort-merge join with the band
+    conditions as post-join filters — never a cross product."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (o.o_orderdate <= li.l_shipdate + F.expr("INTERVAL 30 DAYS"))
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return o.join(li, cond).groupBy("o_orderstatus").agg(F.count("*").alias("overlap_cnt"))
+
+
+@register(
+    "join_multiway_star",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_star(spark, sf_dir):
+    """Flagship 6-table star join (TPC-H Q5 shape; SURVEY.md §6/§7).
+
+    region/nation/supplier/customer broadcast; orders⋈lineitem is the
+    one genuine shuffle (sort-merge on orderkey); the date filter is
+    pushed to the orders scan and dynamic partition pruning would cut
+    the fact scan on a date-partitioned 100-TB layout.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )

@@ -1,0 +1,189 @@
+"""§2.1 Scans / sources / sinks.
+
+HBase's access paths are Get / Scan over rowkey-sorted storage
+(SURVEY.md §2.1; reference checkout is empty — semantics are the
+public HBase client API). In Spark each becomes a Parquet scan with
+the predicate expressed declaratively so Catalyst pushes it to the
+reader (check ``PushedFilters`` in ``df.explain``): a rowkey range
+scan is exactly the case Parquet min/max row-group skipping handles,
+and at cluster scale the same predicate prunes partitions of a
+key-sorted table layout.
+
+Scale notes: ``point_get``/``multi_get`` as full scans are O(data);
+the 100-TB answer is a rowkey-bucketed (or HBase-connector-backed)
+table so the probe touches one bucket — the DataFrame shape below is
+unchanged, only the source differs (io.read_hbase seam).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..io import load_table, write_parquet, write_csv, read_csv
+from ..registry import register
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+@register(
+    "scan_full",
+    oracle="SELECT * FROM orders",
+)
+def scan_full(spark, sf_dir):
+    """Full-table Scan, no start/stop row."""
+    return load_table(spark, sf_dir, "orders")
+
+
+@register(
+    "scan_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey >= 1000 AND l_orderkey < 5000
+    """,
+)
+def scan_range(spark, sf_dir):
+    """Scan [startRow, stopRow) on the sorted key — the core HBase
+    access path. The range predicate reaches the Parquet reader as
+    PushedFilters and skips row groups via min/max stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 5000)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "scan_prefix",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_name LIKE 'Customer#00000001%'
+    """,
+)
+def scan_prefix(spark, sf_dir):
+    """PrefixFilter on rowkey -> StartsWith, pushed down as a
+    string-range predicate."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").startswith("Customer#00000001")).select("c_custkey", "c_name")
+
+
+@register(
+    "point_get",
+    oracle="SELECT * FROM customer WHERE c_custkey = 42",
+)
+def point_get(spark, sf_dir):
+    """Get(rowkey) — single-row lookup. Pushed equality predicate;
+    at scale this is a bucket-pruned probe (see module docstring)."""
+    return load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+@register(
+    "multi_get",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (1, 7, 42, 99, 1000, 123456789)
+    """,
+)
+def multi_get(spark, sf_dir):
+    """Batched Table.get(List<Get>) — LEFT SEMI JOIN against a
+    broadcast key list (absent keys simply don't match)."""
+    c = load_table(spark, sf_dir, "customer")
+    keys = spark.createDataFrame(
+        [(1,), (7,), (42,), (99,), (1000,), (123456789,)], ["c_custkey"]
+    )
+    return c.join(F.broadcast(keys), "c_custkey", "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "copy_table",
+    oracle="SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total FROM orders",
+)
+def copy_table(spark, sf_dir):
+    """CopyTable / Export+Import — full-fidelity table copy.
+
+    Round-trips orders through Parquet and returns a checksum row
+    computed from the re-read copy, so the oracle hash actually
+    verifies the copy's fidelity, not just that the write ran.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    dst = os.path.join(_SCRATCH, "copy_table_orders")
+    write_parquet(orders, dst)
+    back = spark.read.parquet(dst)
+    return back.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def source_csv_roundtrip(spark, sf_dir):
+    """ImportTsv/Export analog: write region to CSV, read back with an
+    explicit schema (schema-on-read, as HBase clients type raw bytes)."""
+    region = load_table(spark, sf_dir, "region")
+    dst = os.path.join(_SCRATCH, "region_csv")
+    write_csv(region, dst)
+    schema = StructType(
+        [
+            StructField("r_regionkey", IntegerType()),
+            StructField("r_name", StringType()),
+        ]
+    )
+    return read_csv(spark, dst, schema)
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def source_json_roundtrip(spark, sf_dir):
+    """JSON interchange: write nation to JSON lines, read back typed."""
+    nation = load_table(spark, sf_dir, "nation")
+    dst = os.path.join(_SCRATCH, "nation_json")
+    nation.write.mode("overwrite").json(dst)
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).json(dst)
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_partitioned_parquet(spark, sf_dir):
+    """Partitioned sink (CopyTable into a partitioned layout): write
+    orders partitioned by status, re-read, aggregate per partition.
+    Partition column round-trips through directory names."""
+    orders = load_table(spark, sf_dir, "orders")
+    dst = os.path.join(_SCRATCH, "orders_by_status")
+    write_parquet(orders, dst, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(dst)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
