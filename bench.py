@@ -1,0 +1,77 @@
+"""Headline benchmark — the driver's per-round performance probe.
+
+Runs the BASELINE.md query set through the engine's registry at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], warm best-of-2 per query (same method as
+BASELINE.md), and prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hbase_support_spark import get_spark, load_all
+from hbase_support_spark import registry
+
+# headline name -> registry query (keys mirror BASELINE.md rows)
+HEADLINE = {
+    "q1_pricing_summary": "agg_sum_min_max_avg",
+    "q3_shipping_priority": "join_shipping_priority_topk",
+    "q5_local_supplier": "join_multiway_star",
+    "window_topk_per_cust": "win_row_number_topk",
+    # BASELINE.md's events_sessionize_agg row is a 2-key agg; the
+    # extra sessionize_30m_full row is true (heavier) sessionization.
+    "events_sessionize_agg": "events_profile_agg",
+    "sessionize_30m_full": "stream_session_30m",
+    "events_tumbling_window": "stream_tumbling_1h",
+    "distinct_users": "agg_distinct_users",
+    "dedup_exact": "dedup_exact",
+    "sim_knn_query": "sim_knn_query",
+}
+
+RUNS = 2
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_all()
+    # 8 initial shuffle partitions at bench SF (same as BASELINE.md's
+    # method); AQE re-coalesces at runtime either way. At cluster
+    # scale this knob is ~2-3x total cores — see session.py.
+    spark = get_spark("bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")))
+    # warm the JVM/reader paths once so per-query numbers measure the
+    # plan, not first-touch classloading (same method as BASELINE.md)
+    registry.QUERIES["agg_rowcount"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name, qname in HEADLINE.items():
+        fn = registry.QUERIES[qname]
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_best_of_2",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

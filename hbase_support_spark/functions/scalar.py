@@ -1,1 +1,317 @@
-"""placeholder — filled in by subsequent milestones."""
+"""§2.8 Scalar function families.
+
+One graded query per family, each exercising several built-ins
+(SURVEY.md §2.8) — all JVM-side expressions inside whole-stage
+codegen; no Python UDFs anywhere in this module.
+
+Cross-engine parity notes baked into the queries:
+  * dayofweek: Spark 1=Sunday..7 vs DuckDB 0=Sunday..6 → emit
+    Spark's value minus 1.
+  * ceil/floor: Spark returns LONG, DuckDB DOUBLE → cast in SQL.
+  * transcendentals (exp/ln/sin) differ in final ulps between libm
+    and the JVM → ROUND(6).
+  * width_bucket is absent in DuckDB 1.0 → emulated identically on
+    both sides with floor arithmetic.
+  * array lambdas run on float32 input → cast elementwise to DOUBLE
+    first so both engines do the same double arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           CONCAT_WS('|', LOWER(c_name), UPPER(c_mktsegment))        AS tagged,
+           TRIM(SUBSTRING(c_name, 9, 10))                            AS key_digits,
+           LPAD(CAST(c_custkey AS VARCHAR), 12, '0')                 AS padded_key,
+           SPLIT_PART(c_name, '#', 2)                                AS name_suffix,
+           REGEXP_EXTRACT(c_name, '([0-9]+)$', 1)                    AS trailing_digits,
+           REGEXP_REPLACE(c_name, '0+', '0', 'g')                    AS squeezed,
+           LEVENSHTEIN(c_mktsegment, 'BUILDING')                     AS seg_dist,
+           LENGTH(c_name)                                            AS name_len,
+           STARTS_WITH(c_name, 'Customer#0000000')                   AS has_prefix,
+           CONTAINS(c_mktsegment, 'MACH')                            AS is_machinery
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def fn_string(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.concat_ws("|", F.lower("c_name"), F.upper("c_mktsegment")).alias("tagged"),
+        F.trim(F.substring("c_name", 9, 10)).alias("key_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.element_at(F.split("c_name", "#"), 2).alias("name_suffix"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("trailing_digits"),
+        F.regexp_replace("c_name", "0+", "0").alias("squeezed"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
+        F.length("c_name").alias("name_len"),
+        F.col("c_name").startswith("Customer#0000000").alias("has_prefix"),
+        F.col("c_mktsegment").contains("MACH").alias("is_machinery"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP)  AS order_month,
+           YEAR(o_orderdate)                                    AS order_year,
+           MONTH(o_orderdate)                                   AS order_mon,
+           DAYOFWEEK(o_orderdate)                               AS dow_sun0,
+           DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)         AS plus_3_months,
+           EPOCH(o_orderdate)                                   AS epoch_sec,
+           CAST(o_orderdate AS DATE)                            AS order_date,
+           STRFTIME(o_orderdate, '%Y-%m-%d')                    AS date_str,
+           o_orderdate + INTERVAL 36 HOUR                       AS plus_36h
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def fn_date(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_mon"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k"
+        ),
+        F.add_months("o_orderdate", 3).alias("plus_3_months"),
+        # o_orderdate is TIMESTAMP_NTZ (parquet ms, no zone); route the
+        # epoch extraction through a UTC timestamp cast.
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_sec"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 36 HOURS")).alias("plus_36h"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1)                            AS price_r1,
+           ABS(l_discount - 0.05)                               AS disc_dev,
+           CAST(CEIL(l_extendedprice)  AS BIGINT)               AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)               AS price_floor,
+           ROUND(POW(l_quantity, 2), 6)                         AS qty_sq,
+           ROUND(SQRT(l_extendedprice), 6)                      AS price_sqrt,
+           ROUND(EXP(l_discount), 6)                            AS disc_exp,
+           ROUND(LN(l_extendedprice), 6)                        AS price_ln,
+           ROUND(LOG10(l_extendedprice), 6)                     AS price_log10,
+           ROUND(SIN(l_tax), 6)                                 AS tax_sin,
+           GREATEST(l_discount, l_tax)                          AS max_rate,
+           LEAST(l_discount, l_tax)                             AS min_rate,
+           ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7           AS key_pmod7,
+           SIGN(l_discount - 0.05)                              AS disc_sign,
+           CAST(LEAST(GREATEST(FLOOR((l_quantity - 1) / 49.0 * 5), 0), 4) + 1 AS BIGINT)
+                                                                AS qty_bucket
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def fn_math(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.pow(q, 2), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.sin("l_tax"), 6).alias("tax_sin"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.pmod("l_orderkey", F.lit(7)).alias("key_pmod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        # width_bucket(q, 1, 50, 5) emulated portably (absent in DuckDB 1.0)
+        (F.least(F.greatest(F.floor((q - 1) / 49.0 * 5), F.lit(0)), F.lit(4)) + 1).alias(
+            "qty_bucket"
+        ),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding)                                                    AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6)                            AS first_dim,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding[1:8],
+                 x -> CAST(x AS DOUBLE))), 6)                                AS head_sum,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)            AS sq_norm,
+           ROUND(LIST_MAX(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 6) AS max_dim,
+           ROUND(LIST_MIN(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 6) AS min_dim,
+           LEN(LIST_FILTER(embedding, x -> x > 0))                           AS positive_dims,
+           ROUND(LIST_SUM(LIST_TRANSFORM(
+                 LIST_ZIP(embedding, LIST_REVERSE(embedding)),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6)      AS rev_dot
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def fn_array(spark, sf_dir):
+    """Array lambdas over the vector column — the similarity-search
+    kernel expressed as built-ins (transform/filter/aggregate/
+    zip_with), all codegen'd; no UDF."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    emb = F.col("embedding")
+    dbl = F.transform(emb, lambda x: x.cast("double"))
+    sum_d = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(dbl, 1), 6).alias("first_dim"),
+        F.round(sum_d(F.slice(dbl, 1, 8)), 6).alias("head_sum"),
+        F.round(sum_d(F.transform(dbl, lambda x: x * x)), 6).alias("sq_norm"),
+        F.round(F.array_max(dbl), 6).alias("max_dim"),
+        F.round(F.array_min(dbl), 6).alias("min_dim"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("positive_dims"),
+        F.round(
+            sum_d(F.zip_with(dbl, F.reverse(dbl), lambda a, b: a * b)), 6
+        ).alias("rev_dot"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           ARRAY_TO_STRING(JSON_KEYS(props), ',')        AS prop_keys,
+           CAST(JSON_EXTRACT(props, '$.k') AS INT)       AS k_value,
+           CAST(JSON_EXTRACT(props, '$.k') AS INT) * 2   AS k_doubled,
+           CAST(JSON_EXTRACT(props, '$.missing') AS INT) AS absent
+    FROM events WHERE event_id < 300
+    """,
+)
+def fn_map(spark, sf_dir):
+    """Dynamic-qualifier CF access: JSON props parsed into MapType
+    (the hbase-spark dynamic-column mapping), then map functions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        (F.element_at(m, "k") * 2).alias("k_doubled"),
+        F.element_at(m, "missing").alias("absent"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS INT)            AS k_path,
+           JSON_EXTRACT_STRING(props, '$.k')                  AS k_str,
+           TO_JSON(STRUCT_PACK(k := CAST(JSON_EXTRACT(props, '$.k') AS INT)))::VARCHAR
+                                                              AS rebuilt,
+           JSON_VALID(props)                                  AS is_valid
+    FROM events WHERE event_id < 300
+    """,
+)
+def fn_json(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.cast("int").alias("k_path"),
+        k.alias("k_str"),
+        F.to_json(F.struct(k.cast("int").alias("k"))).alias("rebuilt"),
+        F.from_json("props", "map<string,int>").isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "fn_binary_hash",
+    oracle="""
+    SELECT doc_id,
+           MD5(text)                                    AS text_md5,
+           SHA256(text)                                 AS text_sha256,
+           TO_BASE64(ENCODE(SUBSTRING(text, 1, 24)))    AS head_b64,
+           HEX(ENCODE(SUBSTRING(text, 1, 8)))           AS head_hex,
+           OCTET_LENGTH(ENCODE(text))                   AS n_bytes
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fn_binary_hash(spark, sf_dir):
+    """Byte-oriented surface (HBase cells are byte[]): digests,
+    base64/hex codecs, byte lengths — also the exact-dedup
+    workhorse."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.base64(F.encode(F.substring("text", 1, 24), "utf-8")).alias("head_b64"),
+        F.hex(F.encode(F.substring("text", 1, 8), "utf-8")).alias("head_hex"),
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+    )
+
+
+@register("fn_hash_spark")  # rows-only: xxhash64/murmur3/crc32 are Spark-specific
+def fn_hash_spark(spark, sf_dir):
+    """Spark-native hash kernels (xxhash64 / murmur3 / crc32) — the
+    partitioner & MinHash primitives; no cross-engine twin exists."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.hash("text").alias("text_murmur3"),
+        F.crc32(F.encode("text", "utf-8")).alias("text_crc32"),
+        F.xxhash64("doc_id", "lang").alias("composite_xxh64"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                                   AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')          AS status_or_open,
+           CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT NULL
+                THEN 'settled' ELSE 'pending' END                AS settled_flag,
+           IF(o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%',
+              'urgent', 'normal')                                AS urgency
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+def fn_conditional(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.nvl2(
+            F.nullif("o_orderstatus", F.lit("O")), F.lit("settled"), F.lit("pending")
+        ).alias("settled_flag"),
+        F.when(
+            F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"),
+            "urgent",
+        )
+        .otherwise("normal")
+        .alias("urgency"),
+    )

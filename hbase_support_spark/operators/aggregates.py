@@ -138,6 +138,43 @@ def agg_distinct(spark, sf_dir):
     )
 
 
+@register(
+    "events_profile_agg",
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS event_cnt,
+           ROUND(SUM(value), 2) AS total_value,
+           MIN(ts) AS first_seen,
+           MAX(ts) AS last_seen
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def events_profile_agg(spark, sf_dir):
+    """Per-(rowkey, qualifier) profile — 2-key hash agg over the cell
+    log (bench headline events_sessionize_agg's shape in
+    BASELINE.md)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("event_cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
+@register(
+    "agg_distinct_users",
+    oracle="SELECT COUNT(DISTINCT user_id) AS distinct_users FROM events",
+)
+def agg_distinct_users(spark, sf_dir):
+    """Exact global distinct (bench headline; the approx twin below
+    is the 100-TB path)."""
+    return load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("distinct_users")
+    )
+
+
 @register("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
 def agg_approx_distinct(spark, sf_dir):
     """The 100-TB substitute for exact distinct: HyperLogLog++ with

@@ -1,1 +1,291 @@
-"""placeholder — filled in by subsequent milestones."""
+"""§2.3 Versioned-cell semantics — HBase's signature behavior.
+
+The Bigtable/HBase model stores N timestamped versions per
+(rowkey, qualifier) cell; reads resolve latest-wins, bounded
+versions, time ranges, TTL, and delete tombstones (public HBase
+semantics; SURVEY.md §2.3). The `events` table is the cell log:
+rowkey ≈ user_id, qualifier ≈ event_type, version ≈ ts.
+
+Determinism: ts is not guaranteed unique per (rowkey, qualifier), so
+every "latest" is resolved by (ts, event_id) — always break version
+ties on a unique key (SURVEY.md §7 hard-part 3).
+
+Scale notes: latest-wins uses groupBy + max_by(struct) rather than a
+window — partial aggregation combines map-side, so only one row per
+(rowkey, qualifier) crosses the shuffle; a window would shuffle the
+entire cell log. `max_versions_n` genuinely needs per-group ordering
+→ window, shuffled once on the partition keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "latest_version",
+    oracle="""
+    SELECT user_id, event_type, ts, value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_version(spark, sf_dir):
+    """Default read path: newest cell per (row, qualifier) wins.
+
+    max_by over a (ts, event_id, payload) struct = arg-max with a
+    deterministic tiebreak, computed as a partial+final hash agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    top = F.max(F.struct("ts", "event_id", "value")).alias("cell")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(top)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("cell.ts").alias("ts"),
+            F.col("cell.value").alias("value"),
+        )
+    )
+
+
+@register(
+    "max_versions_n",
+    oracle="""
+    SELECT user_id, event_type, ts, value, version_rank
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS version_rank
+      FROM events
+    ) WHERE version_rank <= 3
+    """,
+)
+def max_versions_n(spark, sf_dir):
+    """Scan.readVersions(3): newest 3 versions per cell."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("version_rank", F.row_number().over(w))
+        .filter(F.col("version_rank") <= 3)
+        .select("user_id", "event_type", "ts", "value", "version_rank")
+    )
+
+
+@register(
+    "time_range_read",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def time_range_read(spark, sf_dir):
+    """Scan.setTimeRange(min, max) — half-open version-time window,
+    pushed to the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+
+
+@register(
+    "ttl_expiry",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-30 00:00:00' - INTERVAL 7 DAY
+    """,
+)
+def ttl_expiry(spark, sf_dir):
+    """CF TTL: cells older than now − TTL are invisible. 'now' is a
+    fixed literal (2024-01-30, the fixture's end) for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-30 00:00:00").cast("timestamp") - F.expr("INTERVAL 7 DAYS")
+    return ev.filter(F.col("ts") >= cutoff).select("event_id", "user_id", "event_type", "ts")
+
+
+@register(
+    "tombstone_merge",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.ts
+    FROM events e
+    LEFT JOIN (SELECT user_id, MAX(ts) AS del_ts FROM events
+               WHERE event_type = 'error' GROUP BY user_id) d
+      ON e.user_id = d.user_id
+    WHERE e.event_type <> 'error'
+      AND (d.del_ts IS NULL OR e.ts > d.del_ts)
+    """,
+)
+def tombstone_merge(spark, sf_dir):
+    """Delete-tombstone compaction: a row-level delete marker at ts T
+    suppresses all puts with ts <= T. Deletes modeled as
+    event_type='error' rows.
+
+    Implemented as aggregate-then-join (one tiny row per rowkey on
+    the build side) instead of an inequality anti-join, which would
+    degrade to a nested loop at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dels = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("del_ts"))
+    )
+    puts = ev.filter(F.col("event_type") != "error")
+    return (
+        puts.join(F.broadcast(dels), "user_id", "left")
+        .filter(F.col("del_ts").isNull() | (F.col("ts") > F.col("del_ts")))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@register(
+    "as_of_read",
+    oracle="""
+    SELECT user_id, event_type, ts AS as_of_ts, value AS as_of_value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+    ) WHERE rn = 1
+    """,
+)
+def as_of_read(spark, sf_dir):
+    """Point-in-time read: newest version with ts <= t (the as-of
+    join primitive, collapsed to a fixed t). Same partial-agg shape
+    as latest_version under the time predicate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-01-15 12:00:00").cast("timestamp")
+    )
+    top = F.max(F.struct("ts", "event_id", "value")).alias("cell")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(top)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("cell.ts").alias("as_of_ts"),
+            F.col("cell.value").alias("as_of_value"),
+        )
+    )
+
+
+@register(
+    "as_of_join",
+    oracle="""
+    SELECT q.user_id, q.t AS query_ts, e.ts AS matched_ts, e.value AS matched_value
+    FROM (SELECT DISTINCT user_id, TIMESTAMP '2024-01-10 00:00:00' AS t FROM events
+          UNION ALL
+          SELECT DISTINCT user_id, TIMESTAMP '2024-01-20 00:00:00' FROM events) q
+    ASOF LEFT JOIN events e
+      ON q.user_id = e.user_id AND e.ts <= q.t
+    """,
+)
+def as_of_join(spark, sf_dir):
+    """Pairwise as-of join: for each (user, query-time), the latest
+    event at or before that time. Spark lacks a native ASOF join;
+    expressed as union-tag + window so the 'latest before' resolves
+    in one pass over the merged stream — no inequality join, scales
+    as a single sort/shuffle on (user_id, ts).
+
+    NOTE: DuckDB ASOF resolves ties (e.ts == q.t and duplicate e.ts)
+    by max ts only; we mirror by taking max value among rows at the
+    winning ts for determinism — fixture ts collisions per user are
+    absent, verified by parity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    q = users.select(
+        "user_id", F.lit("2024-01-10 00:00:00").cast("timestamp").alias("t")
+    ).unionByName(
+        users.select("user_id", F.lit("2024-01-20 00:00:00").cast("timestamp").alias("t"))
+    )
+    # union-tag: probe rows carry is_q=1; sort by (user, time, is_q)
+    # and carry the last seen event via a running max over struct.
+    probes = q.select(
+        "user_id",
+        F.col("t").alias("ts"),
+        F.lit(1).alias("is_q"),
+        F.lit(None).cast("timestamp").alias("e_ts"),
+        F.lit(None).cast("double").alias("e_value"),
+    )
+    evs = ev.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_q"),
+        F.col("ts").alias("e_ts"),
+        F.col("value").alias("e_value"),
+    )
+    from pyspark.sql import Window
+
+    merged = evs.unionByName(probes)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_q").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn(
+        "last_cell", F.max(F.when(F.col("is_q") == 0, F.struct("e_ts", "e_value"))).over(w)
+    )
+    return carried.filter(F.col("is_q") == 1).select(
+        "user_id",
+        F.col("ts").alias("query_ts"),
+        F.col("last_cell.e_ts").alias("matched_ts"),
+        F.col("last_cell.e_value").alias("matched_value"),
+    )
+
+
+@register(
+    "increment_counter",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS increments,
+           ROUND(SUM(value), 2) AS counter_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def increment_counter(spark, sf_dir):
+    """Increment — server-side atomic counters; the batch-analytic
+    equivalent is a keyed sum (commutative, so partial agg applies
+    exactly like HBase's per-region counters)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("increments"),
+        F.round(F.sum("value"), 2).alias("counter_value"),
+    )
+
+
+@register(
+    "append_cell",
+    oracle="""
+    SELECT user_id,
+           STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS appended
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def append_cell(spark, sf_dir):
+    """Append — server-side value append in version order. Needs a
+    deterministic order inside the aggregate: sort the collected
+    (ts, event_id, payload) structs, then join."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.transform(cells, lambda c: c["event_type"]), ",").alias("appended")
+    )

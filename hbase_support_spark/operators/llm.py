@@ -1,1 +1,729 @@
-"""placeholder — filled in by subsequent milestones."""
+"""§2.9 LLM-training-data pipeline operators (mandated extension).
+
+Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force + blocked ANN),
+and text analysis (tokenize, TF-IDF, sentiment lexicon, language-ID,
+quality scoring, fingerprinting) over `documents` + `embeddings`.
+Paper grounding: sentiment-lexicon join on Spark (EDBT 2016) and
+distributed top-k similarity with blocking (ICDE 2021 / SIGMOD 2020)
+— see PAPERS.md.
+
+Everything is built-in expressions (higher-order array lambdas,
+xxhash64) — zero Python UDFs, so the whole module stays inside
+whole-stage codegen.
+
+Scale design (the part that matters at 100 TB):
+  * Near-dup never goes O(n²): MinHash-LSH banding makes candidate
+    generation a groupBy on band hashes; SimHash bands likewise;
+    n-gram Jaccard and cosine pairs are blocked on (lang, source) /
+    label. Quadratic work only happens inside a bucket/block.
+  * Signatures are computed in one projection pass (64 hashes via
+    transform(sequence(...))) — map-only, no shuffle until the
+    band groupBy.
+  * Giant LSH buckets (skew) are capped with a per-bucket size
+    guard before pair expansion — the standard salting/clamp escape
+    hatch; the cap is generous at test SF and logged in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# shared text kernels (column expressions, composable)
+# ---------------------------------------------------------------------------
+
+TOKENS = "filter(split(lower(text), ' '), w -> w <> '')"
+DISTINCT_TOKENS = f"array_distinct({TOKENS})"
+# 3-word shingles (GPT-3/C4-style near-dup unit)
+SHINGLES = (
+    f"array_distinct(transform(sequence(1, greatest(size({TOKENS}) - 2, 1)),"
+    f" i -> concat_ws(' ', element_at({TOKENS}, i),"
+    f" element_at({TOKENS}, i + 1), element_at({TOKENS}, i + 2))))"
+)
+# DuckDB twins
+D_TOKENS = "list_filter(string_split(lower(text), ' '), w -> w <> '')"
+D_DISTINCT_TOKENS = f"list_distinct({D_TOKENS})"
+D_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({D_TOKENS}) - 1, 2)),"
+    f" i -> {D_TOKENS}[i] || ' ' || {D_TOKENS}[i+1] || ' ' || {D_TOKENS}[i+2]))"
+)
+
+
+def _dot(a, b):
+    """Double-precision dot product of two float arrays (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+# SQL twin: cosine via per-dimension unnest (exact same double math)
+def _d_cosine(a: str, b: str) -> str:
+    return (
+        f"SUM(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) / "
+        f"(SQRT(SUM(CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))) * "
+        f"SQRT(SUM(CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT SHA256(LOWER(TRIM(text))) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY SHA256(LOWER(TRIM(text)))
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup at 100 TB: hash normalized content, keep min id
+    per hash. One shuffle on the 32-byte digest (never on the text
+    itself); partial agg collapses duplicates map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    return d.groupBy(h.alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("dup_count"),
+    )
+
+
+@register("dedup_near_minhash")  # rows-only: xxhash64 seeds are Spark-specific
+def dedup_near_minhash(spark, sf_dir):
+    """Near-dup pairs via MinHash + LSH banding, verified by exact
+    Jaccard (the C4/GPT-3 pipeline, public technique).
+
+    Plan shape: one projection computes the 64-perm signature
+    (min over shingle hashes per seed), explode 16 bands → groupBy
+    band bucket → pair expansion inside buckets only → exact-Jaccard
+    verification join. Sub-quadratic end-to-end.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id",
+        F.expr(SHINGLES).alias("shingles"),
+    ).select(
+        "doc_id",
+        "shingles",
+        F.expr(
+            "transform(sequence(0, 63), s ->"
+            " array_min(transform(shingles, sh -> xxhash64(concat(cast(s AS string), sh)))))"
+        ).alias("sig"),
+    )
+    # 16 bands x 4 rows; bucket key = hash of the band slice + band id
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.expr(
+            "explode(transform(sequence(0, 15), b ->"
+            " named_struct('band', b, 'bucket',"
+            " xxhash64(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x AS string)))))))"
+        ).alias("bb"),
+    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # candidate pairs within a bucket (skew guard: cap bucket size)
+    grouped = bands.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "shingles"))).alias("members")
+    )
+    guarded = grouped.filter((F.size("members") > 1) & (F.size("members") <= 256))
+    pairs = (
+        guarded.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (m1, i) ->"
+                    " transform(slice(members, i + 2, size(members) - i - 1), m2 ->"
+                    " named_struct('a', m1, 'b', m2))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.shingles").alias("sh_a"),
+            F.col("p.b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64-based bits are Spark-specific
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 64-bit signature from token hashes (bit i =
+    sign of Σ ±1 over tokens), candidates via 4×16-bit band match,
+    verified by Hamming distance ≤ 8."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id",
+        F.expr(f"transform({DISTINCT_TOKENS}, t -> xxhash64(t))").alias("th"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63), i -> CASE WHEN aggregate(th, 0L, (acc, h) ->"
+            " acc + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END)"
+        ).alias("bits"),
+    )
+    banded = sigs.select(
+        "doc_id",
+        "bits",
+        F.expr(
+            "explode(transform(sequence(0, 3), b -> named_struct('band', b, 'key',"
+            " concat_ws('', transform(slice(bits, b * 16 + 1, 16), x -> cast(x AS string))))))"
+        ).alias("bb"),
+    ).select("doc_id", "bits", "bb.band", "bb.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.bits").alias("bits_a"),
+            F.col("b.bits").alias("bits_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source, {D_SHINGLES} AS shingles FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+                 LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+                LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup within (lang, source) blocks —
+    the verifiable (hash-free) twin of MinHash. Blocking bounds the
+    pair count; the self-join is an equi-join on the block key."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "lang", "source", F.expr(SHINGLES).alias("shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.round(
+        F.size(F.array_intersect("a.shingles", "b.shingles"))
+        / F.size(F.array_union("a.shingles", "b.shingles")).cast("double"),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND({_d_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+      range(1, 65) r(i)
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup within label blocks (semantic dedup;
+    fixture vectors are unclustered so τ=0.3 exercises the path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        6,
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_knn_query",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e, q, range(1, 65) r(i)
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_knn_query(spark, sf_dir):
+    """Brute-force cosine top-k for one query vector — the exactness
+    baseline. The query vector is broadcast; scoring is a map-only
+    pass; top-k is TakeOrdered (no global sort)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = e.filter(F.col("vec_id") != 0)
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("qv"))
+            / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+@register(
+    "sim_knn_ivf",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv, label FROM embeddings WHERE vec_id = 7),
+    scored AS (
+      SELECT e.vec_id, ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e JOIN q ON e.label = q.label, range(1, 65) r(i)
+      WHERE e.vec_id <> 7
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+)
+def sim_knn_ivf(spark, sf_dir):
+    """IVF-style ANN: label is the coarse quantizer (nprobe=1) — only
+    the query's cell is scanned. At 100 TB the cells are k-means
+    centroid partitions and the table is bucketed by cell id, so the
+    probe prunes ~(1 - 1/nlist) of the data before any scoring."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("qv"), F.col("label").alias("qlabel")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 7)
+        .join(F.broadcast(q), F.col("label") == F.col("qlabel"))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(5)
+
+
+@register(
+    "sim_pairs_threshold",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+             ROUND({_d_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+      range(1, 65) r(i)
+      GROUP BY a.vec_id, b.vec_id, a.label
+    )
+    SELECT vec_a, vec_b, label, cos_sim FROM scored WHERE cos_sim >= 0.25
+    """,
+)
+def sim_pairs_threshold(spark, sf_dir):
+    """All-pairs cosine ≥ τ within label blocks (REPOSE/CASS-style
+    blocking keeps this sub-quadratic — O(Σ block²), not O(n²))."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        6,
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenize_counts",
+    oracle=f"""
+    SELECT w AS word, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, UNNEST({D_TOKENS}) AS w FROM documents)
+    GROUP BY w
+    """,
+)
+def text_tokenize_counts(spark, sf_dir):
+    """Corpus token profile: explode → count (partial agg collapses
+    the token stream map-side before the shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.expr(TOKENS)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("doc_freq"))
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, UNNEST({D_TOKENS}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             ROUND(tf.tf * LN(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """TF-IDF top-3 terms per doc. df is tiny (vocabulary-sized) →
+    broadcast back onto the token stream; no row-level collect."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(TOKENS)).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+_LEXICON = [
+    ("fast", 1.0),
+    ("small", 0.5),
+    ("value", 0.5),
+    ("merge", 0.25),
+    ("slow", -1.0),
+    ("error", -1.0),
+    ("null", -0.5),
+    ("skew", -0.5),
+]
+_D_LEX_VALUES = ", ".join(f"('{w}', CAST({p} AS DOUBLE))" for w, p in _LEXICON)
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, UNNEST({D_TOKENS}) AS w FROM documents),
+    lex(word, polarity) AS (VALUES {_D_LEX_VALUES})
+    SELECT t.doc_id,
+           COUNT(*) AS matched_tokens,
+           ROUND(AVG(lex.polarity), 6) AS sentiment
+    FROM toks t JOIN lex ON t.w = lex.word
+    GROUP BY t.doc_id
+    """,
+)
+def text_sentiment_lexicon(spark, sf_dir):
+    """Lexicon-join sentiment (EDBT'16 pattern): token stream ⋈
+    broadcast lexicon → per-doc mean polarity."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(TOKENS)).alias("w"))
+    lex = spark.createDataFrame(_LEXICON, ["word", "polarity"])
+    return (
+        toks.join(F.broadcast(lex), toks.w == lex.word)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("matched_tokens"),
+            F.round(F.avg("polarity"), 6).alias("sentiment"),
+        )
+    )
+
+
+@register(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_profile(spark, sf_dir):
+    """Corpus governance rollup per (lang, source) shard."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_STOPWORDS = "('a', 'the', 'of', 'and', 'to', 'in')"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {D_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           LEN(toks) AS n_tokens,
+           ROUND(LEN(LIST_DISTINCT(toks))::DOUBLE / LEN(toks), 6) AS uniq_ratio,
+           ROUND(LEN(LIST_FILTER(toks, w -> w IN {_STOPWORDS}))::DOUBLE / LEN(toks), 6)
+             AS stopword_ratio,
+           ROUND(n_chars::DOUBLE / LEN(toks), 6) AS avg_token_len,
+           ROUND(0.5 * (LEN(LIST_DISTINCT(toks))::DOUBLE / LEN(toks))
+               + 0.5 * (1 - LEN(LIST_FILTER(toks, w -> w IN {_STOPWORDS}))::DOUBLE / LEN(toks)), 6)
+             AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality scoring (length / stopword / uniqueness
+    ratios) — the C4-style pre-filter, one map-only pass."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "n_chars", F.expr(TOKENS).alias("toks"))
+    n = F.size("toks").cast("double")
+    uniq = F.size(F.array_distinct("toks")).cast("double") / n
+    stop = F.size(F.expr(f"filter(toks, w -> w IN {_STOPWORDS})")).cast("double") / n
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(uniq, 6).alias("uniq_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / n, 6).alias("avg_token_len"),
+        F.round(0.5 * uniq + 0.5 * (1 - stop), 6).alias("quality"),
+    )
+
+
+_LANG_MARKERS = {
+    "de": "('und', 'der', 'nicht', 'schnell')",
+    "en": "('the', 'fast', 'slow', 'query')",
+    "es": "('el', 'la', 'rapido', 'consulta')",
+    "fr": "('le', 'la', 'vite', 'requete')",
+    "zh": "('biao', 'kuai', 'man', 'lie')",
+}
+
+
+def _langid_scores_sql(tok_expr: str, fn: str) -> str:
+    return ", ".join(
+        f"len({fn}({tok_expr}, w -> w IN {m})) AS score_{lang}"
+        for lang, m in _LANG_MARKERS.items()
+    )
+
+
+@register(
+    "text_langid_ngram",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS true_lang,
+             {_langid_scores_sql('toks', 'list_filter')}
+      FROM (SELECT doc_id, lang, {D_TOKENS} AS toks FROM documents)
+    )
+    SELECT doc_id, true_lang,
+           CASE GREATEST(score_de, score_en, score_es, score_fr, score_zh)
+             WHEN score_de THEN 'de' WHEN score_en THEN 'en'
+             WHEN score_es THEN 'es' WHEN score_fr THEN 'fr' ELSE 'zh' END
+             AS predicted_lang,
+           GREATEST(score_de, score_en, score_es, score_fr, score_zh) AS top_score
+    FROM scores
+    """,
+)
+def text_langid_ngram(spark, sf_dir):
+    """Marker-word language ID (n-gram heuristic): score each lang by
+    marker hits, argmax with first-match tie order de<en<es<fr<zh —
+    identical CASE ladder in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.col("lang").alias("true_lang"), F.expr(TOKENS).alias("toks"))
+    scores = t.select(
+        "doc_id",
+        "true_lang",
+        *[
+            F.size(F.expr(f"filter(toks, w -> w IN {m})")).alias(f"score_{lang}")
+            for lang, m in _LANG_MARKERS.items()
+        ],
+    )
+    top = F.greatest(*[F.col(f"score_{k}") for k in _LANG_MARKERS])
+    pred = (
+        F.when(F.col("score_de") == top, "de")
+        .when(F.col("score_en") == top, "en")
+        .when(F.col("score_es") == top, "es")
+        .when(F.col("score_fr") == top, "fr")
+        .otherwise("zh")
+    )
+    return scores.select(
+        "doc_id", "true_lang", pred.alias("predicted_lang"), top.alias("top_score")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING(LIST_SORT({D_DISTINCT_TOKENS})[1:8], ' ')) AS fingerprint,
+           LEN({D_DISTINCT_TOKENS}) AS vocab_size
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: digest of the 8 smallest distinct tokens
+    (an order-free locality fingerprint à la shingle sketching)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(DISTINCT_TOKENS)
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(F.array_sort(toks), 1, 8), " ")).alias("fingerprint"),
+        F.size(toks).alias("vocab_size"),
+    )
+
+
+@register(
+    "text_token_count_regex",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS alpha_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{4,}')) AS long_tokens,
+           LEN(STRING_SPLIT(text, ' ')) AS ws_tokens
+    FROM documents
+    """,
+)
+def text_token_count_regex(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex classes — the
+    cheap proxy for tokenizer budget accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("alpha_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{4,}"), 0)).alias("long_tokens"),
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+    )
+
+
+@register(
+    "multimodal_join",
+    oracle=f"""
+    WITH user_stats AS (
+      SELECT user_id, COUNT(*) AS ev_cnt, ROUND(AVG(value), 6) AS avg_value
+      FROM events GROUP BY user_id
+    ),
+    vec AS (
+      SELECT e.vec_id, e.label,
+             ROUND({_d_cosine('e.embedding', 'e.embedding')}, 6) AS self_sim
+      FROM embeddings e, range(1, 65) r(i)
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT d.doc_id, d.lang, v.label, v.self_sim,
+           COALESCE(u.ev_cnt, 0) AS owner_events,
+           u.avg_value AS owner_avg_value
+    FROM documents d
+    JOIN vec v ON d.doc_id = v.vec_id
+    LEFT JOIN user_stats u ON u.user_id = d.doc_id % 150
+    """,
+)
+def multimodal_join(spark, sf_dir):
+    """Three modalities joined: text metadata ⋈ vectors (1:1 id) ⋈
+    behavioral aggregates (doc owner = doc_id % 150). Inner join on
+    the vector side (coverage is partial at sf0.1 — FIXTURES.md)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = load_table(spark, sf_dir, "events")
+    user_stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("ev_cnt"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+    self_sim = F.round(
+        _dot(F.col("embedding"), F.col("embedding"))
+        / (_norm(F.col("embedding")) * _norm(F.col("embedding"))),
+        6,
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .join(F.broadcast(user_stats), user_stats.user_id == d.doc_id % 150, "left")
+        .select(
+            "doc_id",
+            "lang",
+            "label",
+            self_sim.alias("self_sim"),
+            F.coalesce("ev_cnt", F.lit(0)).alias("owner_events"),
+            F.col("avg_value").alias("owner_avg_value"),
+        )
+    )

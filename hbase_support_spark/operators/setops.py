@@ -1,1 +1,214 @@
-"""placeholder — filled in by subsequent milestones."""
+"""§2.7 Sort / limit / top-k / set operations / table diff.
+
+The ops-tooling surface: sorted scans, heaviest-keys reports, snapshot
+merges, and replica comparison (HashTable/SyncTable,
+VerifyReplication — public HBase tool semantics; SURVEY.md §2.7).
+
+Scale notes: global top-k compiles to TakeOrderedAndProject
+(per-partition heaps + driver merge of k rows — never a full sort);
+`table_diff_hash` compares replicas by bucket digests first so only
+mismatched buckets would be drilled into at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "sort_multi_key",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey
+    LIMIT 500
+    """,
+)
+def sort_multi_key(spark, sf_dir):
+    """Rowkey-order emulation (HBase scans are always key-sorted):
+    multi-key sort, range-partitioned; limit keeps grading
+    deterministic via the unique tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(F.col("o_orderstatus").asc(), F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(500)
+    )
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_global(spark, sf_dir):
+    """Heaviest keys report — global top-10 by value."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT n_name, s_suppkey, s_acctbal
+    FROM (
+      SELECT n.n_name, s.s_suppkey, s.s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ) WHERE rn <= 2
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Top-2 suppliers per nation by account balance."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("n_name", "s_suppkey", "s_acctbal")
+    )
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def set_union_all(spark, sf_dir):
+    """Merging incremental snapshots — bag union, no dedup shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_name")
+    return a.unionByName(b)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def set_union_distinct(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_name")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark, sf_dir):
+    """Keys present in both replicas/snapshots (SyncTable overlap)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except(spark, sf_dir):
+    """Replica divergence — keys only in A (VerifyReplication
+    BADROWS)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.subtract(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """Bag difference — multiplicity-aware divergence count."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "table_diff_hash",
+    oracle="""
+    WITH replica_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT a.o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'missing_in_b'
+                ELSE 'value_mismatch' END AS diff_type
+    FROM orders a
+    LEFT JOIN replica_b b ON a.o_orderkey = b.o_orderkey
+    WHERE b.o_orderkey IS NULL
+       OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+    """,
+)
+def table_diff_hash(spark, sf_dir):
+    """HashTable/SyncTable — replica comparison.
+
+    Replica B is simulated deterministically (drop every 97th key,
+    perturb every 89th value). The graded output is the row-level
+    drill-in (full-outer row diff, engine-portable); the bucket-hash
+    prefilter that makes this cheap at 100 TB is implemented in
+    tools/table_diff.py using xxhash64 bucket digests — Spark-specific
+    hash, so it can't be the oracle surface.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    replica_b = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a = orders.select("o_orderkey", "o_totalprice").alias("a")
+    b = replica_b.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "left")
+    return j.filter(
+        F.col("b.o_orderkey").isNull()
+        | ~F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice"))
+    ).select(
+        F.col("a.o_orderkey").alias("o_orderkey"),
+        F.when(F.col("b.o_orderkey").isNull(), "missing_in_b")
+        .otherwise("value_mismatch")
+        .alias("diff_type"),
+    )

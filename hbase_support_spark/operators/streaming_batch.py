@@ -1,1 +1,149 @@
-"""placeholder — filled in by subsequent milestones."""
+"""§2.10 Streaming semantics — batch-graded equivalents.
+
+The fixture `events` table is a static parquet of a stream; the
+oracle is batch-only. Each streaming semantic is implemented twice:
+the graded batch query here, and the genuine Structured Streaming
+version in ``streaming/demo.py`` (smoke-tested for stream/batch
+parity — that parity IS the §2.10 correctness statement).
+
+Scale notes: tumbling windows are plain hash aggs on a derived key
+(partial agg applies); sessionization is one shuffle on user_id +
+an in-partition sort — identical to what
+``session_window``/``applyInPandasWithState`` do inside Structured
+Streaming, minus the state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "stream_tumbling_1h",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS event_cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+)
+def stream_tumbling_1h(spark, sf_dir):
+    """Tumbling 1-hour window counts (streaming: groupBy(window(ts,
+    '1 hour'), ...) with a watermark — see streaming/demo.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count("*").alias("event_cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "stream_sliding_1h_15m",
+    oracle="""
+    SELECT DATE_TRUNC('minute', ts)
+             - INTERVAL 1 MINUTE * (EXTRACT(minute FROM ts) % 15)
+             - INTERVAL 15 MINUTE * k AS window_start,
+           COUNT(*) AS event_cnt
+    FROM events, range(0, 4) r(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_1h_15m(spark, sf_dir):
+    """Sliding window (1 h length, 15 min slide): every event belongs
+    to exactly 4 windows — explode the 4 slide offsets, then it's a
+    plain hash agg keyed by window start (how Spark's window() with
+    slide works internally)."""
+    ev = load_table(spark, sf_dir, "events")
+    slide_base = F.col("ts") - F.expr("make_interval(0,0,0,0,0, minute(ts) % 15, 0)")
+    exploded = ev.select(
+        F.date_trunc("minute", slide_base).alias("slide0"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    )
+    return exploded.select(
+        (F.col("slide0") - F.expr("make_interval(0,0,0,0,0, 15 * k, 0)")).alias(
+            "window_start"
+        )
+    ).groupBy("window_start").agg(F.count("*").alias("event_cnt"))
+
+
+@register(
+    "stream_session_30m",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_30m(spark, sf_dir):
+    """Session windows, 30-min gap (streaming: session_window(ts,
+    '30 minutes')). Batch form: lag-gap → running-sum session ids →
+    per-session agg. One shuffle on user_id; the sort is reused by
+    both window functions (same partitioning/ordering)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = ev.withColumn("session_id", F.sum(brk).over(wsum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "stream_dedup_by_key",
+    oracle="""
+    SELECT user_id, event_type, minute_bucket, event_id, value
+    FROM (
+      SELECT user_id, event_type, DATE_TRUNC('minute', ts) AS minute_bucket,
+             event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type, DATE_TRUNC('minute', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup_by_key(spark, sf_dir):
+    """Exactly-once by business key (streaming: dropDuplicates
+    WithinWatermark): first event per (user, type, minute)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", F.date_trunc("minute", "ts")).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("minute_bucket", F.date_trunc("minute", "ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "minute_bucket", "event_id", "value")
+    )

@@ -1,1 +1,243 @@
-"""placeholder — filled in by subsequent milestones."""
+"""§2.11 UDF / UDAF / UDTF surface + multimodal column plumbing.
+
+The Python escape hatches, used ONLY where built-ins genuinely can't
+express the semantics — and always Arrow-batched (pandas_udf /
+applyInPandas / mapInPandas), never row-at-a-time Python UDFs
+(10-100x slower; SURVEY.md §2.11).
+
+Multimodal columns: image/audio/video are opaque BINARY columns with
+typed metadata. The decode step is environment-gated (no codec libs
+in this container — ``_decode_image_stub`` is a deterministic fake,
+clearly marked); the Spark-side plumbing (schema, Arrow batch shape,
+partitioning) is real and graded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id,
+             SQRT(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm,
+             MAX(CAST(embedding[1] AS DOUBLE)) AS first_dim
+      FROM embeddings, range(1, 65) r(i)
+      GROUP BY vec_id
+    )
+    SELECT vec_id,
+           ROUND(nrm, 6) AS l2_norm,
+           ROUND(first_dim / nrm, 6) AS first_dim_normalized
+    FROM norms
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Arrow-batched scalar pandas UDF: vector L2 norm via numpy over
+    the whole Arrow batch at once (vectorized, no per-row Python)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def l2_norm(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())
+        return pd.Series(np.sqrt((m.astype("float64") ** 2).sum(axis=1)))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = l2_norm("embedding")
+    return e.select(
+        "vec_id",
+        F.round(nrm, 6).alias("l2_norm"),
+        F.round(F.col("embedding")[0].cast("double") / nrm, 6).alias(
+            "first_dim_normalized"
+        ),
+    )
+
+
+@register(
+    "udaf_centroid_per_label",
+    oracle="""
+    WITH dims AS (
+      SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS dim_mean
+      FROM embeddings, range(1, 65) r(i)
+      GROUP BY label, i
+    )
+    SELECT label,
+           COUNT(*) AS dim,
+           ROUND(SQRT(SUM(dim_mean * dim_mean)), 6) AS centroid_norm,
+           ROUND(MAX(CASE WHEN i = 1 THEN dim_mean END), 6) AS dim1_mean
+    FROM dims
+    GROUP BY label
+    """,
+)
+def udaf_centroid_per_label(spark, sf_dir):
+    """Custom UDAF via groupBy().applyInPandas: per-label centroid in
+    numpy. Each label group arrives as one pandas DataFrame (Arrow);
+    output is one row per group — the idiomatic Spark UDAF shape."""
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField("label", IntegerType()),
+            StructField("dim", LongType()),
+            StructField("centroid_norm", DoubleType()),
+            StructField("dim1_mean", DoubleType()),
+        ]
+    )
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        c = m.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "dim": [m.shape[1]],
+                "centroid_norm": [round(float(np.sqrt((c**2).sum())), 6)],
+                "dim1_mean": [round(float(c[0]), 6)],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInPandas(centroid, out_schema)
+
+
+@register("udtf_shingle_expand")  # rows-only: UDTF output shape, no SQL twin
+def udtf_shingle_expand(spark, sf_dir):
+    """Python UDTF (Spark 4 @udtf): shingle expander — one input doc
+    row → N shingle rows. Graded by row count."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, shingle: string")
+    class ShingleExpand:
+        def eval(self, doc_id: int, text: str):
+            toks = [t for t in text.lower().split(" ") if t]
+            for i in range(max(len(toks) - 2, 1)):
+                yield doc_id, " ".join(toks[i : i + 3])
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("shingle_expand", ShingleExpand)
+    return spark.sql(
+        "SELECT s.doc_id, s.shingle FROM udtf_docs, "
+        "LATERAL shingle_expand(doc_id, text) s"
+    )
+
+
+@register(
+    "map_in_pandas_bulk",
+    oracle="""
+    SELECT doc_id,
+           LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')) AS n_tokens,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def map_in_pandas_bulk(spark, sf_dir):
+    """mapInPandas bulk transform — the 100-TB-friendly Python path:
+    whole Arrow batches stream through one Python worker per task,
+    output schema fixed up front."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["text"].str.lower().str.split(" ").map(
+                lambda ts: sum(1 for t in ts if t)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": toks.astype("int64"),
+                    "n_bytes": pdf["text"].str.encode("utf-8").str.len().astype("int64"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(profile, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary columns
+# ---------------------------------------------------------------------------
+
+_MM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+        StructField("fake_channels", IntegerType()),
+    ]
+)
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS INT) AS fake_width,
+           CAST((OCTET_LENGTH(ENCODE(text)) * 7) % 480 + 1 AS INT) AS fake_height,
+           CAST(3 AS INT) AS fake_channels
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark, sf_dir):
+    """Multimodal column pipeline: text bytes stand in for an opaque
+    image BLOB; mapInPandas 'decodes' metadata per Arrow batch. The
+    decode itself is a marked stub (no codec libs here); its
+    deterministic fake is mirrored in SQL so the plumbing is still
+    hash-graded.
+
+    NOTE: worker closures must be self-contained — a reference to a
+    module-level helper would make cloudpickle serialize it by module
+    reference, and the executors' Python workers don't have this
+    package on sys.path (only the driver does, via __spark_entry__).
+    """
+
+    def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
+        # STUB decoder — deterministic fake metadata from byte length.
+        # Real deployment: PIL/ffmpeg decode in this same mapInPandas
+        # (codec libs absent in this container); the plumbing — binary
+        # in, typed struct out, Arrow batching — is what the real
+        # decoder uses.
+        n = len(payload)
+        return (n % 640 + 1, (n * 7) % 480 + 1, 3)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_decode_image_stub(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in pdf["payload"]],
+                    "fake_width": [m[0] for m in metas],
+                    "fake_height": [m[1] for m in metas],
+                    "fake_channels": [m[2] for m in metas],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(decode, _MM_SCHEMA)

@@ -1,1 +1,204 @@
-"""placeholder — filled in by subsequent milestones."""
+"""§2.6 Window functions.
+
+Per-key version analytics generalized from the cell model: ranking,
+deltas between versions (lag/lead), running counters, moving
+averages, and value-range frames (SURVEY.md §2.6).
+
+Scale notes: each query shuffles once on its partition key and sorts
+within partitions — Spark's window exec streams frames without
+materializing the whole partition except for unbounded-following
+frames. Skewed partition keys (one giant user) are the risk at
+100 TB; the fixture's keys are uniform, and the salting pattern in
+operators/llm.py applies when they aren't.
+
+Float parity: running/moving aggregates are evaluated in identical
+row order in both engines (same ORDER BY incl. unique tiebreak), so
+sequential fp summation agrees; ROUND(6) guards the residual ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "win_row_number_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_row_number_topk(spark, sf_dir):
+    """Top-3 orders per customer (per-key top-N versions)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_rank_dense_ntile(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           epoch_us(ts) - epoch_us(LAG(ts)  OVER w) AS gap_us,
+           epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS next_gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    """Session gap detection / deltas between consecutive versions.
+    Gaps in integer µs (unix_micros ↔ epoch_us) — exact, no fp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (us - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        (F.unix_micros(F.lead("ts").over(w)) - us).alias("next_gap_us"),
+    )
+
+
+@register(
+    "win_running_sum_rows",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS running_total,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_cnt
+    FROM events
+    """,
+)
+def win_running_sum_rows(spark, sf_dir):
+    """Running counters per rowkey in version order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 6).alias("running_total"),
+        F.count("*").over(w).alias("running_cnt"),
+    )
+
+
+@register(
+    "win_moving_avg_rows",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS moving_avg3
+    FROM events
+    """,
+)
+def win_moving_avg_rows(spark, sf_dir):
+    """Smoothed metrics: 3-row trailing average."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg3"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS events_last_hour,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS value_last_hour
+    FROM events
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    """Value-range frame: trailing 1-hour window keyed on epoch
+    seconds (RANGE, not ROWS — frame width is in the value domain)."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy(sec).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("events_last_hour"),
+        F.round(F.sum("value").over(w), 6).alias("value_last_hour"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           FIRST_VALUE(value) OVER w AS first_value_seen,
+           LAST_VALUE(value)  OVER w AS last_value_seen
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark, sf_dir):
+    """First/latest version per partition without collapsing rows —
+    the frame must be explicitly unbounded-both-ways or last_value
+    degenerates to current-row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.first("value").over(w).alias("first_value_seen"),
+        F.last("value").over(w).alias("last_value_seen"),
+    )

@@ -1,0 +1,120 @@
+"""§2.10 Structured Streaming demos — the genuine streaming path.
+
+The graded surface uses batch equivalents (operators/streaming_batch);
+here the same semantics run as real streams: the fixture parquet is
+replayed with ``trigger(availableNow=True)`` (finite replay), with
+watermarks for late data and ``applyInPandasWithState`` for custom
+state. Stream/batch parity is asserted in tests/test_streaming.py —
+that equivalence is the §2.10 correctness statement (SURVEY.md §5.5).
+
+Scale notes: in production the source becomes Kafka/files-on-arrival;
+everything below is already expressed against the unbounded-table
+model, so only ``readStream`` options change. State stores (RocksDB
+provider) and watermark horizon bound memory at 100 TB/day rates.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import ensure_confs
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events fixture as a file stream (schema pinned from
+    the batch read; ns→µs shim applied identically)."""
+    ensure_confs(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # file-stream sources require a directory; glob-filter to events
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_tumbling_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour counts with a 10-minute watermark, replayed to
+    completion with availableNow; returns the materialized result."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("event_cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "event_cnt", "total_value")
+    )
+    out = tempfile.mkdtemp(prefix="stream_tumbling_", dir=os.environ.get("TMPDIR", "/tmp"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_demo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("SELECT * FROM tumbling_demo")
+
+
+def run_session_state_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing: per-user running event counter
+    via applyInPandasWithState (GroupState + timeout) — the custom-
+    stateful-operator seam."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "event_id")
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("event_count", LongType())]
+    )
+    state_schema = StructType([StructField("cnt", LongType())])
+
+    def count_events(key, pdfs, state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "event_count": [cnt]})
+
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("session_state_demo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user is the final counter
+    return spark.sql(
+        """
+        SELECT user_id, MAX(event_count) AS event_count
+        FROM session_state_demo GROUP BY user_id
+        """
+    )
+
+
+def run_foreach_batch_sink_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """foreachBatch sink: idempotent parquet upsert per micro-batch
+    (overwrite-by-batch-id layout). Returns rows written."""
+    ev = _stream_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = ev.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return spark.read.parquet(f"{out_dir}/batch=*").count()

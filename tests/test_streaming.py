@@ -1,0 +1,56 @@
+"""Structured Streaming smoke + stream/batch parity — the §2.10
+correctness statement (SURVEY.md §5.5): replaying the fixture as a
+stream must reproduce the batch-graded aggregates exactly."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hbase_support_spark import QUERIES, load_all
+from hbase_support_spark.streaming.demo import (
+    run_foreach_batch_sink_demo,
+    run_session_state_demo,
+    run_tumbling_demo,
+)
+
+load_all()
+
+
+def _as_sorted_tuples(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_stream_batch_parity_tumbling(spark, sf_dir):
+    stream_out = run_tumbling_demo(spark, sf_dir)
+    batch_out = QUERIES["stream_tumbling_1h"](spark, sf_dir)
+    cols = ["window_start", "event_type", "event_cnt", "total_value"]
+    assert _as_sorted_tuples(stream_out, cols) == _as_sorted_tuples(batch_out, cols)
+
+
+def test_stateful_counter_matches_batch(spark, sf_dir):
+    from hbase_support_spark.io import load_table
+
+    got = {
+        r.user_id: r.event_count for r in run_session_state_demo(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: r.cnt
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_sink_writes_all_rows(spark, sf_dir):
+    from hbase_support_spark.io import load_table
+
+    out = tempfile.mkdtemp(prefix="fb_sink_")
+    try:
+        written = run_foreach_batch_sink_demo(spark, sf_dir, out)
+        assert written == load_table(spark, sf_dir, "events").count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1,0 +1,89 @@
+"""Hand-computed unit expectations on tiny slices + invariants
+(SURVEY.md §5.3/§5.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_support_spark import QUERIES, load_all
+from hbase_support_spark.io import load_table
+
+load_all()
+
+
+def test_latest_version_is_argmax(spark, sf_dir):
+    """latest_version must equal a hand-built window argmax."""
+    got = {
+        (r.user_id, r.event_type): (r.ts, r.value)
+        for r in QUERIES["latest_version"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").collect()
+    expect = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        expect[(r.user_id, r.event_type)] = (r.ts, r.value)
+    assert got == expect
+
+
+def test_point_get_value(spark, sf_dir):
+    rows = QUERIES["point_get"](spark, sf_dir).collect()
+    assert len(rows) == 1 and rows[0].c_custkey == 42
+
+
+def test_dedup_exact_idempotent(spark, sf_dir):
+    """dedup(dedup(x)) == dedup(x): keeper set is stable."""
+    first = QUERIES["dedup_exact"](spark, sf_dir)
+    keepers = first.select(F.col("keeper_doc_id").alias("doc_id"))
+    docs = load_table(spark, sf_dir, "documents").join(keepers, "doc_id", "left_semi")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    again = docs.groupBy(h.alias("content_hash")).agg(F.min("doc_id").alias("keeper_doc_id"))
+    assert again.count() == first.count()
+    assert (
+        again.select("keeper_doc_id")
+        .subtract(first.select("keeper_doc_id"))
+        .count()
+        == 0
+    )
+
+
+def test_session_count_monotonic_in_gap(spark, sf_dir):
+    """Shrinking the session gap can only create more sessions."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def n_sessions(gap_sec: int) -> int:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        brk = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+        return ev.withColumn("brk", brk).agg(F.sum("brk")).collect()[0][0]
+
+    assert n_sessions(900) >= n_sessions(1800) >= n_sessions(3600)
+
+
+def test_minhash_pairs_are_actually_similar(spark, sf_dir):
+    """Every LSH-emitted pair must pass its own exact-Jaccard bar."""
+    rows = QUERIES["dedup_near_minhash"](spark, sf_dir).collect()
+    assert all(r.jaccard >= 0.7 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_topk_matches_full_sort(spark, sf_dir):
+    """TakeOrdered top-10 == full sort top-10."""
+    o = load_table(spark, sf_dir, "orders")
+    full = [
+        r.o_orderkey
+        for r in o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10).collect()
+    ]
+    got = [r.o_orderkey for r in QUERIES["topk_global"](spark, sf_dir).collect()]
+    assert got == full
+
+
+def test_sliding_window_multiplicity(spark, sf_dir):
+    """1h/15min sliding windows: total window-memberships = 4 x events."""
+    ev_cnt = load_table(spark, sf_dir, "events").count()
+    total = (
+        QUERIES["stream_sliding_1h_15m"](spark, sf_dir)
+        .agg(F.sum("event_cnt"))
+        .collect()[0][0]
+    )
+    assert total == 4 * ev_cnt
