@@ -251,6 +251,34 @@ def as_of_join(spark, sf_dir):
 
 
 @register(
+    "check_and_put_batch",
+    oracle="""
+    SELECT c.c_custkey,
+           CASE WHEN c.c_acctbal > 9000 THEN ROUND(c.c_acctbal + 100.0, 2)
+                ELSE c.c_acctbal END AS new_acctbal,
+           (c.c_acctbal > 9000) AS mutated
+    FROM customer c
+    """,
+)
+def check_and_put_batch(spark, sf_dir):
+    """checkAndPut (CAS conditional mutation), batch analog: the
+    condition gates the overwrite per row — when/otherwise over the
+    full table, exactly the MERGE WHEN MATCHED shape. (True
+    transactional CAS needs a table format with row-level commits —
+    Delta/Iceberg MERGE at deploy time; this is the compute kernel.)
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cond = F.col("c_acctbal") > 9000
+    return c.select(
+        "c_custkey",
+        F.when(cond, F.round(F.col("c_acctbal") + 100.0, 2))
+        .otherwise(F.col("c_acctbal"))
+        .alias("new_acctbal"),
+        cond.alias("mutated"),
+    )
+
+
+@register(
     "increment_counter",
     oracle="""
     SELECT user_id,

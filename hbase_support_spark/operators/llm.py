@@ -109,8 +109,11 @@ def dedup_near_minhash(spark, sf_dir):
 
     Plan shape: one projection computes the 64-perm signature
     (min over shingle hashes per seed), explode 16 bands → groupBy
-    band bucket → pair expansion inside buckets only → exact-Jaccard
-    verification join. Sub-quadratic end-to-end.
+    band bucket (skew-capped at 256 members) → pair expansion inside
+    buckets only → exact-Jaccard verification. Sub-quadratic
+    end-to-end. Shingles ride the band shuffle inside the member
+    structs — measured 20x faster at sf0.1 than joining them back
+    onto deduped id-pairs (two extra shuffle joins re-planned badly).
     """
     d = load_table(spark, sf_dir, "documents")
     sigs = d.select(
@@ -168,8 +171,11 @@ def dedup_near_minhash(spark, sf_dir):
 @register("dedup_simhash")  # rows-only: xxhash64-based bits are Spark-specific
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit signature from token hashes (bit i =
-    sign of Σ ±1 over tokens), candidates via 4×16-bit band match,
-    verified by Hamming distance ≤ 8."""
+    sign of Σ ±1 over tokens), candidates via 4×16-bit band match
+    (bucket-capped — same skew guard as MinHash), verified by
+    Hamming distance ≤ 2. The tight radius matters on this corpus:
+    same-vocabulary word salads have close signatures, so a loose
+    radius degenerates toward all-pairs."""
     d = load_table(spark, sf_dir, "documents")
     sigs = d.select(
         "doc_id",
@@ -183,29 +189,31 @@ def dedup_simhash(spark, sf_dir):
     )
     banded = sigs.select(
         "doc_id",
-        "bits",
         F.expr(
             "explode(transform(sequence(0, 3), b -> named_struct('band', b, 'key',"
             " concat_ws('', transform(slice(bits, b * 16 + 1, 16), x -> cast(x AS string))))))"
         ).alias("bb"),
-    ).select("doc_id", "bits", "bb.band", "bb.key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select("doc_id", "bb.band", "bb.key")
+    grouped = banded.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("members")
+    )
+    guarded = grouped.filter((F.size("members") > 1) & (F.size("members") <= 256))
+    pairs = (
+        guarded.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (a, i) ->"
+                    " transform(slice(members, i + 2, size(members) - i - 1), b ->"
+                    " named_struct('doc_a', a, 'doc_b', b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.bits").alias("bits_a"),
-            F.col("b.bits").alias("bits_b"),
-        )
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    bits_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"))
+    bits_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b"))
+    cand = pairs.join(bits_a, "doc_a").join(bits_b, "doc_b")
     hamming = F.aggregate(
         F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
         F.lit(0),
@@ -213,7 +221,7 @@ def dedup_simhash(spark, sf_dir):
     )
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 8)
+        .filter(F.col("hamming") <= 2)
         .select("doc_a", "doc_b", "hamming")
     )
 

@@ -108,6 +108,28 @@ def multi_get(spark, sf_dir):
 
 
 @register(
+    "scan_reverse",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY o_orderkey DESC
+    LIMIT 50
+    """,
+)
+def scan_reverse(spark, sf_dir):
+    """Scan.setReversed(true) — HBase's reverse scan from a stop row.
+    Same pushed range predicate; TakeOrdered on the descending key."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_orderkey").desc())
+        .limit(50)
+    )
+
+
+@register(
     "copy_table",
     oracle="SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total FROM orders",
 )

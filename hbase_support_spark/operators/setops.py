@@ -165,6 +165,26 @@ def set_except_all(spark, sf_dir):
     return a.exceptAll(b)
 
 
+@register("table_bucket_digest")  # rows-only: xxhash64 digests are Spark-specific
+def table_bucket_digest(spark, sf_dir):
+    """HashTable step of HashTable/SyncTable: per-bucket order-
+    independent digests of the row content. At 100 TB both replicas
+    compute this cheaply (one pass, 256 rows out) and only buckets
+    whose digests differ get the row-level drill-in
+    (`table_diff_hash`). bit_xor makes the fold commutative, so no
+    per-bucket sort is needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.pmod(F.col("o_orderkey"), F.lit(256)).alias("bucket"))
+        .agg(
+            F.expr("bit_xor(xxhash64(o_orderkey, o_custkey, o_orderstatus, o_totalprice))").alias(
+                "digest"
+            ),
+            F.count("*").alias("bucket_rows"),
+        )
+    )
+
+
 @register(
     "table_diff_hash",
     oracle="""

@@ -1,0 +1,86 @@
+"""Property-based differential tests (SURVEY.md §5.4): Spark and
+DuckDB must agree cell-wise on scalar function families over
+*generated* inputs, not just the fixture domains.
+
+One Spark job per hypothesis case would be minutes-slow; instead each
+property draws a whole batch of rows, runs both engines once, and
+compares cell-wise.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=24))
+def test_string_fn_parity(spark, pairs):
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    got = {
+        r.id: (r.lev, r.cat, r.low, r.ln)
+        for r in df.select(
+            "id",
+            F.levenshtein("a", "b").alias("lev"),
+            F.concat_ws("|", "a", "b").alias("cat"),
+            F.lower("a").alias("low"),
+            F.length("b").alias("ln"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, a, b in rows:
+        lev, cat, low, ln = con.execute(
+            "SELECT levenshtein(?, ?), concat_ws('|', ?, ?), lower(?), length(?)",
+            [a, b, a, b, a, b],
+        ).fetchone()
+        assert got[i] == (lev, cat, low, ln), (a, b, got[i], (lev, cat, low, ln))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_math_fn_parity(spark, xs):
+    rows = [(i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["id", "x"])
+    got = {
+        r.id: (r.ab, r.sg, r.rd)
+        for r in df.select(
+            "id",
+            F.abs("x").alias("ab"),
+            F.signum("x").alias("sg"),
+            F.round("x", 3).alias("rd"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, x in rows:
+        ab, sg, rd = con.execute(
+            "SELECT abs(?), sign(?)::DOUBLE, round(?, 3)", [x, x, x]
+        ).fetchone()
+        assert got[i][0] == ab and got[i][1] == sg, (x, got[i])
+        # round: both half-away-from-zero; ties at 1e-3 are exact here
+        assert abs(got[i][2] - rd) < 1e-9, (x, got[i][2], rd)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=32))
+def test_hash_digest_parity(spark, keys):
+    """md5 over decimal-string keys must agree byte-for-byte."""
+    rows = [(i, str(k)) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    got = {r.id: r.h for r in df.select("id", F.md5("k").alias("h")).collect()}
+    con = duckdb.connect()
+    for i, k in rows:
+        assert got[i] == con.execute("SELECT md5(?)", [k]).fetchone()[0]
