@@ -270,6 +270,74 @@ def agg_conditional(spark, sf_dir):
 
 
 @register(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_two_phase(spark, sf_dir):
+    """Hot-key (rowkey-hotspot) mitigation: salt the key into 16
+    shards, aggregate partially per (key, salt), then merge shards.
+    The result is salt-independent — the oracle is the plain groupBy.
+    With only 5 event_type values, every final-agg row would
+    otherwise land on one reducer; salting spreads phase 1 across
+    the cluster (HBase rowkey-salting, relocated to the agg layer).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("p_cnt"), F.sum("value").alias("p_sum")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("p_cnt").alias("cnt"),
+        F.round(F.sum("p_sum"), 2).alias("total"),
+    )
+
+
+@register("agg_hll_sketch_mergeable")  # rows-only: sketch bytes are engine-specific
+def agg_hll_sketch_mergeable(spark, sf_dir):
+    """Mergeable distinct sketches (Apache DataSketches HLL, built
+    into Spark 3.5+): per-shard sketches union into corpus-level
+    cardinalities without re-scanning raw keys — the materialized-
+    rollup pattern for 100-TB distinct counts."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"), F.count("*").alias("cnt")
+    )
+    return per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_total_users"),
+        F.sum("cnt").alias("total_events"),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS click,
+           COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS error,
+           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+           COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS signup,
+           COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS view
+    FROM events WHERE user_id < 50
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Qualifier pivot: cell-log rows → wide per-rowkey layout (the
+    HBase row materialization). Pivot values are enumerated so the
+    plan is a single pass (no extra distinct-values job)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
     "agg_collect",
     oracle="""
     SELECT o_custkey, STRING_AGG(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS order_keys

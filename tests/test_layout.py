@@ -1,0 +1,66 @@
+"""Physical-layout tests: bucketing kills the join shuffle; sorted
+layout gives row-group skipping. These are the storage-side scale
+claims of SURVEY.md §1.1/§4, asserted on real plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_support_spark.io import load_table
+from hbase_support_spark.sources.layout import (
+    bucketed_join,
+    write_bucketed,
+    write_sorted_by_key,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "t_orders_b", "o_orderkey")
+    write_bucketed(
+        lineitem.select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity", "l_extendedprice"
+        ),
+        "t_lineitem_b",
+        "o_orderkey",
+    )
+    yield "t_orders_b", "t_lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    left, right = bucketed_tables
+    j = bucketed_join(spark, left, right, "o_orderkey")
+    j.collect()
+    executed = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in executed, executed
+    assert "SortMergeJoin" in executed
+    assert "Bucketed: true" in executed
+
+
+def test_bucketed_join_correct(spark, sf_dir, bucketed_tables):
+    left, right = bucketed_tables
+    got = bucketed_join(spark, left, right, "o_orderkey").count()
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    want = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
+    assert got == want
+
+
+def test_sorted_layout_round_trips_and_skips(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    dst = str(tmp_path / "orders_sorted")
+    write_sorted_by_key(orders, dst, "o_orderkey", n_files=4)
+    back = spark.read.parquet(dst)
+    assert back.count() == orders.count()
+    # range predicate on the sort key is pushed to the reader
+    q = back.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 200))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    got = q.count()
+    want = orders.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 200)).count()
+    assert got == want
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(o_orderkey,100)" in plan
