@@ -280,6 +280,56 @@ def fn_hash_spark(spark, sf_dir):
 
 
 @register(
+    "fn_bitwise",
+    oracle="""
+    SELECT e.event_id,
+           e.event_id & 255                   AS low_byte,
+           e.event_id | 4096                  AS with_flag,
+           xor(e.event_id, 1365)              AS toggled,
+           e.event_id << 2                    AS shifted_up,
+           e.event_id >> 3                    AS shifted_down,
+           ~e.event_id                        AS inverted,
+           bit_count(e.event_id)              AS popcount
+    FROM events e WHERE e.event_id < 500
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    """Bit manipulation — HBase rowkeys/values are raw bytes, and
+    bit-packing flags into key fragments is a standard rowkey-design
+    trick; also the kernel under SimHash bands."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    k = F.col("event_id")
+    return ev.select(
+        "event_id",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(1365)).alias("toggled"),
+        F.shiftleft(k, 2).alias("shifted_up"),
+        F.shiftright(k, 3).alias("shifted_down"),
+        F.bitwise_not(k).alias("inverted"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@register(
+    "fn_explode_pos",
+    oracle="""
+    SELECT e.vec_id, r.i - 1 AS pos, ROUND(CAST(e.embedding[r.i] AS DOUBLE), 6) AS component
+    FROM embeddings e, range(1, 9) r(i)
+    WHERE e.vec_id < 20
+    """,
+)
+def fn_explode_pos(spark, sf_dir):
+    """posexplode — vector column to (position, component) rows, the
+    row-form bridge between array and relational processing."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    head = F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))
+    return e.select("vec_id", F.posexplode(head).alias("pos", "comp")).select(
+        "vec_id", "pos", F.round("comp", 6).alias("component")
+    )
+
+
+@register(
     "fn_conditional",
     oracle="""
     SELECT o_orderkey,

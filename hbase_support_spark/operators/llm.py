@@ -244,21 +244,34 @@ def dedup_simhash(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup within (lang, source) blocks —
     the verifiable (hash-free) twin of MinHash. Blocking bounds the
-    pair count; the self-join is an equi-join on the block key."""
+    pair count; the self-join is an equi-join on the block key.
+
+    Size-ratio prefilter (similarity-join folklore): J(A,B) ≤
+    min|A|,|B| / max|A|,|B|, so pairs whose sizes differ by more
+    than the threshold can be skipped BEFORE the set intersection —
+    a pure pruning predicate, result-identical, so the oracle stays
+    the unpruned form."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", "lang", "source", F.expr(SHINGLES).alias("shingles"))
+    sh = d.select("doc_id", "lang", "source", F.expr(SHINGLES).alias("shingles")).withColumn(
+        "n_sh", F.size("shingles")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     jac = F.round(
         F.size(F.array_intersect("a.shingles", "b.shingles"))
         / F.size(F.array_union("a.shingles", "b.shingles")).cast("double"),
         6,
     )
+    size_ok = (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+        >= 0.3 * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    )
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -642,6 +655,36 @@ def text_langid_ngram(spark, sf_dir):
     return scores.select(
         "doc_id", "true_lang", pred.alias("predicted_lang"), top.alias("top_score")
     )
+
+
+@register(
+    "text_bigram_counts",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {D_TOKENS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, greatest(len(t), 2)),
+                            i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg GROUP BY bigram HAVING COUNT(*) >= 20
+    """,
+)
+def text_bigram_counts(spark, sf_dir):
+    """Corpus bigram statistics (n-gram LM inputs): adjacent-token
+    pairs via one transform over the token array — no self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.expr(TOKENS).alias("t"))
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    return bg.groupBy("bigram").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 20)
 
 
 @register(

@@ -122,6 +122,58 @@ def stream_session_30m(spark, sf_dir):
 
 
 @register(
+    "time_series_gap_fill",
+    oracle="""
+    WITH hours AS (
+      SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-03 23:00:00',
+                                    INTERVAL 1 HOUR)) AS hour_start
+    ),
+    actual AS (
+      SELECT DATE_TRUNC('hour', ts) AS hour_start,
+             COUNT(*) AS event_cnt, ROUND(SUM(value), 2) AS total_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-04 00:00:00'
+      GROUP BY 1
+    )
+    SELECT h.hour_start,
+           COALESCE(a.event_cnt, 0) AS event_cnt,
+           COALESCE(a.total_value, 0.0) AS total_value
+    FROM hours h LEFT JOIN actual a ON h.hour_start = a.hour_start
+    """,
+)
+def time_series_gap_fill(spark, sf_dir):
+    """Dense time series from sparse events: generate the hourly
+    spine with sequence() (no driver loop), left-join the actual
+    aggregates, zero-fill gaps — dashboards need every bucket, not
+    just the non-empty ones. The spine is one row exploded JVM-side
+    and broadcast; the events agg is the only shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-04 00:00:00").cast("timestamp")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(lo, F.lit("2024-01-03 23:00:00").cast("timestamp"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    actual = (
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count("*").alias("event_cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(actual, "hour_start", "left")
+        .select(
+            "hour_start",
+            F.coalesce("event_cnt", F.lit(0)).alias("event_cnt"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@register(
     "stream_dedup_by_key",
     oracle="""
     SELECT user_id, event_type, minute_bucket, event_id, value

@@ -122,7 +122,7 @@ def udtf_shingle_expand(spark, sf_dir):
     row → N shingle rows. Graded by row count."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id: bigint, shingle: string")
+    @udtf(returnType="doc_id: bigint, shingle: string", useArrow=True)
     class ShingleExpand:
         def eval(self, doc_id: int, text: str):
             toks = [t for t in text.lower().split(" ") if t]

@@ -1,0 +1,59 @@
+"""Small-file compaction — the HBase compaction analog for Parquet
+lakes (the reference system is *operational tooling*; this is the
+ops-side surface in Spark terms).
+
+Streaming sinks and incremental ingest leave many small files; at
+100 TB that destroys scan throughput (footer overhead, tiny row
+groups, no effective min/max skipping). Compaction rewrites a
+directory into ~target-sized files, preserving content exactly —
+the ops equivalent of an HBase minor compaction; combine with
+``layout.write_sorted_by_key`` for a major compaction (re-sort).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+
+def plan_compaction(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Inspect a parquet directory: file count, bytes, and the file
+    count a compaction would produce."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    sizes = [
+        f.getLen()
+        for f in fs.listStatus(p)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    ]
+    total = sum(sizes)
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "target_files": max(1, math.ceil(total / target_file_bytes)),
+    }
+
+
+def compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite ``src`` into ``dst`` with ~target-sized files.
+
+    coalesce (not repartition): merging small files needs no shuffle —
+    tasks just read several inputs each. Content is preserved
+    exactly; the caller swaps directories atomically (rename) after
+    validating counts.
+    """
+    stats = plan_compaction(spark, src, target_file_bytes)
+    df = spark.read.parquet(src)
+    df.coalesce(stats["target_files"]).write.mode("overwrite").parquet(dst)
+    after = plan_compaction(spark, dst, target_file_bytes)
+    return {"before": stats, "after": after}
