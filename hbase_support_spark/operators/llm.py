@@ -731,6 +731,101 @@ def text_token_count_regex(spark, sf_dir):
 
 
 @register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             SHA256(LOWER(TRIM(text))) AS content_hash,
+             {D_TOKENS} AS toks
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, lang, source, n_chars, content_hash,
+             LEN(toks) AS n_tokens,
+             LEN(LIST_DISTINCT(toks))::DOUBLE / LEN(toks) AS uniq_ratio
+      FROM scored
+      WHERE LEN(toks) >= 10 AND n_chars BETWEEN 60 AND 600
+    ),
+    deduped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      FROM quality
+    )
+    SELECT doc_id, lang, source, n_tokens, ROUND(uniq_ratio, 6) AS uniq_ratio
+    FROM deduped
+    WHERE rn = 1 AND uniq_ratio >= 0.3 AND lang IN ('en', 'de', 'es', 'fr')
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end training-corpus cleaning — the composition the
+    individual §2.9 operators exist for: quality gate (length +
+    token count + uniqueness) → exact dedup (keep lowest id per
+    content hash) → language allowlist. One scan, one shuffle (the
+    dedup hash), all built-ins — this shape IS the 100-TB ingest
+    filter job."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+        F.expr(TOKENS).alias("toks"),
+    )
+    quality = scored.filter(
+        (F.size("toks") >= 10) & F.col("n_chars").between(60, 600)
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "content_hash",
+        F.size("toks").alias("n_tokens"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias("uniq_ratio"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("uniq_ratio") >= 0.3)
+            & F.col("lang").isin("en", "de", "es", "fr")
+        )
+        .select("doc_id", "lang", "source", "n_tokens", F.round("uniq_ratio", 6).alias("uniq_ratio"))
+    )
+
+
+@register("sim_lsh_hyperplane")  # rows-only: hyperplanes derive from Spark xxhash64
+def sim_lsh_hyperplane(spark, sf_dir):
+    """Random-hyperplane LSH for cosine ANN: 8 pseudo-random planes
+    (components derived deterministically from xxhash64(plane, dim) —
+    no RNG, reproducible across runs), bucket = 8-bit sign pattern
+    (256 buckets; size the plane count to data cardinality — 16
+    planes left ~1 vector per bucket on this corpus).
+    Query probes only its own bucket. Output: per-bucket occupancy +
+    the probed bucket's members — the scale path where brute-force
+    `sim_knn_query` is the exactness baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # plane[p][d] in [-1,1): (xxhash64(p||'_'||d) % 1000)/500 - 1
+    sig = F.expr(
+        "transform(sequence(0, 7), p -> CASE WHEN aggregate("
+        " zip_with(embedding, sequence(0, 63), (x, d) ->"
+        "   CAST(x AS DOUBLE) * (CAST(pmod(xxhash64(concat(cast(p AS string), '_', cast(d AS string))), 1000) AS DOUBLE) / 500.0 - 1.0)),"
+        " 0D, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END)"
+    )
+    bucketed = e.select("vec_id", "label", sig.alias("sig")).select(
+        "vec_id",
+        "label",
+        F.aggregate(F.col("sig"), F.lit(0), lambda acc, b: acc * 2 + b).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("occupancy"),
+        F.min("vec_id").alias("min_member"),
+        F.max("vec_id").alias("max_member"),
+    )
+
+
+@register(
     "multimodal_join",
     oracle=f"""
     WITH user_stats AS (
