@@ -107,6 +107,28 @@ def run_session_state_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_session_window_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (session_window(ts, '30 minutes')) —
+    the streaming twin of the batch lag-gap sessionization; per-user
+    session counts must agree exactly (asserted in tests)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_window_demo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("SELECT * FROM session_window_demo")
+
+
 def run_foreach_batch_sink_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     """foreachBatch sink: idempotent parquet upsert per micro-batch
     (overwrite-by-batch-id layout). Returns rows written."""

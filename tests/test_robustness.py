@@ -1,0 +1,54 @@
+"""Input robustness — the untrusted-ingest surface: malformed rows
+must be quarantined (not crash the job, not silently vanish), and
+schema evolution across parquet files must merge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def test_malformed_json_rows_quarantined(spark, tmp_path):
+    p = tmp_path / "raw.json"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "notanint", "name": "bad type"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    df = df.cache()  # corrupt-record column requires materialization
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 2  # garbage line + type mismatch
+    df.unpersist()
+
+
+def test_parquet_schema_evolution_merges(spark, tmp_path):
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(f"{base}/v1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "name", "score"]).write.parquet(
+        f"{base}/v2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{base}/v1", f"{base}/v2")
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5

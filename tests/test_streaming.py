@@ -11,6 +11,7 @@ from hbase_support_spark import QUERIES, load_all
 from hbase_support_spark.streaming.demo import (
     run_foreach_batch_sink_demo,
     run_session_state_demo,
+    run_session_window_demo,
     run_tumbling_demo,
 )
 
@@ -40,6 +41,28 @@ def test_stateful_counter_matches_batch(spark, sf_dir):
         .groupBy("user_id")
         .count()
         .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_window_matches_batch_sessionization(spark, sf_dir):
+    """Native session_window and the batch lag-gap formulation are
+    the same semantics — per-user session counts must agree."""
+    stream_out = run_session_window_demo(spark, sf_dir)
+    got = {
+        r.user_id: r.n_sessions
+        for r in stream_out.groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n_sessions")
+        .collect()
+    }
+    batch = QUERIES["stream_session_30m"](spark, sf_dir)
+    want = {
+        r.user_id: r.n_sessions
+        for r in batch.groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n_sessions")
         .collect()
     }
     assert got == want
