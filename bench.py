@@ -32,6 +32,7 @@ HEADLINE = {
     "distinct_users": "agg_distinct_users",
     "dedup_exact": "dedup_exact",
     "sim_knn_query": "sim_knn_query",
+    "sim_pairs_blas": "sim_pairs_threshold_blas",
 }
 
 RUNS = 2

@@ -431,6 +431,72 @@ def sim_pairs_threshold(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_PAIRS_ORACLE = f"""
+    WITH scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+             ROUND({{cos}}, 6) AS cos_sim
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+      range(1, 65) r(i)
+      GROUP BY a.vec_id, b.vec_id, a.label
+    )
+    SELECT vec_a, vec_b, label, cos_sim FROM scored WHERE cos_sim >= 0.25
+    """
+
+
+@register(
+    "sim_pairs_threshold_blas",
+    oracle=_PAIRS_ORACLE.format(cos=_d_cosine("a.embedding", "b.embedding")),
+)
+def sim_pairs_threshold_blas(spark, sf_dir):
+    """Same semantics as `sim_pairs_threshold`, vectorized: one
+    applyInPandas per label block computes the normalized Gram matrix
+    with numpy (BLAS) instead of per-pair expression folds. At scale
+    this is the right kernel — a block of n vectors costs one
+    n×64 · 64×n matmul in native code; the expression form costs
+    n²·64 interpreted lambda steps. Same oracle (results identical
+    within the shared ROUND)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("label", IntegerType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["embedding"].to_numpy())[order].astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        g = np.round(m @ m.T, 6)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = g[ia, ib] >= 0.25
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "label": int(pdf["label"].iloc[0]),
+                "cos_sim": g[ia[keep], ib[keep]],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInPandas(block_pairs, out_schema)
+
+
 @register(
     "text_tokenize_counts",
     oracle=f"""
