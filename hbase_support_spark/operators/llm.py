@@ -797,6 +797,88 @@ def text_token_count_regex(spark, sf_dir):
 
 
 @register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH rng AS (
+      SELECT vec_id, label,
+             LIST_MIN(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+             LIST_MAX(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS hi
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           ROUND(lo, 6) AS scale_lo,
+           ROUND(hi, 6) AS scale_hi,
+           CAST(LEAST(GREATEST(FLOOR((0.0 - lo) / (hi - lo) * 255.0), 0), 255) AS INT)
+             AS zero_point,
+           LIST_SUM(LIST_TRANSFORM(e.embedding, x ->
+             CAST(LEAST(GREATEST(FLOOR((CAST(x AS DOUBLE) - lo) / (hi - lo) * 255.0), 0), 255) AS BIGINT)))
+             AS q_checksum
+    FROM embeddings e JOIN rng USING (vec_id, label)
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-vector affine uint8 quantization (min/max → 0..255): 4x
+    storage and bandwidth at 100 TB, the standard ANN-index prestep.
+    Emits the quantization params + a checksum of the quantized
+    codes so the oracle verifies the actual quantized values, not
+    just the range math. Floor-bucket arithmetic is identical in
+    both engines (no fp-rounding ambiguity at bucket edges beyond
+    the shared expression)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    lo, hi = F.array_min(dbl), F.array_max(dbl)
+    def q(x):
+        return F.least(
+            F.greatest(F.floor((x - lo) / (hi - lo) * 255.0), F.lit(0)), F.lit(255)
+        )
+    codes = F.transform(dbl, lambda x: q(x).cast("long"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(lo, 6).alias("scale_lo"),
+        F.round(hi, 6).alias("scale_hi"),
+        q(F.lit(0.0)).cast("int").alias("zero_point"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_checksum"),
+    )
+
+
+@register(
+    "text_scrub_pii",
+    oracle=r"""
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{5,}', '<NUM>', 'g') AS scrubbed,
+           (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))) AS digit_count
+    FROM documents WHERE doc_id < 250
+    """,
+)
+def text_scrub_pii(spark, sf_dir):
+    """PII scrubbing pass (emails, phone-shaped, long digit runs →
+    typed placeholders) — the standard pre-training redaction step;
+    pure regexp_replace chain, map-only, codegen'd."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", r"[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+            r"[0-9]{3}-[0-9]{3,4}-[0-9]{4}",
+            "<PHONE>",
+        ),
+        r"[0-9]{5,}",
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).alias(
+            "digit_count"
+        ),
+    )
+
+
+@register(
     "pipeline_clean_corpus",
     oracle=f"""
     WITH scored AS (
