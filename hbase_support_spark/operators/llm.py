@@ -283,6 +283,69 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_ngram_jaccard_fast",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source, {D_SHINGLES} AS shingles FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+                 LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+                LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard_fast(spark, sf_dir):
+    """Same semantics as `dedup_ngram_jaccard`, vectorized: one
+    applyInPandas per (lang, source) block does pairwise Jaccard
+    with Python set ops on raw text (shingling in-process — cheaper
+    than shipping shingle arrays through Arrow). Raw doubles come
+    back to the JVM and ROUND happens Spark-side so both variants
+    share the oracle's half-up rounding (Python's round() is
+    banker's and disagrees on exact .5 ties)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("doc_a", LongType()),
+            StructField("doc_b", LongType()),
+            StructField("raw_jaccard", DoubleType()),
+        ]
+    )
+
+    def block_jaccard(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(zip(pdf["doc_id"], pdf["text"]))
+        sets = []
+        for _, text in docs:
+            toks = [t for t in text.lower().split(" ") if t]
+            n = max(len(toks) - 2, 1)
+            sets.append({" ".join(toks[i : i + 3]) for i in range(n)})
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                inter = len(sets[i] & sets[j])
+                if inter == 0:
+                    continue
+                jac = inter / len(sets[i] | sets[j])
+                if jac >= 0.29:  # pre-filter; exact cut re-applied on rounded value
+                    out_a.append(docs[i][0])
+                    out_b.append(docs[j][0])
+                    out_j.append(jac)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "raw_jaccard": out_j})
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    pairs = d.groupBy("lang", "source").applyInPandas(block_jaccard, out_schema)
+    return (
+        pairs.withColumn("jaccard", F.round("raw_jaccard", 6))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH scored AS (

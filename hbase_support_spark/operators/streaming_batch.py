@@ -122,6 +122,49 @@ def stream_session_30m(spark, sf_dir):
 
 
 @register(
+    "click_to_purchase_1h",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS conversions,
+           ROUND(SUM(p.value), 2) AS converted_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    """,
+)
+def click_to_purchase_1h(spark, sf_dir):
+    """Stream-stream join semantics, batch twin: purchases within 1h
+    after a click, per user. Equi-key (user_id) + time band — the
+    exact shape Structured Streaming's stream-stream join executes
+    with watermark-bounded state (see streaming/demo.py
+    run_stream_stream_join_demo); here it's a sort-merge join with
+    the band as a post-join filter."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+    )
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("conversions"),
+            F.round(F.sum("value"), 2).alias("converted_value"),
+        )
+    )
+
+
+@register(
     "time_series_gap_fill",
     oracle="""
     WITH hours AS (

@@ -129,6 +129,45 @@ def run_session_window_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT * FROM session_window_demo")
 
 
+def run_stream_stream_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermark-bounded state: clicks
+    ⋈ purchases within 1h per user. Both sides carry watermarks so
+    the state store can evict rows outside the join window — the
+    mechanism that keeps stream-stream joins bounded at 100 TB/day."""
+    ev = _stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_stream_join_demo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        """
+        SELECT c_user AS user_id, COUNT(*) AS conversions,
+               ROUND(SUM(value), 2) AS converted_value
+        FROM stream_stream_join_demo GROUP BY c_user
+        """
+    )
+
+
 def run_foreach_batch_sink_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     """foreachBatch sink: idempotent parquet upsert per micro-batch
     (overwrite-by-batch-id layout). Returns rows written."""

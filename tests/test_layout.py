@@ -51,6 +51,23 @@ def test_bucketed_join_correct(spark, sf_dir, bucketed_tables):
     assert got == want
 
 
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned layout: a date predicate must prune at the
+    PartitionFilters level (files never listed), not post-scan."""
+    ev = load_table(spark, sf_dir, "events")
+    dst = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(dst)
+    back = spark.read.parquet(dst)
+    q = back.filter(F.col("day") == "2024-01-05")
+    plan = q._jdf.queryExecution().executedPlan().toString() if q.count() >= 0 else ""
+    got = q.count()
+    want = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert got == want and got > 0
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters", 1)[1][:120]
+
+
 def test_sorted_layout_round_trips_and_skips(spark, sf_dir, tmp_path):
     orders = load_table(spark, sf_dir, "orders")
     dst = str(tmp_path / "orders_sorted")

@@ -12,6 +12,7 @@ from hbase_support_spark.streaming.demo import (
     run_foreach_batch_sink_demo,
     run_session_state_demo,
     run_session_window_demo,
+    run_stream_stream_join_demo,
     run_tumbling_demo,
 )
 
@@ -66,6 +67,16 @@ def test_session_window_matches_batch_sessionization(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream join must reproduce the batch
+    interval-join twin exactly (fixture replay has no truly-late
+    rows beyond the watermark)."""
+    stream_out = run_stream_stream_join_demo(spark, sf_dir)
+    batch_out = QUERIES["click_to_purchase_1h"](spark, sf_dir)
+    cols = ["user_id", "conversions", "converted_value"]
+    assert _as_sorted_tuples(stream_out, cols) == _as_sorted_tuples(batch_out, cols)
 
 
 def test_foreach_batch_sink_writes_all_rows(spark, sf_dir):
