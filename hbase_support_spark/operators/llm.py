@@ -385,6 +385,48 @@ def dedup_embedding_cosine(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@register("dedup_cluster_keep_min")  # rows-only: built on seeded-hash pair graph
+def dedup_cluster_keep_min(spark, sf_dir):
+    """Near-dup *clusters*, not just pairs: iterative min-label
+    propagation (hash-join per iteration, no driver loop over data)
+    over the MinHash pair graph until the component minimum reaches
+    every member — the connected-components step of a C4-style
+    keep-one-per-cluster dedup. Iteration count is log2(diameter);
+    8 rounds covers any realistic near-dup cluster. Output: one row
+    per clustered doc with its keeper (= component min doc_id).
+
+    Iterative-DataFrame rule: localCheckpoint() each round —
+    without lineage truncation the logical plan doubles per
+    iteration and analysis time explodes long before execution."""
+    pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    # undirected edge list, both directions
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    # labels start as self
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(8):
+        # label via neighbors: min(own, min over neighbor labels)
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        "doc_id", F.col("label").alias("keeper_doc_id")
+    ).orderBy("doc_id")
+
+
 @register(
     "sim_knn_query",
     oracle=f"""
