@@ -270,6 +270,73 @@ def agg_conditional(spark, sf_dir):
 
 
 @register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(COVAR_POP(l_discount, l_tax), 6)            AS disc_tax_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark, sf_dir):
+    """Bivariate statistics — single-pass streaming moments (partial
+    + merge, like all algebraic aggregates here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS stage1_signup,
+           (SELECT COUNT(*) FROM s2) AS stage2_click,
+           (SELECT COUNT(*) FROM s3) AS stage3_purchase
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel: signup → later click → later purchase, per
+    user (the event-sequence analytics staple). Each stage is a
+    keyed min-aggregate joined to the previous stage's frontier —
+    three shuffles on user_id, reusable partitioning throughout."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(event_type, prev, tcol_prev, tcol):
+        base = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            base = base.join(prev, "user_id").filter(F.col("ts") > F.col(tcol_prev))
+        return base.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = stage("signup", None, None, "t1")
+    s2 = stage("click", s1, "t1", "t2")
+    s3 = stage("purchase", s2, "t2", "t3")
+    return (
+        s1.agg(F.count("*").alias("stage1_signup"))
+        .crossJoin(s2.agg(F.count("*").alias("stage2_click")))
+        .crossJoin(s3.agg(F.count("*").alias("stage3_purchase")))
+    )
+
+
+@register(
     "agg_salted_two_phase",
     oracle="""
     SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total

@@ -165,6 +165,27 @@ def set_except_all(spark, sf_dir):
     return a.exceptAll(b)
 
 
+@register(
+    "set_symmetric_diff",
+    oracle="""
+    (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+     EXCEPT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    UNION
+    (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+     EXCEPT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def set_symmetric_diff(spark, sf_dir):
+    """Symmetric difference — keys in exactly one replica (the full
+    two-sided VerifyReplication report)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return a.subtract(b).union(b.subtract(a)).distinct()
+
+
 @register("table_bucket_digest")  # rows-only: xxhash64 digests are Spark-specific
 def table_bucket_digest(spark, sf_dir):
     """HashTable step of HashTable/SyncTable: per-bucket order-

@@ -175,6 +175,37 @@ def win_range_frame(spark, sf_dir):
 
 
 @register(
+    "win_cume_percent_nth",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           NTH_VALUE(o_totalprice, 3) OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice DESC, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_highest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_cume_percent_nth(spark, sf_dir):
+    """Distribution-position analytics: cume_dist / percent_rank /
+    nth_value (explicit full frame — nth_value defaults to a growing
+    frame and silently returns NULL for early rows otherwise)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.nth_value("o_totalprice", 3).over(wfull).alias("third_highest"),
+    )
+
+
+@register(
     "win_first_last",
     oracle="""
     SELECT event_id, user_id, event_type,
