@@ -405,6 +405,67 @@ def agg_pivot(spark, sf_dir):
 
 
 @register(
+    "events_retention_daily",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    cohort AS (SELECT user_id FROM active WHERE day = DATE '2024-01-01')
+    SELECT a.day,
+           COUNT(DISTINCT a.user_id) AS retained,
+           (SELECT COUNT(*) FROM cohort) AS cohort_size
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    WHERE a.day BETWEEN DATE '2024-01-01' AND DATE '2024-01-14'
+    GROUP BY a.day
+    """,
+)
+def events_retention_daily(spark, sf_dir):
+    """Cohort retention: of users active on day 0, how many return
+    each subsequent day — the activation dashboard staple. Cohort is
+    a tiny distinct set → broadcast semi-style join against the
+    daily activity fact."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    cohort = active.filter(F.col("day") == F.lit("2024-01-01").cast("date")).select("user_id")
+    cohort_size = cohort.agg(F.count("*").alias("cohort_size"))
+    return (
+        active.filter(F.col("day").between("2024-01-01", "2024-01-14"))
+        .join(F.broadcast(cohort), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("retained"))
+        .crossJoin(F.broadcast(cohort_size))
+        .select("day", "retained", "cohort_size")
+    )
+
+
+@register(
+    "agg_histogram_fixed_bins",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bin,
+           COUNT(*) AS cnt,
+           ROUND(MIN(value), 2) AS bin_min,
+           ROUND(MAX(value), 2) AS bin_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_histogram_fixed_bins(spark, sf_dir):
+    """Fixed-width histogram (50-unit bins, clamped top bin) — the
+    deterministic twin of sketch-based histogram_numeric; plain hash
+    agg on the derived bin key."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int")
+    return ev.groupBy(bin_.alias("bin")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min("value"), 2).alias("bin_min"),
+        F.round(F.max("value"), 2).alias("bin_max"),
+    )
+
+
+@register(
     "agg_collect",
     oracle="""
     SELECT o_custkey, STRING_AGG(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS order_keys

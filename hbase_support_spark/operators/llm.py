@@ -496,6 +496,56 @@ def sim_knn_ivf(spark, sf_dir):
 
 
 @register(
+    "sim_knn_batch",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id, ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e, q, range(1, 65) r(i)
+      WHERE e.vec_id <> q.q_id
+      GROUP BY q.q_id, e.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def sim_knn_batch(spark, sf_dir):
+    """Batched kNN: top-5 neighbors for a whole *set* of query
+    vectors in one job — the realistic serving/eval shape (one scan
+    of the corpus, queries broadcast, per-query top-k via window).
+    At 100 TB the corpus side stays partition-local; only q×k rows
+    shuffle for the final ranking."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+
+
+@register(
     "sim_pairs_threshold",
     oracle=f"""
     WITH scored AS (
