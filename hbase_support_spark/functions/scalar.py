@@ -280,6 +280,41 @@ def fn_hash_spark(spark, sf_dir):
 
 
 @register(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           TO_JSON(STRUCT_PACK(status := o_orderstatus,
+                               total := ROUND(o_totalprice, 2)))::VARCHAR AS order_info,
+           STRUCT_PACK(status := o_orderstatus, total := o_totalprice).total AS extracted_total,
+           (STRUCT_PACK(a := o_orderstatus) = STRUCT_PACK(a := 'O')) AS is_open_struct
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def fn_struct(spark, sf_dir):
+    """Struct create/access/compare — the typed column-family record
+    (a CF's fixed qualifiers as one nested column). The struct value
+    itself crosses the comparison as JSON text: engines render
+    nested rows differently (tuple vs map) even when equal."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    info = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("total")
+    )
+    info_r = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("total"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.to_json(info_r).alias("order_info"),
+        info.getField("total").alias("extracted_total"),
+        (
+            F.struct(F.col("o_orderstatus").alias("a"))
+            == F.struct(F.lit("O").alias("a"))
+        ).alias("is_open_struct"),
+    )
+
+
+@register(
     "fn_bitwise",
     oracle="""
     SELECT e.event_id,

@@ -78,6 +78,19 @@ def test_topk_matches_full_sort(spark, sf_dir):
     assert got == full
 
 
+def test_hbase_connector_seam_is_documented_stub(spark):
+    """The HBase read/write seam must fail loudly (documented design
+    stub), never silently no-op."""
+    import pytest
+
+    from hbase_support_spark.io import read_hbase, write_hbase_bulk
+
+    with pytest.raises(NotImplementedError):
+        read_hbase(spark, "{}")
+    with pytest.raises(NotImplementedError):
+        write_hbase_bulk(None, "{}")
+
+
 def test_sliding_window_multiplicity(spark, sf_dir):
     """1h/15min sliding windows: total window-memberships = 4 x events."""
     ev_cnt = load_table(spark, sf_dir, "events").count()
