@@ -168,6 +168,68 @@ def run_stream_stream_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_watermark_late_data_demo(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
+    """Late-data policy: rows older than the watermark horizon are
+    DROPPED from update-mode aggregates.
+
+    Two availableNow runs over one checkpoint (watermark state
+    persists across restarts): run 1 processes everything EXCEPT the
+    earliest hour, committing a watermark near fixture-end; run 2
+    sees only the early-hour file — every row weeks behind the
+    watermark — and must emit zero updated windows.
+    """
+    import glob as _glob
+    import os as _os
+
+    ensure_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    early = ev.filter(F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 HOUR"))
+    main = ev.filter(F.col("ts") >= F.lit(lo) + F.expr("INTERVAL 1 HOUR"))
+
+    src = _os.path.join(work_dir, "src")
+    ckpt = _os.path.join(work_dir, "ckpt")
+    main.coalesce(1).write.mode("overwrite").parquet(src)
+    early.coalesce(1).write.mode("overwrite").parquet(_os.path.join(work_dir, "late"))
+
+    def run() -> int:
+        """One availableNow pass; returns updated-window rows emitted."""
+        emitted = []
+
+        def sink(batch_df, batch_id):
+            emitted.append(batch_df.count())
+
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("win.start").alias("hour"), "cnt")
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(emitted)
+
+    run1_windows = run()
+    # second run resumes the checkpoint; only the late file is new
+    for f in _glob.glob(_os.path.join(work_dir, "late", "*.parquet")):
+        _os.rename(f, _os.path.join(src, "zz_late_" + _os.path.basename(f)))
+    late_run_updates = run()
+    return {
+        "n_late_rows": early.count(),
+        "run1_windows": run1_windows,
+        "late_run_updates": late_run_updates,  # 0 == all late rows dropped
+    }
+
+
 def run_foreach_batch_sink_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     """foreachBatch sink: idempotent parquet upsert per micro-batch
     (overwrite-by-batch-id layout). Returns rows written."""

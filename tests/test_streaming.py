@@ -79,6 +79,15 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     assert _as_sorted_tuples(stream_out, cols) == _as_sorted_tuples(batch_out, cols)
 
 
+def test_watermark_drops_late_rows(spark, sf_dir, tmp_path):
+    from hbase_support_spark.streaming.demo import run_watermark_late_data_demo
+
+    r = run_watermark_late_data_demo(spark, sf_dir, str(tmp_path))
+    assert r["n_late_rows"] > 0
+    assert r["run1_windows"] > 0
+    assert r["late_run_updates"] == 0, r  # late rows dropped by watermark
+
+
 def test_foreach_batch_sink_writes_all_rows(spark, sf_dir):
     from hbase_support_spark.io import load_table
 
