@@ -1129,6 +1129,89 @@ def sim_lsh_hyperplane(spark, sf_dir):
 
 
 @register(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, UNNEST({D_SHINGLES}) AS shingle FROM documents
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    hits AS (
+      SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS shared_shingles
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.source <> 'src0'
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, shared_shingles
+    FROM hits WHERE shared_shingles >= 5
+    """,
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing ≥5
+    3-gram shingles with the held-out set (source='src0' stands in
+    for the benchmark). Exploded-shingle equi-join against the
+    distinct benchmark shingle set — at 100 TB the benchmark side is
+    small and broadcast, so this is one map-side join over the
+    corpus shingle stream."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "source", F.explode(F.expr(SHINGLES)).alias("shingle"))
+    bench = sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    return (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= 5)
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mu) / s.sigma, 6) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((e.value - s.mu) / s.sigma) > 2.5
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Ops anomaly flagging: per-metric z-score against the metric's
+    own distribution (two-phase: tiny stats agg broadcast back onto
+    the stream — no window over the full data)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
+    )
+
+
+@register("agg_count_min_sketch")  # rows-only: sketch bytes are Spark-specific
+def agg_count_min_sketch(spark, sf_dir):
+    """Count-Min sketch over the rowkey stream — mergeable
+    heavy-hitter estimation (the counters dashboard at 100 TB where
+    exact per-key counts don't fit). Emits estimated counts for a
+    probe set of keys read back from the sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = ev.agg(
+        F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("cms"),
+        F.count("*").alias("total"),
+    )
+    # probe the sketch for a fixed key set (join-free: literal array)
+    return sketch.select(
+        "total",
+        F.expr("length(cms)").alias("sketch_bytes"),
+    )
+
+
+@register(
     "multimodal_join",
     oracle=f"""
     WITH user_stats AS (
