@@ -265,17 +265,49 @@ def fn_binary_hash(spark, sf_dir):
     )
 
 
-@register("fn_hash_spark")  # rows-only: xxhash64/murmur3/crc32 are Spark-specific
+@register(
+    "fn_hash_spark",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           TRUE AS xxh64_injective,
+           TRUE AS murmur3_injective,
+           TRUE AS crc32_injective
+    FROM documents WHERE doc_id < 200
+    """,
+)
 def fn_hash_spark(spark, sf_dir):
-    """Spark-native hash kernels (xxhash64 / murmur3 / crc32) — the
-    partitioner & MinHash primitives; no cross-engine twin exists."""
+    """Hash kernels: portable digests (md5 / sha256 — value-checked
+    against the oracle) plus the Spark-native partitioner & MinHash
+    primitives (xxhash64 / murmur3 / crc32), whose raw values have no
+    cross-engine twin and are graded through injectivity booleans
+    instead: distinct-hash-count == distinct-input-count over the
+    sample (collision-free on 200 docs for 32-bit kernels too —
+    deterministic, pinned by the oracle's literal TRUE)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return d.select(
+    natives = d.select(
         "doc_id",
-        F.xxhash64("text").alias("text_xxh64"),
-        F.hash("text").alias("text_murmur3"),
-        F.crc32(F.encode("text", "utf-8")).alias("text_crc32"),
-        F.xxhash64("doc_id", "lang").alias("composite_xxh64"),
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.xxhash64("text").alias("xxh"),
+        F.hash("text").alias("mur"),
+        F.crc32(F.encode("text", "utf-8")).alias("crc"),
+        "text",
+    )
+    stats = natives.agg(
+        F.countDistinct("text").alias("n_text"),
+        F.countDistinct("xxh").alias("n_xxh"),
+        F.countDistinct("mur").alias("n_mur"),
+        F.countDistinct("crc").alias("n_crc"),
+    )
+    return natives.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "text_md5",
+        "text_sha256",
+        (F.col("n_xxh") == F.col("n_text")).alias("xxh64_injective"),
+        (F.col("n_mur") == F.col("n_text")).alias("murmur3_injective"),
+        (F.col("n_crc") == F.col("n_text")).alias("crc32_injective"),
     )
 
 

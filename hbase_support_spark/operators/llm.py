@@ -38,19 +38,34 @@ from ..registry import register
 
 TOKENS = "filter(split(lower(text), ' '), w -> w <> '')"
 DISTINCT_TOKENS = f"array_distinct({TOKENS})"
-# 3-word shingles (GPT-3/C4-style near-dup unit)
+# 3-word shingles (GPT-3/C4-style near-dup unit). Docs with <3 tokens
+# yield an EMPTY shingle set in both engines: the CASE guard keeps
+# element_at in bounds (Spark 4 ANSI sessions throw on out-of-range
+# indexes) and avoids the engines' divergent NULL handling for short
+# docs (concat_ws skips NULLs, DuckDB || propagates them).
 SHINGLES = (
-    f"array_distinct(transform(sequence(1, greatest(size({TOKENS}) - 2, 1)),"
+    f"CASE WHEN size({TOKENS}) >= 3 THEN"
+    f" array_distinct(transform(sequence(1, size({TOKENS}) - 2),"
     f" i -> concat_ws(' ', element_at({TOKENS}, i),"
     f" element_at({TOKENS}, i + 1), element_at({TOKENS}, i + 2))))"
+    f" ELSE cast(array() AS array<string>) END"
 )
 # DuckDB twins
 D_TOKENS = "list_filter(string_split(lower(text), ' '), w -> w <> '')"
 D_DISTINCT_TOKENS = f"list_distinct({D_TOKENS})"
 D_SHINGLES = (
-    f"list_distinct(list_transform(range(1, greatest(len({D_TOKENS}) - 1, 2)),"
+    f"CASE WHEN len({D_TOKENS}) >= 3 THEN"
+    f" list_distinct(list_transform(range(1, len({D_TOKENS}) - 1),"
     f" i -> {D_TOKENS}[i] || ' ' || {D_TOKENS}[i+1] || ' ' || {D_TOKENS}[i+2]))"
+    f" ELSE [] END"
 )
+
+# Engine-portable 60-bit hash (see hashutil module docstring): this is
+# what makes hash-defined operators (SimHash, Count-Min, bucket
+# digests) fully SQL-oracled — the oracle re-states the SAME hash
+# arithmetic, not an approximation.
+from ..hashutil import d_h60 as _d_h60  # noqa: E402
+from ..hashutil import h60 as _h60  # noqa: E402
 
 
 def _dot(a, b):
@@ -102,24 +117,38 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-@register("dedup_near_minhash")  # rows-only: xxhash64 seeds are Spark-specific
-def dedup_near_minhash(spark, sf_dir):
-    """Near-dup pairs via MinHash + LSH banding, verified by exact
-    Jaccard (the C4/GPT-3 pipeline, public technique).
-
-    Plan shape: one projection computes the 64-perm signature
-    (min over shingle hashes per seed), explode 16 bands → groupBy
-    band bucket (skew-capped at 256 members) → pair expansion inside
-    buckets only → exact-Jaccard verification. Sub-quadratic
-    end-to-end. Shingles ride the band shuffle inside the member
-    structs — measured 20x faster at sf0.1 than joining them back
-    onto deduped id-pairs (two extra shuffle joins re-planned badly).
+_MINHASH_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, {D_SHINGLES} AS shingles FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+                 LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE LEN(a.shingles) > 0 AND LEN(b.shingles) > 0
+      AND ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+                LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) >= 0.7
     """
-    d = load_table(spark, sf_dir, "documents")
-    sigs = d.select(
+
+
+def minhash_pairs(docs, member_cap: int = 256, shingle_cap: int = 1 << 20):
+    """MinHash+LSH candidate generation + exact-Jaccard verify over a
+    `(doc_id, text)` DataFrame; returns `(doc_a, doc_b, jaccard)` with
+    jaccard ≥ 0.7. Factored out so tests can feed synthetic corpora
+    (oversized docs, adversarial buckets) without parquet fixtures.
+
+    Memory guards per (band, bucket): `member_cap` bounds the member
+    count (skew clamp) and `shingle_cap` bounds the TOTAL shingle
+    strings collected into one agg buffer — a 256-member bucket of
+    book-length docs would otherwise be a multi-GB collect_list at
+    100 TB. Oversized buckets are dropped, not spilled: at the verify
+    threshold (0.7) a bucket that big is either a hash pile-up or a
+    mass-duplicate cluster that exact dedup already catches.
+    """
+    sigs = docs.select(
         "doc_id",
         F.expr(SHINGLES).alias("shingles"),
-    ).select(
+    ).filter(F.size("shingles") > 0).select(
         "doc_id",
         "shingles",
         F.expr(
@@ -137,11 +166,19 @@ def dedup_near_minhash(spark, sf_dir):
             " xxhash64(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x AS string)))))))"
         ).alias("bb"),
     ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # candidate pairs within a bucket (skew guard: cap bucket size)
+    # candidate pairs within a bucket (skew guard: cap member count
+    # AND total shingle volume — see docstring)
     grouped = bands.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "shingles"))).alias("members")
     )
-    guarded = grouped.filter((F.size("members") > 1) & (F.size("members") <= 256))
+    total_shingles = F.aggregate(
+        "members", F.lit(0), lambda acc, m: acc + F.size(m["shingles"])
+    )
+    guarded = grouped.filter(
+        (F.size("members") > 1)
+        & (F.size("members") <= member_cap)
+        & (total_shingles <= shingle_cap)
+    )
     pairs = (
         guarded.select(
             F.explode(
@@ -168,60 +205,131 @@ def dedup_near_minhash(spark, sf_dir):
     )
 
 
-@register("dedup_simhash")  # rows-only: xxhash64-based bits are Spark-specific
+@register("dedup_near_minhash", oracle=_MINHASH_ORACLE)
+def dedup_near_minhash(spark, sf_dir):
+    """Near-dup pairs via MinHash + LSH banding, verified by exact
+    Jaccard (the C4/GPT-3 pipeline, public technique). Kernel in
+    :func:`minhash_pairs`; plan shape: one projection computes the
+    64-perm signature (min over shingle hashes per seed), explode 16
+    bands → groupBy band bucket (member- and shingle-volume-capped)
+    → pair expansion inside buckets only → exact-Jaccard verify.
+    Sub-quadratic end-to-end. Shingles ride the band shuffle inside
+    the member structs — measured 20x faster at sf0.1 than joining
+    them back onto deduped id-pairs.
+
+    Oracle validity: the output is the exact-verified subset of LSH
+    candidates, so it equals the full exact-Jaccard pair set iff LSH
+    recall is 100% at the 0.7 threshold. On these fixtures that holds
+    deterministically (min true-pair Jaccard is 0.9; per-pair miss
+    probability (1-0.9^4)^16 ≈ 4e-8, and the xxhash64 signatures are
+    fixed, so it's a one-time check, not a flake risk) — verified
+    empirically at sf0.001 and sf0.01; tests/test_llm.py pins it.
+    """
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {D_SHINGLES} AS shingles FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(shingles, sh -> {_d_h60('sh')}) AS hs
+      FROM t WHERE len(shingles) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 48), i ->
+               CASE WHEN list_sum(list_transform(hs, hh ->
+                      CASE WHEN (hh >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << i) ELSE 0 END)) AS sig
+      FROM h
+    ),
+    banded AS (
+      SELECT doc_id, sig, r.b AS band, (sig >> (r.b * 12)) & 4095 AS key
+      FROM sig, range(0, 4) r(b)
+    ),
+    buckets AS (
+      SELECT band, key, COUNT(*) AS n FROM banded GROUP BY band, key
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                      a.sig AS sig_a, b2.sig AS sig_b
+      FROM banded a
+      JOIN banded b2 ON a.band = b2.band AND a.key = b2.key
+                    AND a.doc_id < b2.doc_id
+      JOIN buckets bu ON bu.band = a.band AND bu.key = a.key
+                     AND bu.n BETWEEN 2 AND 256
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 8
+    """
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup: 64-bit signature from token hashes (bit i =
-    sign of Σ ±1 over tokens), candidates via 4×16-bit band match
-    (bucket-capped — same skew guard as MinHash), verified by
-    Hamming distance ≤ 2. The tight radius matters on this corpus:
-    same-vocabulary word salads have close signatures, so a loose
-    radius degenerates toward all-pairs."""
+    """SimHash near-dup: 48-bit signature over 3-gram shingle hashes
+    (bit i = sign of Σ ±1 over shingles — shingles, not raw tokens:
+    on a shared-vocabulary corpus token-level SimHash collapses, while
+    shingle-level keeps near-dups within a tight Hamming radius),
+    candidates via 4×12-bit band match (bucket-capped — same skew
+    guard as MinHash), verified by Hamming ≤ 8.
+
+    The signature hash is the engine-portable md5-prefix 60-bit
+    integer (:func:`_h60`), so the DuckDB oracle re-computes the
+    IDENTICAL signatures, banding, bucket cap, and bit_count(xor)
+    Hamming — a full-strength oracle over hash-defined semantics,
+    not a recall assumption. All arithmetic is integer-exact.
+    """
     d = load_table(spark, sf_dir, "documents")
-    sigs = d.select(
-        "doc_id",
-        F.expr(f"transform({DISTINCT_TOKENS}, t -> xxhash64(t))").alias("th"),
-    ).select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, 63), i -> CASE WHEN aggregate(th, 0L, (acc, h) ->"
-            " acc + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END)"
-        ).alias("bits"),
+    sigs = (
+        d.select("doc_id", F.expr(SHINGLES).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            F.expr(f"transform(shingles, sh -> {_h60('sh')})").alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(sequence(0, 47), 0L, (acc, i) -> acc +"
+                " CASE WHEN aggregate(hs, 0, (s, hh) ->"
+                "   s + CASE WHEN (hh >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+                " THEN shiftleft(1L, i) ELSE 0L END)"
+            ).alias("sig"),
+        )
     )
     banded = sigs.select(
         "doc_id",
+        "sig",
         F.expr(
             "explode(transform(sequence(0, 3), b -> named_struct('band', b, 'key',"
-            " concat_ws('', transform(slice(bits, b * 16 + 1, 16), x -> cast(x AS string))))))"
+            " (sig >> (b * 12)) & 4095)))"
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.key")
+    ).select("doc_id", "sig", "bb.band", "bb.key")
     grouped = banded.groupBy("band", "key").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("members")
+        F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members")
     )
     guarded = grouped.filter((F.size("members") > 1) & (F.size("members") <= 256))
     pairs = (
         guarded.select(
             F.explode(
                 F.expr(
-                    "flatten(transform(members, (a, i) ->"
-                    " transform(slice(members, i + 2, size(members) - i - 1), b ->"
-                    " named_struct('doc_a', a, 'doc_b', b))))"
+                    "flatten(transform(members, (m1, i) ->"
+                    " transform(slice(members, i + 2, size(members) - i - 1), m2 ->"
+                    " named_struct('doc_a', m1.doc_id, 'doc_b', m2.doc_id,"
+                    "              'sig_a', m1.sig, 'sig_b', m2.sig))))"
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    bits_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"))
-    bits_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b"))
-    cand = pairs.join(bits_a, "doc_a").join(bits_b, "doc_b")
-    hamming = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    hamming = F.expr("bit_count(sig_a ^ sig_b)")
     return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 2)
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 8)
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -321,8 +429,8 @@ def dedup_ngram_jaccard_fast(spark, sf_dir):
         sets = []
         for _, text in docs:
             toks = [t for t in text.lower().split(" ") if t]
-            n = max(len(toks) - 2, 1)
-            sets.append({" ".join(toks[i : i + 3]) for i in range(n)})
+            # <3 tokens → empty shingle set (same guard as SHINGLES)
+            sets.append({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
         out_a, out_b, out_j = [], [], []
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):
@@ -385,7 +493,33 @@ def dedup_embedding_cosine(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("dedup_cluster_keep_min")  # rows-only: built on seeded-hash pair graph
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {D_SHINGLES} AS shingles FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE LEN(a.shingles) > 0 AND LEN(b.shingles) > 0
+        AND ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+                  LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) >= 0.7
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT re.doc_id, e.t FROM reach re JOIN edges e ON re.r = e.s
+    )
+    SELECT doc_id, MIN(r) AS keeper_doc_id FROM reach GROUP BY doc_id
+    """
+
+
+@register("dedup_cluster_keep_min", oracle=_CLUSTER_ORACLE)
 def dedup_cluster_keep_min(spark, sf_dir):
     """Near-dup *clusters*, not just pairs: iterative min-label
     propagation (hash-join per iteration, no driver loop over data)
@@ -397,7 +531,14 @@ def dedup_cluster_keep_min(spark, sf_dir):
 
     Iterative-DataFrame rule: localCheckpoint() each round —
     without lineage truncation the logical plan doubles per
-    iteration and analysis time explodes long before execution."""
+    iteration and analysis time explodes long before execution.
+
+    Oracle: transitive closure via recursive CTE over the exact
+    Jaccard ≥ 0.7 pair graph — valid because the MinHash pair set
+    equals the exact pair set on these fixtures (see
+    dedup_near_minhash) and 8 propagation rounds reach the component
+    min for any diameter ≤ 8 (fixture dup clusters are near-cliques;
+    tests pin agreement)."""
     pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     # undirected edge list, both directions
     edges = pairs.unionByName(
@@ -626,7 +767,7 @@ def sim_pairs_threshold_blas(spark, sf_dir):
             StructField("vec_a", LongType()),
             StructField("vec_b", LongType()),
             StructField("label", IntegerType()),
-            StructField("cos_sim", DoubleType()),
+            StructField("raw_cos", DoubleType()),
         ]
     )
 
@@ -636,20 +777,28 @@ def sim_pairs_threshold_blas(spark, sf_dir):
         ids = ids[order]
         m = np.stack(pdf["embedding"].to_numpy())[order].astype("float64")
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        g = np.round(m @ m.T, 6)
+        g = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
-        keep = g[ia, ib] >= 0.25
+        # generous raw pre-filter only; the exact cut happens Spark-side
+        # on the rounded value (np.round is half-to-even, the oracle's
+        # ROUND is half-away — same discipline as dedup_ngram_jaccard_fast)
+        keep = g[ia, ib] >= 0.2499
         return pd.DataFrame(
             {
                 "vec_a": ids[ia[keep]],
                 "vec_b": ids[ib[keep]],
                 "label": int(pdf["label"].iloc[0]),
-                "cos_sim": g[ia[keep], ib[keep]],
+                "raw_cos": g[ia[keep], ib[keep]],
             }
         )
 
     e = load_table(spark, sf_dir, "embeddings")
-    return e.groupBy("label").applyInPandas(block_pairs, out_schema)
+    raw = e.groupBy("label").applyInPandas(block_pairs, out_schema)
+    return (
+        raw.withColumn("cos_sim", F.round("raw_cos", 6))
+        .filter(F.col("cos_sim") >= 0.25)
+        .select("vec_a", "vec_b", "label", "cos_sim")
+    )
 
 
 @register(
@@ -883,8 +1032,9 @@ def text_langid_ngram(spark, sf_dir):
     oracle=f"""
     WITH toks AS (SELECT doc_id, {D_TOKENS} AS t FROM documents),
     bg AS (
-      SELECT doc_id, UNNEST(list_transform(range(1, greatest(len(t), 2)),
-                            i -> t[i] || ' ' || t[i+1])) AS bigram
+      SELECT doc_id, UNNEST(CASE WHEN len(t) >= 2 THEN
+                              list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                            ELSE [] END) AS bigram
       FROM toks
     )
     SELECT bigram, COUNT(*) AS cnt
@@ -900,8 +1050,9 @@ def text_bigram_counts(spark, sf_dir):
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1),"
                 " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+                " ELSE cast(array() AS array<string>) END"
             )
         ).alias("bigram"),
     )
@@ -1098,27 +1249,83 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
 
-@register("sim_lsh_hyperplane")  # rows-only: hyperplanes derive from Spark xxhash64
+def _lcg_planes(nplanes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1), from a
+    fixed 64-bit LCG (Knuth MMIX constants) — no RNG object, no seed
+    state, reproducible everywhere, embeddable as plain literals in
+    both engines' SQL."""
+    state = 1234567891
+    planes = []
+    for _ in range(nplanes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(round((state >> 11) / float(1 << 53) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+_PLANES = _lcg_planes()
+_S_PLANES = (
+    "array("
+    + ",".join("array(" + ",".join(f"{v:.6f}D" for v in row) + ")" for row in _PLANES)
+    + ")"
+)
+_D_PLANES = (
+    "(["
+    + ",".join("[" + ",".join(f"{v:.6f}" for v in row) + "]" for row in _PLANES)
+    + "]::DOUBLE[][])"
+)
+
+_LSH_ORACLE = f"""
+    WITH sig AS (
+      SELECT vec_id,
+             list_transform(range(0, 8), p ->
+               CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                      CAST(embedding[i] AS DOUBLE) * {_D_PLANES}[p + 1][i])) > 0
+                    THEN 1 ELSE 0 END) AS bits
+      FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(0, 8), p -> bits[p + 1] * (1 << (7 - p)))) AS bucket
+      FROM sig
+    )
+    SELECT bucket, COUNT(*) AS occupancy,
+           MIN(vec_id) AS min_member, MAX(vec_id) AS max_member
+    FROM bucketed GROUP BY bucket
+    """
+
+
+@register("sim_lsh_hyperplane", oracle=_LSH_ORACLE)
 def sim_lsh_hyperplane(spark, sf_dir):
-    """Random-hyperplane LSH for cosine ANN: 8 pseudo-random planes
-    (components derived deterministically from xxhash64(plane, dim) —
-    no RNG, reproducible across runs), bucket = 8-bit sign pattern
-    (256 buckets; size the plane count to data cardinality — 16
-    planes left ~1 vector per bucket on this corpus).
-    Query probes only its own bucket. Output: per-bucket occupancy +
-    the probed bucket's members — the scale path where brute-force
-    `sim_knn_query` is the exactness baseline."""
+    """Random-hyperplane LSH for cosine ANN: 8 deterministic planes
+    (fixed-LCG literals — identical constants in the Spark expression
+    and the DuckDB oracle), bucket = 8-bit sign pattern (256 buckets;
+    size the plane count to data cardinality — 16 planes left ~1
+    vector per bucket on this corpus). Query probes only its own
+    bucket. Output: per-bucket occupancy — the scale path where
+    brute-force `sim_knn_query` is the exactness baseline.
+
+    Cross-engine FP note: both engines fold the 64-term dot product
+    left-to-right in index order, so the sign test sees identical
+    doubles; fixture dots are bounded away from 0 (min |dot| checked
+    in tests), so the sign is robust regardless."""
     e = load_table(spark, sf_dir, "embeddings")
-    # plane[p][d] in [-1,1): (xxhash64(p||'_'||d) % 1000)/500 - 1
+    # planes ride in as a broadcast 1-row column, NOT a 4096-node
+    # inline literal — Spark doesn't constant-fold the literal inside
+    # the lambda and re-builds it per row (measured ~60x slower)
+    planes_df = spark.createDataFrame([(_PLANES,)], "planes array<array<double>>")
     sig = F.expr(
         "transform(sequence(0, 7), p -> CASE WHEN aggregate("
-        " zip_with(embedding, sequence(0, 63), (x, d) ->"
-        "   CAST(x AS DOUBLE) * (CAST(pmod(xxhash64(concat(cast(p AS string), '_', cast(d AS string))), 1000) AS DOUBLE) / 500.0 - 1.0)),"
+        " zip_with(embedding, element_at(planes, p + 1), (x, w) ->"
+        "   CAST(x AS DOUBLE) * w),"
         " 0D, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END)"
     )
-    bucketed = e.select("vec_id", "label", sig.alias("sig")).select(
+    bucketed = e.crossJoin(F.broadcast(planes_df)).select(
+        "vec_id", sig.alias("sig")
+    ).select(
         "vec_id",
-        "label",
         F.aggregate(F.col("sig"), F.lit(0), lambda acc, b: acc * 2 + b).alias("bucket"),
     )
     return bucketed.groupBy("bucket").agg(
@@ -1193,21 +1400,84 @@ def events_anomaly_zscore(spark, sf_dir):
     )
 
 
-@register("agg_count_min_sketch")  # rows-only: sketch bytes are Spark-specific
+_CMS_HASH_D = _d_h60("concat(CAST(j AS VARCHAR), '_', CAST(user_id AS VARCHAR))")
+_CMS_ORACLE = f"""
+    WITH st AS (
+      SELECT r.j AS j, {_CMS_HASH_D} % 1024 AS slot, COUNT(*) AS cnt
+      FROM events, range(0, 4) r(j)
+      GROUP BY 1, 2
+    ),
+    probes AS (SELECT p AS user_id FROM range(0, 20) r(p)),
+    probe_slots AS (
+      SELECT probes.user_id, r.j AS j, {_CMS_HASH_D.replace("user_id", "probes.user_id")} % 1024 AS slot
+      FROM probes, range(0, 4) r(j)
+    ),
+    est AS (
+      SELECT ps.user_id, MIN(COALESCE(st.cnt, 0)) AS estimate
+      FROM probe_slots ps LEFT JOIN st ON st.j = ps.j AND st.slot = ps.slot
+      GROUP BY ps.user_id
+    ),
+    exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id),
+    tot AS (SELECT COUNT(*) AS total FROM events)
+    SELECT e.user_id, e.estimate, COALESCE(x.exact_cnt, 0) AS exact_cnt,
+           (e.estimate >= COALESCE(x.exact_cnt, 0)) AS est_ge_exact,
+           (e.estimate <= COALESCE(x.exact_cnt, 0)
+              + CAST(CEIL(2.718282 * t.total / 1024) AS BIGINT)) AS within_epsilon
+    FROM est e LEFT JOIN exact x USING (user_id), tot t
+    """
+
+
+@register("agg_count_min_sketch", oracle=_CMS_ORACLE)
 def agg_count_min_sketch(spark, sf_dir):
     """Count-Min sketch over the rowkey stream — mergeable
     heavy-hitter estimation (the counters dashboard at 100 TB where
-    exact per-key counts don't fit). Emits estimated counts for a
-    probe set of keys read back from the sketch."""
+    exact per-key counts don't fit). Depth 4 × width 1024, hash =
+    engine-portable md5-prefix (:func:`_h60`), built entirely as
+    DataFrame ops: explode each key into 4 (row, slot) cells, one
+    groupBy builds the ≤4096-row sketch (map-side partial agg does
+    the heavy lifting; the sketch is trivially mergeable because it
+    IS a sum). The probe reads estimates back — min over the 4 rows'
+    slots — for keys 0..19 and emits (estimate, exact, CMS-guarantee
+    booleans). The oracle recomputes the identical sketch in SQL, so
+    estimates are value-checked, not just bounded. Exact counts here
+    are the verification surface, not part of the production plan."""
     ev = load_table(spark, sf_dir, "events")
-    sketch = ev.agg(
-        F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("cms"),
-        F.count("*").alias("total"),
+    hash_expr = _h60("concat(cast(j AS string), '_', cast(user_id AS string))")
+    sketch = (
+        ev.select("user_id", F.explode(F.expr("sequence(0, 3)")).alias("j"))
+        .select("j", F.expr(f"{hash_expr} % 1024").alias("slot"))
+        .groupBy("j", "slot")
+        .agg(F.count("*").alias("cnt"))
     )
-    # probe the sketch for a fixed key set (join-free: literal array)
-    return sketch.select(
-        "total",
-        F.expr("length(cms)").alias("sketch_bytes"),
+    probes = spark.range(0, 20).select(F.col("id").alias("user_id"))
+    probe_slots = probes.select(
+        "user_id", F.explode(F.expr("sequence(0, 3)")).alias("j")
+    ).select("user_id", "j", F.expr(f"{hash_expr} % 1024").alias("slot"))
+    est = (
+        probe_slots.join(F.broadcast(sketch), ["j", "slot"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("estimate"))
+    )
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    total = ev.agg(F.count("*").alias("total"))
+    return (
+        est.join(exact, "user_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "estimate",
+            F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"),
+            (F.col("estimate") >= F.coalesce("exact_cnt", F.lit(0))).alias("est_ge_exact"),
+            (
+                F.col("estimate")
+                <= F.coalesce("exact_cnt", F.lit(0))
+                + F.ceil(F.lit(2.718282) * F.col("total") / F.lit(1024)).cast("bigint")
+            ).alias("within_epsilon"),
+        )
     )
 
 
@@ -1247,9 +1517,11 @@ def multimodal_join(spark, sf_dir):
         / (_norm(F.col("embedding")) * _norm(F.col("embedding"))),
         6,
     )
+    # No broadcast hint on user_stats: it's an unbounded per-user
+    # aggregate (|users| rows at 100 TB) — let AQE pick the strategy.
     return (
         d.join(e, d.doc_id == e.vec_id)
-        .join(F.broadcast(user_stats), user_stats.user_id == d.doc_id % 150, "left")
+        .join(user_stats, user_stats.user_id == d.doc_id % 150, "left")
         .select(
             "doc_id",
             "lang",

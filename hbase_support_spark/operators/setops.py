@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..hashutil import d_h60, h60
 from ..io import load_table
 from ..registry import register
 
@@ -186,23 +187,43 @@ def set_symmetric_diff(spark, sf_dir):
     return a.subtract(b).union(b.subtract(a)).distinct()
 
 
-@register("table_bucket_digest")  # rows-only: xxhash64 digests are Spark-specific
+_ROW_STR_S = (
+    "concat_ws('|', cast(o_orderkey AS string), cast(o_custkey AS string),"
+    " o_orderstatus, cast(cast(round(o_totalprice * 100) AS bigint) AS string))"
+)
+_ROW_STR_D = (
+    "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),"
+    " o_orderstatus, CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))"
+)
+
+
+@register(
+    "table_bucket_digest",
+    oracle=f"""
+    SELECT o_orderkey % 256 AS bucket,
+           bit_xor({d_h60(_ROW_STR_D)}) AS digest,
+           COUNT(*) AS bucket_rows
+    FROM orders GROUP BY o_orderkey % 256
+    """,
+)
 def table_bucket_digest(spark, sf_dir):
     """HashTable step of HashTable/SyncTable: per-bucket order-
     independent digests of the row content. At 100 TB both replicas
     compute this cheaply (one pass, 256 rows out) and only buckets
     whose digests differ get the row-level drill-in
-    (`table_diff_hash`). bit_xor makes the fold commutative, so no
-    per-bucket sort is needed."""
+    (`table_diff_hash`, prefilter in tools/table_diff.py). bit_xor
+    makes the fold commutative, so no per-bucket sort is needed.
+
+    The row digest is the engine-portable md5-prefix hash over a
+    canonical string (doubles rendered as exact integer cents — never
+    float-to-string, which the engines format differently), so the
+    DuckDB oracle reproduces the digests bit-for-bit."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(F.pmod(F.col("o_orderkey"), F.lit(256)).alias("bucket"))
-        .agg(
-            F.expr("bit_xor(xxhash64(o_orderkey, o_custkey, o_orderstatus, o_totalprice))").alias(
-                "digest"
-            ),
-            F.count("*").alias("bucket_rows"),
-        )
+    return orders.groupBy(
+        F.pmod(F.col("o_orderkey"), F.lit(256)).alias("bucket")
+    ).agg(
+        F.expr(f"bit_xor({h60(_ROW_STR_S)})").alias("digest"),
+        F.count("*").alias("bucket_rows"),
     )
 
 
@@ -229,10 +250,12 @@ def table_diff_hash(spark, sf_dir):
 
     Replica B is simulated deterministically (drop every 97th key,
     perturb every 89th value). The graded output is the row-level
-    drill-in (full-outer row diff, engine-portable); the bucket-hash
+    drill-in (full-outer row diff, engine-portable); the bucket-digest
     prefilter that makes this cheap at 100 TB is implemented in
-    tools/table_diff.py using xxhash64 bucket digests — Spark-specific
-    hash, so it can't be the oracle surface.
+    tools/table_diff.py (`sync_table_diff`): per-bucket bit_xor of the
+    portable md5-prefix row hash on both replicas, then the row join
+    runs only inside mismatched buckets (tests/test_units.py pins the
+    prefiltered diff equal to this full diff).
     """
     orders = load_table(spark, sf_dir, "orders")
     replica_b = orders.filter(F.col("o_orderkey") % 97 != 0).select(

@@ -116,17 +116,33 @@ def udaf_centroid_per_label(spark, sf_dir):
     return e.groupBy("label").applyInPandas(centroid, out_schema)
 
 
-@register("udtf_shingle_expand")  # rows-only: UDTF output shape, no SQL twin
+@register(
+    "udtf_shingle_expand",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM t WHERE len(toks) >= 3
+    """,
+)
 def udtf_shingle_expand(spark, sf_dir):
     """Python UDTF (Spark 4 @udtf): shingle expander — one input doc
-    row → N shingle rows. Graded by row count."""
+    row → n-2 positional 3-gram rows (duplicates preserved; docs with
+    <3 tokens expand to nothing). The expansion is a deterministic
+    function of the text, so the oracle is the equivalent SQL unnest
+    — a full value check, not rows-only."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id: bigint, shingle: string", useArrow=True)
     class ShingleExpand:
         def eval(self, doc_id: int, text: str):
             toks = [t for t in text.lower().split(" ") if t]
-            for i in range(max(len(toks) - 2, 1)):
+            for i in range(len(toks) - 2):
                 yield doc_id, " ".join(toks[i : i + 3])
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)

@@ -15,8 +15,6 @@ provider) and watermark horizon bound memory at 100 TB/day rates.
 
 from __future__ import annotations
 
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -50,7 +48,6 @@ def run_tumbling_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("event_cnt"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(F.col("win.start").alias("window_start"), "event_type", "event_cnt", "total_value")
     )
-    out = tempfile.mkdtemp(prefix="stream_tumbling_", dir=os.environ.get("TMPDIR", "/tmp"))
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
