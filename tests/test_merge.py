@@ -1,0 +1,107 @@
+"""MERGE INTO / checkAndPut write path (hbase_support_spark/merge.py):
+conditional-mutation semantics end-to-end against real Parquet, plus
+the scale property — untouched partitions are never rewritten."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from hbase_support_spark.io import load_table
+from hbase_support_spark.merge import check_and_put, merge_into_parquet
+
+
+def _seed_target(spark, sf_dir, path):
+    """Partitioned customer snapshot: (key, balance, segment)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    c.write.mode("overwrite").partitionBy("c_mktsegment").parquet(path)
+    return {r.c_custkey: r.c_acctbal for r in c.collect()}
+
+
+def test_merge_upsert_semantics(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "cust")
+    before = _seed_target(spark, sf_dir, target)
+    keys = sorted(before)[:3]
+    new_key = max(before) + 1_000_000
+    source = spark.createDataFrame(
+        [(k, 9999.99, "BUILDING") for k in keys]
+        + [(new_key, 1.23, "BUILDING")],
+        "c_custkey long, c_acctbal double, c_mktsegment string",
+    )
+    stats = merge_into_parquet(
+        spark, target, source, ["c_custkey"], "c_mktsegment"
+    )
+    assert stats["updated"] == 3 and stats["inserted"] == 1
+
+    after = {
+        r.c_custkey: r.c_acctbal
+        for r in spark.read.parquet(target).collect()
+    }
+    assert len(after) == len(before) + 1
+    for k in keys:
+        assert after[k] == 9999.99
+    assert after[new_key] == 1.23
+    # every row NOT in the source is byte-identical
+    untouched = {k: v for k, v in before.items() if k not in keys}
+    assert all(after[k] == v for k, v in untouched.items())
+
+
+def test_merge_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    """The 100-TB property: a source touching one segment must leave
+    every other partition's files physically untouched (same paths,
+    same mtimes) — partition pruning on read AND dynamic overwrite on
+    write."""
+    target = str(tmp_path / "cust")
+    before = _seed_target(spark, sf_dir, target)
+    snapshot = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{target}/c_mktsegment=*/*.parquet")
+    }
+    auto = spark.read.parquet(target).filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    k = auto.agg(F.min("c_custkey")).collect()[0][0]
+    source = spark.createDataFrame(
+        [(k, 42.0, "AUTOMOBILE")],
+        "c_custkey long, c_acctbal double, c_mktsegment string",
+    )
+    stats = merge_into_parquet(
+        spark, target, source, ["c_custkey"], "c_mktsegment"
+    )
+    assert stats["touched_partitions"] == 1
+    for p, mtime in snapshot.items():
+        if "c_mktsegment=AUTOMOBILE" not in p:
+            assert os.path.exists(p) and os.path.getmtime(p) == mtime, p
+
+
+def test_check_and_put_cas_condition(spark, sf_dir, tmp_path):
+    """checkAndPut: the put lands only where the CURRENT value meets
+    the expectation — rows failing the check keep their old value."""
+    target = str(tmp_path / "cust")
+    before = _seed_target(spark, sf_dir, target)
+    rich = [k for k, v in before.items() if v > 9000][:2]
+    poor = [k for k, v in before.items() if v <= 9000][:2]
+    assert rich and poor
+    puts = spark.createDataFrame(
+        [(k, -1.0, "MACHINERY") for k in rich + poor],
+        "c_custkey long, c_acctbal double, c_mktsegment string",
+    )
+    check_and_put(
+        spark,
+        target,
+        puts,
+        ["c_custkey"],
+        "c_mktsegment",
+        check_col="c_acctbal",
+        expected=F.col("t.c_acctbal") > 9000,
+    )
+    after = {
+        r.c_custkey: r.c_acctbal
+        for r in spark.read.parquet(target).collect()
+    }
+    for k in rich:
+        assert after[k] == -1.0
+    for k in poor:
+        assert after[k] == before[k]

@@ -100,3 +100,31 @@ def test_sliding_window_multiplicity(spark, sf_dir):
         .collect()[0][0]
     )
     assert total == 4 * ev_cnt
+
+
+def test_sync_table_diff_prefilter_matches_full_diff(spark, sf_dir):
+    """tools/table_diff.py: the bucket-digest-prefiltered row diff
+    must equal the graded full-outer diff (table_diff_hash) exactly —
+    the prefilter prunes work, never answers."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from table_diff import sync_table_diff
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    replica_b = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    row_str = "concat_ws('|', o_orderkey, cast(round(o_totalprice * 100) AS bigint))"
+    got = {
+        (r.o_orderkey, r.diff_type)
+        for r in sync_table_diff(orders, replica_b, "o_orderkey", row_str).collect()
+    }
+    want = {
+        (r.o_orderkey, r.diff_type)
+        for r in QUERIES["table_diff_hash"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
