@@ -128,3 +128,29 @@ def test_sync_table_diff_prefilter_matches_full_diff(spark, sf_dir):
         for r in QUERIES["table_diff_hash"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_minhash_bucket_volume_guard(spark):
+    """LSH bucket memory bound (minhash_pairs): a near-dup cluster of
+    long documents must yield pairs under generous caps, and be
+    DROPPED (not spilled, not OOM) when its total shingle volume
+    exceeds shingle_cap — the agg-buffer guard for book-length docs."""
+    from hbase_support_spark.operators.llm import minhash_pairs
+
+    base = [f"tok{i}" for i in range(2000)]
+    rows = []
+    for d in range(6):
+        toks = list(base)
+        toks[d] = f"uniq{d}"  # ~99.9% token overlap -> jaccard >= 0.7
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    roomy = minhash_pairs(docs).count()
+    assert roomy == 15  # all C(6,2) near-dup pairs survive
+
+    # total shingles per bucket ~ 6 docs x ~2000 shingles >> 5000
+    capped = minhash_pairs(docs, shingle_cap=5000).count()
+    assert capped == 0
+
+    member_capped = minhash_pairs(docs, member_cap=3).count()
+    assert member_capped == 0
