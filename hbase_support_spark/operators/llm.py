@@ -117,17 +117,28 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+# Oracle cost control (the driver runs this SQL too): J >= 0.7 forces
+# a shingle-count ratio >= 0.7 — the size predicate prunes most of the
+# N^2 pairs before LIST_INTERSECT; and since shingle lists are
+# list_distinct, |A∪B| = n_a + n_b - |A∩B|, so the intersection is
+# computed once. Result-identical to the naive all-pairs form
+# (13.7 s -> ~4 s at sf0.01).
 _MINHASH_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id, {D_SHINGLES} AS shingles FROM documents
+    ),
+    sz AS (SELECT doc_id, shingles, LEN(shingles) AS n FROM sh WHERE LEN(shingles) > 0),
+    scored AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE AS inter,
+             a.n AS n_a, b.n AS n_b
+      FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        AND a.n >= CEIL(0.7 * b.n) AND b.n >= CEIL(0.7 * a.n)
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
-                 LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE LEN(a.shingles) > 0 AND LEN(b.shingles) > 0
-      AND ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
-                LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) >= 0.7
+    SELECT doc_a, doc_b,
+           ROUND(inter / (n_a + n_b - inter), 6) AS jaccard
+    FROM scored
+    WHERE ROUND(inter / (n_a + n_b - inter), 6) >= 0.7
     """
 
 
@@ -283,22 +294,28 @@ def dedup_simhash(spark, sf_dir):
     not a recall assumption. All arithmetic is integer-exact.
     """
     d = load_table(spark, sf_dir, "documents")
-    sigs = (
+    # Signature via explode + 48 codegen'd sums, not a nested
+    # higher-order aggregate: interpreted lambdas cost 48 passes over
+    # every shingle list (~8x slower measured at sf0.01), while the
+    # exploded form is one whole-stage-codegen scan with map-side
+    # partial aggregation — the shape that survives 100 TB.
+    hs = (
         d.select("doc_id", F.expr(SHINGLES).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .select(
-            "doc_id",
-            F.expr(f"transform(shingles, sh -> {_h60('sh')})").alias("hs"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                "aggregate(sequence(0, 47), 0L, (acc, i) -> acc +"
-                " CASE WHEN aggregate(hs, 0, (s, hh) ->"
-                "   s + CASE WHEN (hh >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0"
-                " THEN shiftleft(1L, i) ELSE 0L END)"
-            ).alias("sig"),
-        )
+        .select("doc_id", F.explode(F.expr(f"transform(shingles, sh -> {_h60('sh')})")).alias("hh"))
+    )
+    bit_sums = hs.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("hh"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            for i in range(48)
+        ]
+    )
+    sigs = bit_sums.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")) for i in range(48)],
+            F.lit(0).cast("long"),
+        ).alias("sig"),
     )
     banded = sigs.select(
         "doc_id",
@@ -497,12 +514,13 @@ _CLUSTER_ORACLE = f"""
     WITH RECURSIVE sh AS (
       SELECT doc_id, {D_SHINGLES} AS shingles FROM documents
     ),
+    sz AS (SELECT doc_id, shingles, LEN(shingles) AS n FROM sh WHERE LEN(shingles) > 0),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE LEN(a.shingles) > 0 AND LEN(b.shingles) > 0
-        AND ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
-                  LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) >= 0.7
+      FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        AND a.n >= CEIL(0.7 * b.n) AND b.n >= CEIL(0.7 * a.n)
+      WHERE ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+                  (a.n + b.n - LEN(LIST_INTERSECT(a.shingles, b.shingles))), 6) >= 0.7
     ),
     edges AS (
       SELECT doc_a AS s, doc_b AS t FROM pairs
@@ -1271,26 +1289,25 @@ _S_PLANES = (
     + ",".join("array(" + ",".join(f"{v:.6f}D" for v in row) + ")" for row in _PLANES)
     + ")"
 )
-_D_PLANES = (
-    "(["
-    + ",".join("[" + ",".join(f"{v:.6f}" for v in row) + "]" for row in _PLANES)
-    + "]::DOUBLE[][])"
+# Planes ride in a VALUES CTE, not an inline double[][] literal:
+# DuckDB (like Spark) re-materializes a literal nested-array constant
+# on every lambda element access — the CTE column reference took the
+# oracle from 64 s to 0.3 s at sf0.01.
+_D_PLANE_VALUES = ",".join(
+    f"({p + 1}, [{','.join(f'{v:.6f}' for v in row)}]::DOUBLE[])"
+    for p, row in enumerate(_PLANES)
 )
 
 _LSH_ORACLE = f"""
-    WITH sig AS (
-      SELECT vec_id,
-             list_transform(range(0, 8), p ->
-               CASE WHEN list_sum(list_transform(range(1, 65), i ->
-                      CAST(embedding[i] AS DOUBLE) * {_D_PLANES}[p + 1][i])) > 0
-                    THEN 1 ELSE 0 END) AS bits
-      FROM embeddings
+    WITH planes(pid, w) AS (VALUES {_D_PLANE_VALUES}),
+    sig AS (
+      SELECT e.vec_id, p.pid,
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                  CAST(e.embedding[i] AS DOUBLE) * p.w[i])) > 0
+                  THEN (1 << (8 - p.pid)) ELSE 0 END AS bit
+      FROM embeddings e CROSS JOIN planes p
     ),
-    bucketed AS (
-      SELECT vec_id,
-             list_sum(list_transform(range(0, 8), p -> bits[p + 1] * (1 << (7 - p)))) AS bucket
-      FROM sig
-    )
+    bucketed AS (SELECT vec_id, SUM(bit) AS bucket FROM sig GROUP BY vec_id)
     SELECT bucket, COUNT(*) AS occupancy,
            MIN(vec_id) AS min_member, MAX(vec_id) AS max_member
     FROM bucketed GROUP BY bucket
