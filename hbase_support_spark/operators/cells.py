@@ -317,3 +317,51 @@ def append_cell(spark, sf_dir):
     return ev.groupBy("user_id").agg(
         F.array_join(F.transform(cells, lambda c: c["event_type"]), ",").alias("appended")
     )
+
+
+@register(
+    "merge_into_upsert",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 9500 THEN ROUND(c_acctbal + 1000.0, 2)
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    UNION ALL
+    SELECT 99000001 AS c_custkey, 1.23 AS c_acctbal
+    """,
+)
+def merge_into_upsert(spark, sf_dir):
+    """The MERGE write path end-to-end (merge.py): seed a partitioned
+    Parquet copy of customer, MERGE a source of updates (+1000 to
+    every balance > 9500) plus one brand-new row, then return the
+    resulting table state. Grades the full read-modify-write cycle —
+    copy-on-write with dynamic partition overwrite — not just the
+    conditional-select kernel (`check_and_put_batch`)."""
+    import os
+
+    from ..merge import merge_into_parquet
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+    )
+    target = os.path.join(scratch, "merge_cust")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    c.write.mode("overwrite").partitionBy("c_mktsegment").parquet(target)
+    source = (
+        c.filter(F.col("c_acctbal") > 9500)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 1000.0, 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(99000001, 1.23, "BUILDING")],
+                "c_custkey long, c_acctbal double, c_mktsegment string",
+            )
+        )
+    )
+    merge_into_parquet(spark, target, source, ["c_custkey"], "c_mktsegment")
+    return spark.read.parquet(target).select("c_custkey", "c_acctbal")

@@ -655,6 +655,82 @@ def sim_knn_ivf(spark, sf_dir):
 
 
 @register(
+    "sim_knn_ivf_multiprobe",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    cent AS (
+      SELECT label, r.i AS i, AVG(CAST(embedding[r.i] AS DOUBLE)) AS c
+      FROM embeddings, range(1, 65) r(i) WHERE vec_id <> 7 GROUP BY label, r.i
+    ),
+    cscore AS (
+      SELECT c.label,
+             ROUND(SUM(c.c * CAST(q.qv[c.i] AS DOUBLE)) /
+                   (SQRT(SUM(c.c * c.c)) *
+                    SQRT(SUM(CAST(q.qv[c.i] AS DOUBLE) * CAST(q.qv[c.i] AS DOUBLE)))), 6)
+               AS score
+      FROM cent c, q GROUP BY c.label
+    ),
+    probe AS (SELECT label FROM cscore ORDER BY score DESC, label LIMIT 2),
+    scored AS (
+      SELECT e.vec_id, ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e JOIN probe p ON e.label = p.label, q, range(1, 65) r(i)
+      WHERE e.vec_id <> 7
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+)
+def sim_knn_ivf_multiprobe(spark, sf_dir):
+    """IVF ANN with multiprobe (nprobe=2): rank cells by
+    centroid-to-query cosine, scan the 2 nearest cells instead of the
+    query's own — the standard recall knob when the query lands near
+    a cell boundary. Centroids are per-label per-dimension averages
+    (one tiny aggregate, broadcastable at any scale); only the probed
+    cells' vectors are ever scored, so the scan cost is
+    nprobe/nlist of the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    cand = e.filter(F.col("vec_id") != 7)
+    cent = cand.groupBy("label").agg(
+        *[
+            F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
+            for i in range(64)
+        ]
+    )
+    cdot = sum(
+        [F.col(f"c{i}") * F.col("qv")[i].cast("double") for i in range(1, 64)],
+        F.col("c0") * F.col("qv")[0].cast("double"),
+    )
+    cnorm = F.sqrt(
+        sum([F.col(f"c{i}") * F.col(f"c{i}") for i in range(1, 64)],
+            F.col("c0") * F.col("c0"))
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            F.round(cdot / (cnorm * _norm(F.col("qv"))), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "label")
+        .limit(2)
+        .select("label")
+    )
+    scored = (
+        cand.join(F.broadcast(probe), "label")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(5)
+
+
+@register(
     "sim_knn_batch",
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

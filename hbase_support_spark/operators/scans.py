@@ -209,3 +209,52 @@ def sink_partitioned_parquet(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    """,
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC interchange (the other columnar format HBase bulk jobs
+    meet in practice): write supplier to ORC, read back typed. Same
+    predicate-pushdown/column-pruning story as parquet — Spark's ORC
+    reader exposes PushedFilters identically."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    dst = os.path.join(_SCRATCH, "supplier_orc")
+    supplier.write.mode("overwrite").orc(dst)
+    back = spark.read.orc(dst)
+    return back.select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+
+
+@register(
+    "source_text_corpus",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           SUM(LEN(text)) AS total_chars,
+           MIN(LEN(text)) AS min_chars,
+           MAX(LEN(text)) AS max_chars
+    FROM documents
+    """,
+)
+def source_text_corpus(spark, sf_dir):
+    """Raw-text corpus ingest (the LLM-pipeline entry point): dump
+    document bodies as line-oriented text files, read back with
+    spark.read.text — one row per line, schema-free. Corpus stats
+    must survive the round trip exactly (fixture docs are
+    newline-free; a production ingest escapes or length-prefixes)."""
+    d = load_table(spark, sf_dir, "documents")
+    dst = os.path.join(_SCRATCH, "corpus_text")
+    d.select("text").write.mode("overwrite").text(dst)
+    back = spark.read.text(dst)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_chars"),
+        F.max(F.length("value")).alias("max_chars"),
+    )

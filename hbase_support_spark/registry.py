@@ -99,32 +99,43 @@ GRADING_PRIORITY: list[str] = [
 ]
 
 
-def _round1_green() -> set[str]:
-    """Names with a green round-1 CORRECTNESS row (deprioritized)."""
-    return {
-        "scan_full", "scan_range", "scan_prefix", "point_get", "multi_get",
-        "scan_reverse", "copy_table", "source_csv_roundtrip",
-        "source_json_roundtrip", "sink_partitioned_parquet", "project_prune",
-        "filter_value", "filter_list_and_or", "filter_regex",
-        "filter_in_ranges", "filter_null_safe", "keys_only", "page_limit",
-        "latest_version", "max_versions_n", "time_range_read", "ttl_expiry",
-        "tombstone_merge", "as_of_read", "as_of_join", "check_and_put_batch",
-        "increment_counter", "append_cell", "join_inner_equi", "join_left",
-        "join_right", "join_full", "join_semi", "join_anti", "join_broadcast",
-        "join_range_theta", "join_interval_overlap",
-        "join_shipping_priority_topk", "join_multiway_star", "agg_rowcount",
-        "agg_cellcount", "agg_sum_min_max_avg", "agg_std_median",
-        "agg_distinct", "events_profile_agg", "agg_distinct_users",
-        "agg_rollup", "agg_cube",
-    }
+def _graded_green() -> set[str]:
+    """Names with a green CORRECTNESS row in ANY committed round
+    (rows+schema+hash all true, no error) — read from the
+    CORRECTNESS_r*.json files at the repo root, so the grading
+    schedule maintains itself round over round. Missing or unreadable
+    files simply contribute nothing."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if (
+                isinstance(r, dict)
+                and r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match")
+                and not r.get("err")
+            ):
+                green.add(name)
+    return green
 
 
 def _reorder() -> None:
-    """Rebuild QUERIES/ORACLES in grading-priority order:
-    GRADING_PRIORITY first, then remaining never-graded names in
-    import order, then the round-1 green tail."""
-    head = [n for n in GRADING_PRIORITY if n in QUERIES]
-    green = _round1_green()
+    """Rebuild QUERIES/ORACLES in grading-priority order: un-green
+    GRADING_PRIORITY names first (family-balanced head), then the
+    remaining never-green names in import order, then every query
+    that already has a green CORRECTNESS row."""
+    green = _graded_green()
+    head = [n for n in GRADING_PRIORITY if n in QUERIES and n not in green]
     mid = [n for n in QUERIES if n not in set(head) and n not in green]
     tail = [n for n in QUERIES if n in green]
     ordered = head + mid + tail

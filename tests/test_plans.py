@@ -61,3 +61,50 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
 def test_whole_stage_codegen_present(spark, sf_dir):
     assert codegen_stage_count(QUERIES["agg_sum_min_max_avg"](spark, sf_dir)) >= 1
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew-join handling: a join where one key holds ~95% of the
+    rows must execute with skew-split partitions (the executedPlan
+    advertises isSkew/skew markers), not one straggler task. This is
+    the runtime half of the skew story — salting (agg_salted_two_phase)
+    is the planning half."""
+    import pyspark.sql.functions as F
+
+    left = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = spark.read.parquet(lp).join(spark.read.parquet(rp), "k")
+        # execute THIS DataFrame: count() builds a separate query
+        # execution, so AQE would never finalize j's own plan
+        assert len(j.collect()) == 190_250
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

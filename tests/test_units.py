@@ -154,3 +154,18 @@ def test_minhash_bucket_volume_guard(spark):
 
     member_capped = minhash_pairs(docs, member_cap=3).count()
     assert member_capped == 0
+
+
+def test_registry_orders_ungraded_before_green():
+    """The registry is a grading schedule: under a bounded grading
+    window, every query WITHOUT a green CORRECTNESS row must register
+    before every query that already has one (self-maintained from the
+    committed CORRECTNESS_r*.json files)."""
+    from hbase_support_spark.registry import QUERIES, _graded_green
+
+    names = list(QUERIES)
+    green = _graded_green()
+    if not green:
+        return  # fresh checkout without correctness files
+    first_green = min(names.index(n) for n in green if n in names)
+    assert all(n in green for n in names[first_green:])
