@@ -36,6 +36,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.utils import AnalysisException
 
 from .io import ensure_confs
 
@@ -65,7 +66,11 @@ def merge_into_parquet(
     # files" probe Delta's MERGE runs, at partition granularity) ∪ the
     # partitions the source writes into. Matched rows may sit in a
     # different partition than their source row claims.
-    full_target = spark.read.parquet(target_path)
+    try:
+        full_target = spark.read.parquet(target_path)
+    except AnalysisException:
+        # no data files yet (fresh table): MERGE degrades to insert
+        full_target = spark.createDataFrame([], source.schema)
     matched_parts = (
         full_target.select(*key_cols, partition_col)
         .join(source.select(*key_cols).distinct(), key_cols, "left_semi")

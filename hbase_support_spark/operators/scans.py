@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..hashutil import d_h60, h60
 from ..io import load_table, write_parquet, write_csv, read_csv
 from ..registry import register
 
@@ -258,3 +259,23 @@ def source_text_corpus(spark, sf_dir):
         F.min(F.length("value")).alias("min_chars"),
         F.max(F.length("value")).alias("max_chars"),
     )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE {d_h60("CAST(o_orderkey AS VARCHAR)")} % 100 < 5
+    """,
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """Deterministic ~5% sample by key hash — the reproducible
+    alternative to TABLESAMPLE (whose output depends on seed,
+    partitioning, and engine). The same rows are selected on every
+    run, every cluster size, and every engine computing md5, which is
+    what makes downstream evals comparable across pipelines. Pure
+    map-side filter: no shuffle, prunes at scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.expr(f"{h60('cast(o_orderkey AS string)')} % 100 < 5")
+    ).select("o_orderkey", "o_totalprice")

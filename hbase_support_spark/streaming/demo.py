@@ -238,3 +238,66 @@ def run_foreach_batch_sink_demo(spark: SparkSession, sf_dir: str, out_dir: str) 
     q = ev.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
     q.awaitTermination(120)
     return spark.read.parquet(f"{out_dir}/batch=*").count()
+
+
+def run_stream_upsert_demo(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Continuous upsert (CDC-style): stream per-user aggregates into
+    a partitioned Parquet table via foreachBatch + MERGE
+    (merge.py) — each microbatch becomes one copy-on-write MERGE, so
+    the table always holds the latest per-user counter state and
+    reruns are idempotent (same keys merge to the same values).
+
+    This is the streaming half of the checkAndPut write path: at
+    100 TB/day the microbatch delta is small, so each MERGE rewrites
+    only the partitions that batch touches — state lives in the
+    table, not the state store."""
+    import os as _os
+
+    from ..merge import merge_into_parquet
+
+    ensure_confs(spark)
+    target = _os.path.join(work_dir, "user_counters")
+    state_schema = "user_id long, event_cnt long, bucket string"
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "event_id")
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("event_cnt")
+        )
+        # running total = existing + delta: read current state, add
+        try:
+            existing = ss.read.schema(state_schema).parquet(target)
+        except Exception:
+            existing = ss.createDataFrame([], state_schema)
+        merged = (
+            delta.alias("d")
+            .join(existing.alias("e"), "user_id", "left")
+            .select(
+                "user_id",
+                (
+                    F.coalesce(F.col("e.event_cnt"), F.lit(0))
+                    + F.col("d.event_cnt")
+                ).alias("event_cnt"),
+                F.pmod(F.col("user_id"), F.lit(8)).cast("string").alias("bucket"),
+            )
+        )
+        merge_into_parquet(
+            batch_df.sparkSession,
+            target,
+            merged,
+            ["user_id"],
+            "bucket",
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", _os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(target).select("user_id", "event_cnt")

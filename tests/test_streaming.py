@@ -97,3 +97,27 @@ def test_foreach_batch_sink_writes_all_rows(spark, sf_dir):
         assert written == load_table(spark, sf_dir, "events").count()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_upsert_matches_batch_counts(spark, sf_dir, tmp_path):
+    """foreachBatch + MERGE continuous upsert: after replaying the
+    fixture to completion, the merged table's per-user counters must
+    equal the batch groupBy exactly — the stream/batch parity
+    statement for the CDC write path."""
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.streaming.demo import run_stream_upsert_demo
+
+    got = {
+        r.user_id: r.event_cnt
+        for r in run_stream_upsert_demo(spark, sf_dir, str(tmp_path)).collect()
+    }
+    want = {
+        r.user_id: r.cnt
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
