@@ -5,6 +5,7 @@ the scale property — untouched partitions are never rewritten."""
 import glob
 import os
 
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from hbase_support_spark.io import load_table
@@ -105,3 +106,68 @@ def test_check_and_put_cas_condition(spark, sf_dir, tmp_path):
         assert after[k] == -1.0
     for k in poor:
         assert after[k] == before[k]
+
+
+# --- property-based differential test: merge vs a dict model --------
+#
+# Partition key is a pure function of the row key (part = key % 3), the
+# invariant merge.py documents ("keep partition keys immutable under
+# update") — so the model never hits the dynamic-overwrite stale-dir
+# edge and the property exercises pure upsert semantics.
+
+_ROW = st.tuples(
+    st.integers(min_value=0, max_value=24),
+    st.integers(min_value=-1000, max_value=1000),
+)
+
+
+def _uniq(rows):
+    return list({k: (k, v) for k, v in rows}.values())
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    initial=st.lists(_ROW, min_size=1, max_size=12).map(_uniq),
+    batches=st.lists(
+        st.lists(_ROW, min_size=1, max_size=8).map(_uniq),
+        min_size=1,
+        max_size=2,
+    ),
+    threshold=st.none() | st.integers(min_value=-1000, max_value=1000),
+)
+def test_merge_matches_dict_model(spark, tmp_path_factory, initial, batches, threshold):
+    """Random upsert sequences through merge_into_parquet agree with a
+    plain-Python dict applying the same WHEN MATCHED / NOT MATCHED
+    contract, including the updated/inserted counters."""
+    target = str(tmp_path_factory.mktemp("merge_prop") / "t")
+    schema = "k long, v long, p string"
+    part = lambda k: f"p{k % 3}"
+    spark.createDataFrame(
+        [(k, v, part(k)) for k, v in initial], schema
+    ).write.mode("overwrite").partitionBy("p").parquet(target)
+
+    model = {k: v for k, v in initial}
+    for batch in batches:
+        cond = None if threshold is None else F.col("s.v") > threshold
+        stats = merge_into_parquet(
+            spark,
+            target,
+            spark.createDataFrame([(k, v, part(k)) for k, v in batch], schema),
+            ["k"],
+            "p",
+            update_cond=cond,
+        )
+        upd = ins = 0
+        for k, v in batch:
+            if k in model:
+                # "updated" counts rows the condition actually rewrote
+                if threshold is None or v > threshold:
+                    upd += 1
+                    model[k] = v
+            else:
+                ins += 1
+                model[k] = v
+        assert (stats["updated"], stats["inserted"]) == (upd, ins)
+
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == model
