@@ -1624,3 +1624,110 @@ def multimodal_join(spark, sf_dir):
             F.col("avg_value").alias("owner_avg_value"),
         )
     )
+
+
+# 2-word shingles for repetition measurement (Gopher's dup-n-gram
+# fraction uses raw, NOT deduplicated, n-gram streams — so no
+# array_distinct here, unlike SHINGLES above).
+BIGRAMS = (
+    f"CASE WHEN size({TOKENS}) >= 2 THEN"
+    f" transform(sequence(1, size({TOKENS}) - 1),"
+    f" i -> concat_ws(' ', element_at({TOKENS}, i), element_at({TOKENS}, i + 1)))"
+    f" ELSE cast(array() AS array<string>) END"
+)
+D_BIGRAMS = (
+    f"CASE WHEN len({D_TOKENS}) >= 2 THEN"
+    f" list_transform(range(1, len({D_TOKENS})),"
+    f" i -> {D_TOKENS}[i] || ' ' || {D_TOKENS}[i+1])"
+    f" ELSE [] END"
+)
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             1.0 - LEN(LIST_DISTINCT({D_TOKENS}))::DOUBLE / LEN({D_TOKENS})
+               AS dup_tok,
+             1.0 - LEN(LIST_DISTINCT({D_BIGRAMS}))::DOUBLE / LEN({D_BIGRAMS})
+               AS dup_2g
+      FROM documents
+      WHERE LEN({D_TOKENS}) >= 2
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(dup_tok), 6) AS avg_dup_token_frac,
+           ROUND(AVG(dup_2g), 6) AS avg_dup_bigram_frac,
+           SUM(CASE WHEN dup_2g > 0.5 THEN 1 ELSE 0 END) AS n_repetitive
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition quality signals: per-document duplicate
+    token fraction and duplicate 2-gram fraction (computed on the raw
+    n-gram stream), rolled up per source with a >0.5 repetitive-doc
+    flag count. Entirely JVM-side array expressions — one map pass
+    plus one partial-aggregated groupBy on `source`; no explode, so
+    the shuffle carries |sources| rows, not |tokens|."""
+    d = load_table(spark, sf_dir, "documents")
+    toks, bigr = F.expr(TOKENS), F.expr(BIGRAMS)
+    per_doc = d.filter(F.size(F.expr(TOKENS)) >= 2).select(
+        "source",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("dup_tok"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigr)).cast("double") / F.size(bigr)
+        ).alias("dup_2g"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dup_tok"), 6).alias("avg_dup_token_frac"),
+            F.round(F.avg("dup_2g"), 6).alias("avg_dup_bigram_frac"),
+            F.sum((F.col("dup_2g") > 0.5).cast("long")).alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pipeline_mix_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT *,
+             5 + 15 * (CAST(substring(source, 4) AS BIGINT) % 5) AS keep_pct,
+             {_d_h60("'epoch1|' || CAST(doc_id AS VARCHAR)")} % 100 AS slot
+      FROM documents
+    )
+    SELECT source, ANY_VALUE(keep_pct) AS keep_pct,
+           COUNT(*) AS n_in,
+           SUM(CASE WHEN slot < keep_pct THEN 1 ELSE 0 END) AS n_kept
+    FROM w GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_mix_weighted(spark, sf_dir):
+    """Weighted corpus mixing: each source gets a sampling rate
+    (5–65%, derived here from the source id; in production a config
+    map) and rows are kept by a salted deterministic hash slot —
+    the same documents survive on every run, engine, and cluster
+    size, which is what makes training mixes reproducible. The salt
+    ('epoch1|') re-rolls the sample per epoch without reshuffling
+    data. Pure map-side filter + one tiny per-source rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    keep_pct = 5 + 15 * (F.expr("cast(substring(source, 4) AS bigint)") % 5)
+    slot = F.expr(_h60("concat('epoch1|', cast(doc_id AS string))")) % 100
+    return (
+        d.select("source", keep_pct.alias("keep_pct"), slot.alias("slot"))
+        .groupBy("source")
+        .agg(
+            F.any_value("keep_pct").alias("keep_pct"),
+            F.count("*").alias("n_in"),
+            F.sum((F.col("slot") < F.col("keep_pct")).cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
