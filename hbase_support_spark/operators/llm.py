@@ -1731,3 +1731,85 @@ def pipeline_mix_weighted(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label,
+             SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS l2
+      FROM (SELECT vec_id, label, UNNEST(embedding) AS x FROM embeddings)
+      GROUP BY vec_id, label
+    ),
+    stats AS (
+      SELECT label, AVG(l2) AS mu, STDDEV_SAMP(l2) AS sigma
+      FROM norms GROUP BY label
+    )
+    SELECT n.vec_id, n.label, ROUND(n.l2, 6) AS l2_norm,
+           ROUND((n.l2 - s.mu) / s.sigma, 6) AS zscore
+    FROM norms n JOIN stats s ON n.label = s.label
+    WHERE ABS((n.l2 - s.mu) / s.sigma) > 2.0
+    """,
+)
+def embedding_norm_outliers(spark, sf_dir):
+    """Embedding-quality filter: flag vectors whose L2 norm is a
+    >2-sigma outlier within their label cluster (degenerate/corrupt
+    vectors poison ANN recall and contrastive training). Norms are a
+    map-only array fold; the per-label stats table is tiny and
+    broadcast back — two scans of nothing but (vec_id, label, l2),
+    never a window over the full vector set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select("vec_id", "label", _norm(F.col("embedding")).alias("l2"))
+    stats = norms.groupBy("label").agg(
+        F.avg("l2").alias("mu"), F.stddev_samp("l2").alias("sigma")
+    )
+    z = (F.col("l2") - F.col("mu")) / F.col("sigma")
+    return (
+        norms.join(F.broadcast(stats), "label")
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "vec_id",
+            "label",
+            F.round("l2", 6).alias("l2_norm"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+_EPOCH_SLOT = "concat('epoch2|', cast(doc_id AS string))"
+_D_EPOCH_SLOT = "'epoch2|' || CAST(doc_id AS VARCHAR)"
+
+
+@register(
+    "pipeline_epoch_order",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             {_d_h60(_D_EPOCH_SLOT)} % 16 AS shard,
+             {_d_h60(_D_EPOCH_SLOT)} AS slot
+      FROM documents
+    )
+    SELECT doc_id, source, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY slot, doc_id) AS pos
+    FROM s
+    """,
+)
+def pipeline_epoch_order(spark, sf_dir):
+    """Deterministic epoch shuffling for training-data loaders: every
+    document gets a (shard, pos) — shard by salted hash, position by
+    hash order within the shard. The full order is reproducible on
+    any engine/cluster size (same salt → same order; bump the salt
+    per epoch for a fresh permutation) WITHOUT a global sort: the
+    window partitions by shard, so the plan is one hash shuffle into
+    16-way parallel sorts, never a single-partition ORDER BY."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    slot = F.expr(_h60(_EPOCH_SLOT))
+    w = Window.partitionBy("shard").orderBy("slot", "doc_id")
+    return (
+        d.select("doc_id", "source", (slot % 16).alias("shard"), slot.alias("slot"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("slot")
+    )
