@@ -242,3 +242,66 @@ def stream_dedup_by_key(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "minute_bucket", "event_id", "value")
     )
+
+
+@register(
+    "rollup_time_hierarchy",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+             COUNT(*) AS event_cnt, SUM(value) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT event_type, DATE_TRUNC('day', bucket) AS bucket,
+             SUM(event_cnt) AS event_cnt, SUM(sum_value) AS sum_value
+      FROM hourly GROUP BY 1, 2
+    ),
+    monthly AS (
+      SELECT event_type, DATE_TRUNC('month', bucket) AS bucket,
+             SUM(event_cnt) AS event_cnt, SUM(sum_value) AS sum_value
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, event_type, bucket, event_cnt,
+           ROUND(sum_value, 4) AS sum_value FROM hourly
+    UNION ALL
+    SELECT 'day', event_type, bucket, event_cnt, ROUND(sum_value, 4)
+    FROM daily
+    UNION ALL
+    SELECT 'month', event_type, bucket, event_cnt, ROUND(sum_value, 4)
+    FROM monthly
+    """,
+)
+def rollup_time_hierarchy(spark, sf_dir):
+    """Hypertable-style continuous-aggregate hierarchy: hour -> day ->
+    month, each grain aggregated FROM THE PREVIOUS GRAIN, not the raw
+    events. That reuse is the scale point — the day rollup reads
+    |hours| rows and the month rollup |days| rows, so refreshing
+    coarse grains on a 100 TB hypertable costs O(aggregate), not
+    O(raw). In production each grain persists (materialized view /
+    foreachBatch MERGE — see streaming/demo.py and merge.py); here
+    the three grains are unioned with a `grain` tag. Rounding happens
+    once, at emission, so grains stay exactly consistent."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("event_cnt"), F.sum("value").alias("sum_value"))
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "bucket").alias("bucket")
+    ).agg(F.sum("event_cnt").alias("event_cnt"), F.sum("sum_value").alias("sum_value"))
+    monthly = daily.groupBy(
+        "event_type", F.date_trunc("month", "bucket").alias("bucket")
+    ).agg(F.sum("event_cnt").alias("event_cnt"), F.sum("sum_value").alias("sum_value"))
+
+    def _emit(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "event_type",
+            "bucket",
+            "event_cnt",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+
+    return _emit(hourly, "hour").unionAll(_emit(daily, "day")).unionAll(
+        _emit(monthly, "month")
+    )
