@@ -592,3 +592,70 @@ def agg_collect(spark, sf_dir):
             ",",
         ).alias("order_keys")
     )
+
+
+@register(
+    "table_profile_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           COUNT(*) - COUNT(o_custkey) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+           CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    """,
+)
+def table_profile_stats(spark, sf_dir):
+    """ANALYZE-style column profiling (null count, distinct count,
+    min/max) in ONE scan: all measures in a single agg, then stack()
+    pivots the 1-row result into per-column rows. Multiple exact
+    COUNT(DISTINCT)s share the scan via Spark's Expand; at 100 TB
+    swap them for approx_count_distinct — same single-pass shape.
+    Values surface as strings so heterogeneous column types share one
+    schema (min/max of doubles pre-rounded to 2)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count("*").alias("n"),
+        *[
+            e
+            for c, mn, mx in [
+                ("o_custkey", F.min("o_custkey").cast("string"), F.max("o_custkey").cast("string")),
+                ("o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority")),
+                ("o_orderdate", F.min("o_orderdate").cast("string"), F.max("o_orderdate").cast("string")),
+                (
+                    "o_totalprice",
+                    F.round(F.min("o_totalprice"), 2).cast("string"),
+                    F.round(F.max("o_totalprice"), 2).cast("string"),
+                ),
+            ]
+            for e in (
+                F.count(c).alias(f"cnt_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                mn.alias(f"min_{c}"),
+                mx.alias(f"max_{c}"),
+            )
+        ],
+    )
+    cols = ["o_custkey", "o_orderpriority", "o_orderdate", "o_totalprice"]
+    stack_args = ", ".join(
+        f"'{c}', n - cnt_{c}, nd_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return a.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_null, n_distinct, min_val, max_val)"
+    )
