@@ -162,6 +162,7 @@ def load_all() -> None:
         llm,
         streaming_batch,
         udfs,
+        tpch,
     )
     from .functions import scalar  # noqa: F401
 
