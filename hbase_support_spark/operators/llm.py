@@ -50,6 +50,31 @@ SHINGLES = (
     f" element_at({TOKENS}, i + 1), element_at({TOKENS}, i + 2))))"
     f" ELSE cast(array() AS array<string>) END"
 )
+# Fast construction over a pre-staged `toks` column: zip_with of three
+# shifted slices instead of element_at into the token expression.
+# Inlining TOKENS into each element_at (the SHINGLES form above, kept
+# for reference/tests) re-runs split() per element — measured 12x
+# slower at sf0.1. Staging `toks` as its own projection computes it
+# once per row: CollapseProject inlines single-use aliases but keeps
+# multi-referenced non-cheap expressions staged. Result-identical
+# (verified element-wise at sf0.1).
+SHINGLES_FROM_TOKS = (
+    "CASE WHEN size(toks) >= 3 THEN"
+    " array_distinct(zip_with(zip_with(slice(toks, 1, size(toks) - 2),"
+    " slice(toks, 2, size(toks) - 2), (x, y) -> concat(x, ' ', y)),"
+    " slice(toks, 3, size(toks) - 2), (x, y) -> concat(x, ' ', y)))"
+    " ELSE cast(array() AS array<string>) END"
+)
+
+
+def with_shingles(df, *keep):
+    """Project ``keep`` columns plus a ``shingles`` column, staging
+    tokenization exactly once (see SHINGLES_FROM_TOKS note)."""
+    from pyspark.sql import functions as F
+
+    return df.select(*keep, F.expr(TOKENS).alias("toks")).select(
+        *keep, F.expr(SHINGLES_FROM_TOKS).alias("shingles")
+    )
 # DuckDB twins
 D_TOKENS = "list_filter(string_split(lower(text), ' '), w -> w <> '')"
 D_DISTINCT_TOKENS = f"list_distinct({D_TOKENS})"
@@ -156,10 +181,7 @@ def minhash_pairs(docs, member_cap: int = 256, shingle_cap: int = 1 << 20):
     threshold (0.7) a bucket that big is either a hash pile-up or a
     mass-duplicate cluster that exact dedup already catches.
     """
-    sigs = docs.select(
-        "doc_id",
-        F.expr(SHINGLES).alias("shingles"),
-    ).filter(F.size("shingles") > 0).select(
+    sigs = with_shingles(docs, "doc_id").filter(F.size("shingles") > 0).select(
         "doc_id",
         "shingles",
         F.expr(
@@ -300,7 +322,7 @@ def dedup_simhash(spark, sf_dir):
     # exploded form is one whole-stage-codegen scan with map-side
     # partial aggregation — the shape that survives 100 TB.
     hs = (
-        d.select("doc_id", F.expr(SHINGLES).alias("shingles"))
+        with_shingles(d, "doc_id")
         .filter(F.size("shingles") > 0)
         .select("doc_id", F.explode(F.expr(f"transform(shingles, sh -> {_h60('sh')})")).alias("hh"))
     )
@@ -377,7 +399,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     a pure pruning predicate, result-identical, so the oracle stays
     the unpruned form."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", "lang", "source", F.expr(SHINGLES).alias("shingles")).withColumn(
+    sh = with_shingles(d, "doc_id", "lang", "source").withColumn(
         "n_sh", F.size("shingles")
     )
     a, b = sh.alias("a"), sh.alias("b")
@@ -1453,7 +1475,9 @@ def pipeline_decontaminate(spark, sf_dir):
     small and broadcast, so this is one map-side join over the
     corpus shingle stream."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", "source", F.explode(F.expr(SHINGLES)).alias("shingle"))
+    sh = with_shingles(d, "doc_id", "source").select(
+        "doc_id", "source", F.explode("shingles").alias("shingle")
+    )
     bench = sh.filter(F.col("source") == "src0").select("shingle").distinct()
     return (
         sh.filter(F.col("source") != "src0")
@@ -1641,6 +1665,13 @@ D_BIGRAMS = (
     f" i -> {D_TOKENS}[i] || ' ' || {D_TOKENS}[i+1])"
     f" ELSE [] END"
 )
+# Over a staged `toks` column — same 12x rationale as SHINGLES_FROM_TOKS.
+BIGRAMS_FROM_TOKS = (
+    "CASE WHEN size(toks) >= 2 THEN"
+    " zip_with(slice(toks, 1, size(toks) - 1),"
+    " slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"
+    " ELSE cast(array() AS array<string>) END"
+)
 
 
 @register(
@@ -1671,17 +1702,21 @@ def text_repetition_ratio(spark, sf_dir):
     plus one partial-aggregated groupBy on `source`; no explode, so
     the shuffle carries |sources| rows, not |tokens|."""
     d = load_table(spark, sf_dir, "documents")
-    toks, bigr = F.expr(TOKENS), F.expr(BIGRAMS)
-    per_doc = d.filter(F.size(F.expr(TOKENS)) >= 2).select(
-        "source",
-        (
-            F.lit(1.0)
-            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-        ).alias("dup_tok"),
-        (
-            F.lit(1.0)
-            - F.size(F.array_distinct(bigr)).cast("double") / F.size(bigr)
-        ).alias("dup_2g"),
+    per_doc = (
+        d.select("source", F.expr(TOKENS).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("source", "toks", F.expr(BIGRAMS_FROM_TOKS).alias("bigr"))
+        .select(
+            "source",
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+            ).alias("dup_tok"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("bigr")).cast("double") / F.size("bigr")
+            ).alias("dup_2g"),
+        )
     )
     return (
         per_doc.groupBy("source")
