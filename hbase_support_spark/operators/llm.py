@@ -1886,3 +1886,100 @@ def pipeline_epoch_order(spark, sf_dir):
         .withColumn("pos", F.row_number().over(w))
         .drop("slot")
     )
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_d_h60("'pack|' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens, start_offset,
+           shard * 1000000 + start_offset // 2048 AS pack_id,
+           (start_offset + n_tokens - 1) // 2048 > start_offset // 2048 AS straddles
+    FROM o
+    """,
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing for the training loader: documents
+    are concatenated in a deterministic order and chopped into
+    fixed-budget packs (2048 whitespace tokens here — the tokenizer
+    proxy `text_token_count_regex` uses). Each doc gets the pack it
+    STARTS in plus a `straddles` flag (it crosses a pack boundary and
+    the loader must split it). Packing is per-shard (salted-hash
+    shard, like `pipeline_epoch_order`): the cumulative offset is a
+    window over shard — 8 parallel in-partition sorts after one hash
+    shuffle, never a global single-partition ORDER BY, so the plan
+    holds at 100 TB where a global running sum would serialize."""
+    from pyspark.sql import Window
+
+    budget = 2048
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.expr(_h60("concat('pack|', cast(doc_id AS string))")) % 8).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return o.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        (F.col("shard") * 1000000 + F.floor(F.col("start_offset") / budget)).alias("pack_id"),
+        (
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / budget)
+            > F.floor(F.col("start_offset") / budget)
+        ).alias("straddles"),
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    SELECT term,
+           COUNT(*) AS df,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc,
+           SUM({_d_h60("CAST(doc_id AS VARCHAR)")} % 1048576) AS posting_digest
+    FROM (SELECT doc_id, UNNEST({D_DISTINCT_TOKENS}) AS term FROM documents)
+    GROUP BY term
+    HAVING COUNT(*) >= 5
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted-index build (term -> posting stats): explode distinct
+    tokens, one shuffle on term. Posting-set identity is verified by
+    an ORDER-FREE commutative digest (sum of bounded portable hashes
+    of member doc_ids) instead of `collect_list` — a stopword term at
+    100 TB has a posting list of billions of doc_ids, which would
+    blow any collect-based agg buffer; the commutative digest keeps
+    the whole aggregation map-side-combinable with O(1) state per
+    term. df >= 5 prunes the hapax tail (the bulk of vocab rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.expr(f"{_h60('cast(doc_id AS string)')} % 1048576")
+    return (
+        d.select("doc_id", F.explode(F.expr(DISTINCT_TOKENS)).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum(digest).alias("posting_digest"),
+        )
+        .filter(F.col("df") >= 5)
+    )
