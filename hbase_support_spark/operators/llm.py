@@ -1983,3 +1983,116 @@ def text_inverted_index(spark, sf_dir):
         )
         .filter(F.col("df") >= 5)
     )
+
+
+@register(
+    "dedup_incremental_vs_corpus",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {D_SHINGLES} AS shingles FROM documents
+    ), batch AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle, len(shingles) AS sa
+      FROM sh WHERE doc_id % 5 = 0 AND len(shingles) > 0
+    ), corpus AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle, len(shingles) AS sb
+      FROM sh WHERE doc_id % 5 <> 0 AND len(shingles) > 0
+    ), pairs AS (
+      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             COUNT(*) AS common, ANY_VALUE(b.sa) AS sa, ANY_VALUE(c.sb) AS sb
+      FROM batch b JOIN corpus c USING (shingle)
+      GROUP BY b.doc_id, c.doc_id
+    )
+    SELECT batch_id AS doc_id,
+           COUNT(*) FILTER (WHERE common * 2 >= sa + sb - common) AS n_dups,
+           COUNT(*) FILTER (WHERE common * 2 >= sa + sb - common) > 0 AS is_dup
+    FROM pairs
+    GROUP BY batch_id
+    HAVING COUNT(*) FILTER (WHERE common * 2 >= sa + sb - common) > 0
+    """,
+)
+def dedup_incremental_vs_corpus(spark, sf_dir):
+    """Incremental near-dup: dedup a NEW batch against an EXISTING
+    corpus (the production shape — each crawl increment is checked
+    against everything already ingested, never corpus-vs-corpus).
+    doc_id % 5 splits batch (20%) from corpus here. Candidate pairs
+    come from a shingle-inverted-index equi-join (explode batch and
+    corpus shingles, join on shingle, count common per pair) — the
+    PPJoin-style set-similarity join: work is proportional to
+    shared-shingle postings, never |batch| x |corpus|. A pair is a
+    dup at Jaccard >= 1/3, tested as common*2 >= sa+sb-common in
+    exact integer arithmetic (no float rounding to diverge between
+    engines). At 100 TB the corpus side of the join is the standard
+    skew risk: ultra-common shingles fan out — production would cap
+    posting df (prefix filtering); kept exact here and flagged."""
+    sh = with_shingles(load_table(spark, sf_dir, "documents"), "doc_id").filter(
+        F.size("shingles") > 0
+    )
+    batch = sh.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("batch_id"),
+        F.explode("shingles").alias("shingle"),
+        F.size("shingles").alias("sa"),
+    )
+    corpus = sh.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.explode("shingles").alias("shingle"),
+        F.size("shingles").alias("sb"),
+    )
+    dup = (F.col("common") * 2 >= F.col("sa") + F.col("sb") - F.col("common")).cast(
+        "long"
+    )
+    pairs = (
+        batch.join(corpus, "shingle")
+        .groupBy("batch_id", "corpus_id")
+        .agg(
+            F.count("*").alias("common"),
+            F.first("sa").alias("sa"),
+            F.first("sb").alias("sb"),
+        )
+    )
+    return (
+        pairs.groupBy(F.col("batch_id").alias("doc_id"))
+        .agg(F.sum(dup).alias("n_dups"))
+        .filter(F.col("n_dups") > 0)
+        .withColumn("is_dup", F.col("n_dups") > 0)
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang, split,
+           COUNT(*) AS n,
+           SUM({_d_h60("CAST(doc_id AS VARCHAR)")} % 1048576) AS member_digest
+    FROM (
+      SELECT doc_id, lang,
+             CASE WHEN {_d_h60("'strat1|' || CAST(doc_id AS VARCHAR)")} % 10000
+                       < CASE WHEN lang = 'en' THEN 500 ELSE 2000 END
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents
+    )
+    GROUP BY lang, split
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified train/val split: per-stratum sampling rates (5% of
+    English — the abundant stratum — 20% of everything else), decided
+    per row by a salted portable hash so the split is reproducible on
+    any engine or cluster size and new rows never reshuffle old
+    assignments. Map-only per row (no shuffle to ASSIGN the split —
+    the only shuffle here is the verification rollup); the emitted
+    per-(lang, split) counts + order-free membership digest let the
+    oracle verify the exact member set, not just the rates."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 500).otherwise(2000)
+    slot = F.expr(_h60("concat('strat1|', cast(doc_id AS string))")) % 10000
+    digest = F.expr(f"{_h60('cast(doc_id AS string)')} % 1048576")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.when(slot < rate, "val").otherwise("train").alias("split"),
+            digest.alias("dg"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"), F.sum("dg").alias("member_digest"))
+    )
