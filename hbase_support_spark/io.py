@@ -53,9 +53,16 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a typed DataFrame.
 
-    ``events.ts`` arrives as long nanoseconds (legacy conf) and is
-    converted with integer division — float division would lose
-    precision above 2^53 ns and can round across a µs boundary.
+    Timestamp normalization: the fixture generator has shipped two
+    parquet encodings across rounds — INT64 TIMESTAMP(NANOS) (Spark
+    reads it as long under the legacy conf; converted with integer
+    division, since float division loses precision above 2^53 ns and
+    can round across a µs boundary) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (Spark 4 reads it as TIMESTAMP_NTZ). Both
+    are normalized here to TIMESTAMP_LTZ so every operator sees one
+    type; with the session zone pinned to UTC (ensure_confs) the
+    NTZ→LTZ cast is a deterministic relabeling, matching how the
+    DuckDB oracle reads the same column (naive µs).
     """
     ensure_confs(spark)
     try:
@@ -67,6 +74,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     if key is not None:
         _TABLE_CACHE[key] = df
     return df

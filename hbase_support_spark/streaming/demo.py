@@ -35,6 +35,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # same NTZ→LTZ relabeling as io.load_table (session zone is UTC)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -182,6 +185,8 @@ def run_watermark_late_data_demo(spark: SparkSession, sf_dir: str, work_dir: str
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     lo = ev.agg(F.min("ts")).collect()[0][0]
     early = ev.filter(F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 HOUR"))
     main = ev.filter(F.col("ts") >= F.lit(lo) + F.expr("INTERVAL 1 HOUR"))
