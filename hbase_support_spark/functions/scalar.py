@@ -432,3 +432,42 @@ def fn_conditional(spark, sf_dir):
         .otherwise("normal")
         .alias("urgency"),
     )
+
+
+@register(
+    "fn_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           ROUND(l_quantity, 2) AS val
+    FROM lineitem WHERE l_orderkey <= 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', ROUND(l_extendedprice, 2)
+    FROM lineitem WHERE l_orderkey <= 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 2)
+    FROM lineitem WHERE l_orderkey <= 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', ROUND(l_tax, 2)
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def fn_unpivot(spark, sf_dir):
+    """Wide→long reshape (melt): the inverse of agg_pivot, turning
+    measure columns into (measure, val) rows — how a metrics table
+    becomes a generic (key, metric, value) cell stream for HBase-style
+    storage. Spark's native `unpivot` is a zero-shuffle map-side
+    expand (each input row emits |measures| rows); the filter is
+    pushed to the scan before the expand, so at 100 TB the 4x row
+    amplification happens after pruning, never before."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "raw_val",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round("raw_val", 2).alias("val"),
+    )

@@ -2096,3 +2096,87 @@ def sample_stratified(spark, sf_dir):
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n"), F.sum("dg").alias("member_digest"))
     )
+
+
+@register(
+    "sim_knn_self_join",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr, a.label AS label,
+             ROUND({_d_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id,
+      range(1, 65) r(i)
+      GROUP BY a.vec_id, b.vec_id, a.label
+    ), ranked AS (
+      SELECT src, nbr, label, cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY cos_sim DESC, nbr) AS rnk
+      FROM scored
+    )
+    SELECT src, nbr, label, cos_sim, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def sim_knn_self_join(spark, sf_dir):
+    """kNN join: every vector's top-3 neighbors — the neighbor-graph
+    primitive under semantic dedup clustering, kNN-classification
+    label transfer, and diversity sampling (contrast sim_knn_query:
+    one probe vs the corpus; this is corpus vs corpus).
+
+    Scale shape: blocked by the IVF cell (label), so candidate
+    generation is O(Σ block²) within co-partitioned blocks — one
+    shuffle on label, never an n² cross join. The rank then runs
+    per-src over each block's candidates. At 100 TB block size is
+    the lever: more/finer IVF cells (with multiprobe for recall, see
+    sim_knn_ivf_multiprobe) keep Σ block² linear-ish in corpus size."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        6,
+    )
+    scored = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") != F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("nbr"),
+        F.col("a.label").alias("label"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "nbr")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+@register(
+    "text_boilerplate_phrases",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, unnest({D_SHINGLES}) AS shingle FROM documents
+    )
+    SELECT shingle, COUNT(*) AS n_docs
+    FROM s GROUP BY shingle HAVING COUNT(*) >= 5
+    """,
+)
+def text_boilerplate_phrases(spark, sf_dir):
+    """Corpus-level boilerplate detector: word trigrams appearing in
+    >= 5 distinct documents — the CCNet/C4 move of finding repeated
+    lines/phrases (nav bars, license headers, templated footers)
+    globally before stripping them from every document. Shingles are
+    per-doc deduped (array_distinct in the shared staging), so
+    COUNT(*) IS document frequency — no countDistinct needed. One
+    explode + one hash agg with map-side partial aggregation; the
+    explode output never materializes (pipelined into the partial
+    agg), so at 100 TB cost is one shuffle of |distinct shingles|
+    partial counts, and the >= 5 filter prunes the long tail
+    post-agg."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        with_shingles(d, "doc_id")
+        .select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 5)
+    )

@@ -279,3 +279,35 @@ def sample_hash_deterministic(spark, sf_dir):
     return o.filter(
         F.expr(f"{h60('cast(o_orderkey AS string)')} % 100 < 5")
     ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "layout_split_points",
+    oracle=" UNION ALL ".join(
+        f"SELECT {i} AS split_idx,"
+        f" CAST(FLOOR(quantile_cont(CAST(user_id AS DOUBLE), {i / 8.0})) AS BIGINT)"
+        f" AS split_key FROM events"
+        for i in range(1, 8)
+    ),
+)
+def layout_split_points(spark, sf_dir):
+    """Balanced region-split designer: the 7 interior octile keys of
+    the rowkey distribution, i.e. the split points that pre-split a
+    table into 8 regions of equal row volume (what HBase admins do
+    before a bulk load to avoid hotspotting one region server).
+
+    Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`) keep the output deterministic; at 100 TB swap in
+    `percentile_approx` — the GK sketch is mergeable, one pass,
+    bounded memory, and a split point only needs rank accuracy, not
+    exactness. Single global aggregate: partial agg per partition,
+    one 7-value array to the driver-side final agg, no wide shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = [i / 8.0 for i in range(1, 8)]
+    agg = ev.agg(
+        F.percentile(F.col("user_id").cast("double"), F.array(*[F.lit(p) for p in pts])).alias("qs")
+    )
+    return agg.select(F.posexplode("qs").alias("idx", "q")).select(
+        (F.col("idx") + 1).alias("split_idx"),
+        F.floor("q").cast("long").alias("split_key"),
+    )

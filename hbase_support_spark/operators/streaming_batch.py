@@ -305,3 +305,45 @@ def rollup_time_hierarchy(spark, sf_dir):
     return _emit(hourly, "hour").unionAll(_emit(daily, "day")).unionAll(
         _emit(monthly, "month")
     )
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+    WITH counted AS (
+      SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+             COUNT(*) AS event_cnt
+      FROM events
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT window_start, event_type, event_cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY window_start
+               ORDER BY event_cnt DESC, event_type) AS rnk
+      FROM counted
+    )
+    SELECT window_start, event_type, event_cnt, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def stream_topk_per_window(spark, sf_dir):
+    """Top-3 event types per tumbling hour — the 'trending now'
+    streaming analytics shape. Rank-within-window is not
+    incrementally computable in Structured Streaming (a late event
+    can reorder the board), so production runs the windowed count
+    with a watermark and ranks each emitted window in foreachBatch;
+    this batch twin states the exact semantics both must produce.
+    Scale: the rank input is the |windows| x |event_types| aggregate
+    (tiny — partial agg collapses the raw stream map-side), so the
+    window-function shuffle is over aggregated rows, never raw
+    events. Ties break on event_type for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    counted = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("event_cnt"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("event_cnt").desc(), "event_type"
+    )
+    return counted.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 3
+    )
