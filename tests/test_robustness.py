@@ -52,3 +52,36 @@ def test_parquet_schema_evolution_merges(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_load_table_normalizes_both_ts_encodings(spark, tmp_path):
+    """The fixture generator has shipped events.ts as INT64
+    TIMESTAMP(NANOS) (round 1) and TIMESTAMP(MICROS, adjusted=false)
+    i.e. NTZ (round 2). load_table must yield TIMESTAMP_LTZ with
+    identical values for both."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hbase_support_spark.io import _TABLE_CACHE, load_table
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    vals = [base + datetime.timedelta(minutes=m) for m in range(3)]
+    for unit in ("ns", "us"):
+        d = str(tmp_path / unit)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(vals, pa.timestamp(unit)),
+            }
+        )
+        import os
+
+        os.makedirs(d)
+        pq.write_table(tbl, f"{d}/events.parquet")
+        df = load_table(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", unit
+        got = sorted(r.ts for r in df.collect())
+        assert got == vals, unit
+    _TABLE_CACHE.clear()
