@@ -21,3 +21,13 @@ def h60(expr: str) -> str:
 def d_h60(expr: str) -> str:
     """DuckDB twin of :func:`h60` — bit-identical output."""
     return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def py_h60(s: str) -> int:
+    """Python twin of :func:`h60` for Arrow/pandas kernels — same
+    md5-prefix 60-bit BIGINT as the Spark and DuckDB forms, so
+    hash-defined outputs computed in Python workers stay oracle-
+    checkable."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

@@ -2180,3 +2180,71 @@ def text_boilerplate_phrases(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= 5)
     )
+
+
+_QL_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@register(
+    "text_quality_logit",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({D_TOKENS}) AS n_toks,
+             len(list_distinct({D_TOKENS})) / CAST(len({D_TOKENS}) AS DOUBLE) AS ttr,
+             len(list_filter({D_TOKENS},
+                 w -> list_contains({list(_QL_STOPWORDS)}, w)))
+               / CAST(len({D_TOKENS}) AS DOUBLE) AS stop_ratio,
+             list_sum(list_transform({D_TOKENS}, w -> length(w)))
+               / CAST(len({D_TOKENS}) AS DOUBLE) AS avg_tok_len
+      FROM documents WHERE len({D_TOKENS}) > 0
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(-1.2 + 0.004 * n_toks + 2.0 * ttr
+                                    - 3.0 * stop_ratio + 0.15 * avg_tok_len))), 6)
+             AS quality_score,
+           (1.0 / (1.0 + EXP(-(-1.2 + 0.004 * n_toks + 2.0 * ttr
+                               - 3.0 * stop_ratio + 0.15 * avg_tok_len))) >= 0.5)
+             AS keep
+    FROM feats
+    """,
+)
+def text_quality_logit(spark, sf_dir):
+    """Model-based quality filtering, the step after heuristic
+    filters in a C4/FineWeb-style pipeline: a logistic scorer over
+    engineered features (token count, type-token ratio, stopword
+    ratio, mean token length). Weights here are fixed in code — the
+    production analog broadcasts coefficients exported from a
+    trained fasttext/regression model; the execution shape is
+    identical either way: pure per-row expression math, no shuffle,
+    no UDF, whole-stage codegen end to end, so scoring 100 TB is a
+    map-only pass at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id", F.expr(TOKENS).alias("toks")
+    ).filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        (F.size(F.array_distinct("toks")) / F.size("toks").cast("double")).alias("ttr"),
+        (
+            F.size(F.filter("toks", lambda w: w.isin(*_QL_STOPWORDS)))
+            / F.size("toks").cast("double")
+        ).alias("stop_ratio"),
+        (
+            F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
+            / F.size("toks").cast("double")
+        ).alias("avg_tok_len"),
+    )
+    z = (
+        F.lit(-1.2)
+        + 0.004 * F.col("n_toks")
+        + 2.0 * F.col("ttr")
+        - 3.0 * F.col("stop_ratio")
+        + 0.15 * F.col("avg_tok_len")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )

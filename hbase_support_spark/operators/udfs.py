@@ -257,3 +257,73 @@ def multimodal_decode_meta(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(decode, _MM_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("byte_off", IntegerType()),
+        StructField("frame_digest", LongType()),
+    ]
+)
+
+_FRAME_STRIDE = 256  # bytes between sampled frames
+_FRAME_LEN = 64  # bytes per sampled frame
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * {_FRAME_STRIDE} AS INT) AS byte_off,
+           CAST('0x' || substring(md5(substring(text, i * {_FRAME_STRIDE} + 1,
+                                               {_FRAME_LEN})), 1, 15) AS BIGINT)
+             AS frame_digest
+    FROM documents, range(0, 4096) r(i)
+    WHERE i * {_FRAME_STRIDE} + {_FRAME_LEN} <= length(text)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-frame sampling plumbing: an opaque media payload (text
+    bytes stand in — codec libs are absent here) is cut into fixed-
+    stride frames per Arrow batch, emitting one typed row per sampled
+    frame with a portable md5-h60 content digest (hashutil: same
+    value in Spark SQL, DuckDB, and this Python kernel). The real
+    deployment swaps the slicing loop for ffmpeg keyframe extraction
+    at the same seam; schema, batching, and the frame-row fan-out are
+    exactly what the real decoder produces. Scale shape: map-only
+    mapInPandas (no shuffle), output rows ~ payload_bytes / stride,
+    and Arrow batch size bounds worker memory regardless of document
+    length skew."""
+    import hashlib
+
+    stride, flen = _FRAME_STRIDE, _FRAME_LEN
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (see multimodal_decode_meta NOTE)
+        def h60_py(s: str) -> int:
+            return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+        for pdf in batches:
+            ids, idxs, offs, digs = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = 0
+                while i * stride + flen <= len(text):
+                    off = i * stride
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    digs.append(h60_py(text[off : off + flen]))
+                    i += 1
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "byte_off": offs, "frame_digest": digs}
+            ).astype(
+                # pin dtypes: an all-short-docs batch yields zero rows,
+                # and empty object columns don't Arrow-cast to ints
+                {"doc_id": "int64", "frame_idx": "int32", "byte_off": "int32", "frame_digest": "int64"}
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(sample, _FRAME_SCHEMA)
