@@ -194,11 +194,25 @@ def agg_approx_distinct(spark, sf_dir):
     within-tolerance boolean (the estimate is a pure function of the
     fixed input, so the boolean is stable; the oracle asserts it
     literally). The exact count is the verification surface — the
-    production plan at scale is the sketch alone."""
-    per_type = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+    production plan at scale is the sketch alone.
+
+    Physical shape: the exact distinct is staged as a two-phase agg
+    (pre-aggregate on (event_type, user_id), then count) instead of
+    mixing countDistinct with the other aggregates — the mixed form
+    plans an Expand that triplicates every input row before the
+    shuffle (measured 3x slower at sf0.1); this form shuffles only
+    per-key partial counts, and the HLL runs over the already-
+    distinct keys (same estimate input: the sketch only sees each
+    key's presence)."""
+    per_key = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("key_cnt"))
+    )
+    per_type = per_key.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.count("*").alias("event_cnt"),
+        F.count("*").alias("exact_users"),
+        F.sum("key_cnt").alias("event_cnt"),
     )
     within = (
         F.abs(F.col("approx_users") - F.col("exact_users"))

