@@ -345,3 +345,44 @@ def join_multiway_star(spark, sf_dir):
             )
         )
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS order_cnt,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-mitigated equi-join: the fact side gets a deterministic
+    salt (md5-h60 of its row id, mod 8) and the dim side is exploded
+    into all 8 salt replicas, so a hot customer key's rows spread
+    over 8 reducers instead of one. Result is provably identical to
+    the plain join (the oracle IS the plain join); only the physical
+    row distribution changes. At 100 TB this is the manual fallback
+    when AQE's skew-join split can't help — e.g. a skewed
+    *aggregation* downstream of the join, or a build side too big to
+    split. The salt count trades skew headroom against dim
+    replication (8x here — still broadcast-size for a dim)."""
+    from ..hashutil import h60
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.expr(f"{h60('cast(o_orderkey AS string)')} % 8")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(7))))
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -2335,3 +2335,105 @@ def sim_knn_self_join_blas(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("src", "nbr", "label", "cos_sim", "rnk")
     )
+
+
+@register(
+    "text_ngram_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({D_TOKENS}) AS w FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w
+    ), tot AS (
+      SELECT SUM(n_w) AS n FROM freq
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_toks,
+           ROUND(AVG(-LN(f.n_w / (SELECT n FROM tot))), 6) AS avg_neg_logp,
+           ROUND(EXP(AVG(-LN(f.n_w / (SELECT n FROM tot)))), 4) AS perplexity
+    FROM toks t JOIN freq f ON t.w = f.w
+    GROUP BY t.doc_id
+    """,
+)
+def text_ngram_lm_perplexity(spark, sf_dir):
+    """Perplexity filtering (the CCNet/CC-100 quality gate): score
+    every document under a unigram LM fit on the corpus itself —
+    avg negative log-probability per token, exp of it as perplexity.
+    High-perplexity docs are word salad; low are repetitive
+    boilerplate; production keeps the middle band (and fits the LM
+    on a trusted corpus like Wikipedia instead of self-fit — same
+    dataflow, the freq table just comes from elsewhere).
+
+    Scale shape: token explode → vocab count (one hash agg,
+    |vocab| rows) → broadcast the vocab back onto the token stream
+    (vocab is always tiny relative to the corpus) → per-doc avg.
+    Two shuffles total (vocab agg, per-doc agg); the token stream is
+    never shuffled on the raw text, only on doc_id partial sums."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(TOKENS)).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("n_w"))
+    total = freq.agg(F.sum("n_w").alias("n"))
+    neg_logp = -F.log(F.col("n_w") / F.col("n"))
+    return (
+        toks.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.avg(neg_logp), 6).alias("avg_neg_logp"),
+            F.round(F.exp(F.avg(neg_logp)), 4).alias("perplexity"),
+        )
+    )
+
+
+@register(
+    "sample_importance_weighted",
+    oracle=f"""
+    WITH shares AS (
+      SELECT lang, COUNT(*) AS n_s,
+             COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+      FROM documents GROUP BY lang
+    ), probs AS (
+      SELECT lang, n_s,
+             POW(share, -0.3) / MAX(POW(share, -0.3)) OVER () AS p_keep
+      FROM shares
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN probs p ON d.lang = p.lang
+    WHERE CAST('0x' || substring(md5('iw|' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000000 < CAST(FLOOR(p.p_keep * 1000000) AS BIGINT)
+    """,
+)
+def sample_importance_weighted(spark, sf_dir):
+    """Temperature resampling (T=0.7) across languages — the
+    multilingual rebalancing move: keep probability per language
+    ∝ share^(T-1), normalized so the rarest language keeps
+    everything, so over-represented languages are down-sampled toward
+    the tempered distribution. Membership is decided by the portable
+    md5-h60 hash slot of the doc id — deterministic across runs,
+    engines, and cluster sizes (same contract as
+    sample_hash_deterministic), which is what makes the sampled
+    corpus reproducible for training reruns. Two tiny aggregates
+    (per-source shares) broadcast back onto the scan; the keep
+    decision is a map-side filter."""
+    from pyspark.sql import Window
+
+    from ..hashutil import h60
+
+    d = load_table(spark, sf_dir, "documents")
+    shares = d.groupBy("lang").agg(F.count("*").alias("n_s"))
+    w = Window.partitionBy()
+    probs = shares.select(
+        "lang",
+        (
+            F.pow(F.col("n_s") / F.sum("n_s").over(w), -0.3)
+            / F.max(F.pow(F.col("n_s") / F.sum("n_s").over(w), -0.3)).over(w)
+        ).alias("p_keep"),
+    )
+    key = "concat('iw|', cast(doc_id AS string))"
+    slot = F.expr(f"{h60(key)} % 1000000")
+    return (
+        d.join(F.broadcast(probs), "lang")
+        .filter(slot < F.floor(F.col("p_keep") * 1000000).cast("long"))
+        .select("doc_id", "lang")
+    )
