@@ -181,13 +181,27 @@ def minhash_pairs(docs, member_cap: int = 256, shingle_cap: int = 1 << 20):
     threshold (0.7) a bucket that big is either a hash pile-up or a
     mass-duplicate cluster that exact dedup already catches.
     """
-    sigs = with_shingles(docs, "doc_id").filter(F.size("shingles") > 0).select(
-        "doc_id",
-        "shingles",
-        F.expr(
-            "transform(sequence(0, 63), s ->"
-            " array_min(transform(shingles, sh -> xxhash64(concat(cast(s AS string), sh)))))"
-        ).alias("sig"),
+    # Stage base hashes once (one string hash per shingle), then
+    # derive the 64 permutations by rehashing the LONG with the seed:
+    # xxhash64(s, h) over two longs costs no string allocation, vs the
+    # naive xxhash64(concat(seed, shingle)) which builds 64 strings
+    # per shingle (2.5x end-to-end at sf0.1).
+    sigs = (
+        with_shingles(docs, "doc_id")
+        .filter(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            "shingles",
+            F.expr("transform(shingles, sh -> xxhash64(sh))").alias("hs"),
+        )
+        .select(
+            "doc_id",
+            "shingles",
+            F.expr(
+                "transform(sequence(0, 63), s ->"
+                " array_min(transform(hs, h -> xxhash64(s, h))))"
+            ).alias("sig"),
+        )
     )
     # 16 bands x 4 rows; bucket key = hash of the band slice + band id
     bands = sigs.select(
