@@ -461,3 +461,411 @@ def tpch_q22_anti_scalar(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY 1, 2
+    ), best AS (
+      SELECT l_partkey, MIN(min_price) AS best_price FROM cost GROUP BY 1
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+           ROUND(c.min_price, 2) AS best_price
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN best b ON b.l_partkey = p.p_partkey AND c.min_price = b.best_price
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    WHERE p.p_size <= 10 AND p.p_type = 'ECONOMY'
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape (correlated scalar MIN): cheapest European supplier
+    per small economy part. No partsupp in the fixtures, so observed
+    lineitem prices stand in for supply cost — the plan shape is
+    preserved: pre-aggregate per (part, supplier), re-aggregate the
+    per-part best, join the two on equality of the min (MIN is exact
+    value selection, never arithmetic, so the equality is fp-safe).
+    Both aggregates shuffle once on the part key; every dimension
+    join is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("min_price").alias("best_price"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        cost.join(best, (F.col("l_partkey") == F.col("b_partkey"))
+                  & (F.col("min_price") == F.col("best_price")))
+        .drop("b_partkey")
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name",
+            F.round("min_price", 2).alias("best_price"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 0.5 * 100)
+                    AS BIGINT)) / 100.0 AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%rod%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """Q9 shape: product-line profit per supplier nation per year.
+    No ps_supplycost, so a 50% margin surrogate keeps the arithmetic
+    (price x discount x cost factor) without inventing data. Profit
+    accumulates as integer cents: each term's double is computed
+    identically by both engines, so per-term ROUND is deterministic,
+    and an integer SUM is order-independent — unlike ROUND(SUM(dbl)),
+    which this query's cent-scale totals showed to be one ulp from
+    the rounding boundary at sf0.01. The
+    part filter prunes before the fact joins; orders joins on the
+    fact-fact key under AQE, supplier/nation/part broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%rod%"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 0.5 * 100
+                    ).cast("long")
+                )
+                / 100.0
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS part_value
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey AS p_partkey, ROUND(part_value, 2) AS part_value
+    FROM val
+    WHERE part_value > (SELECT SUM(part_value) * 0.0006 FROM val)
+    """,
+)
+def tpch_q11_important_parts(spark, sf_dir):
+    """Q11 shape (uncorrelated scalar subquery in HAVING): parts
+    whose traded value exceeds a fraction of the global total. The
+    scalar subquery is a 1-row broadcast cross join against the
+    per-part aggregate — the decorrelated plan Catalyst produces for
+    the SQL form, stated directly: no per-row re-aggregation, the
+    value table is computed once and scanned twice (self-reuse via
+    the shuffle exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
+    )
+    total = val.agg((F.sum("part_value") * 0.0006).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("part_value", 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_priority_lines",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_priority_lines(spark, sf_dir):
+    """Q12 shape: conditional counts of urgent vs non-urgent order
+    lines per shipment class in a one-year window (returnflag stands
+    in for the absent ship mode). The date filter pushes to the
+    lineitem scan; the CASE counting happens inside one hash agg
+    after the join — no second pass."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15 shape (view + scalar MAX): the quarter's top revenue
+    supplier(s). Revenue is ROUNDed before the MAX so the equality
+    compares engine-identical values; ties all surface (the spec's
+    semantics). The MAX is a 1-row broadcast joined back — the
+    derived view is shuffled once and reused."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "tpch_q16_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_counts(spark, sf_dir):
+    """Q16 shape (NOT IN + distinct agg): how many suppliers can
+    serve each (brand, type, size) slice, excluding flagged
+    suppliers (negative balance stands in for the complaints
+    predicate). NOT IN compiles to a broadcast anti-join (s_suppkey
+    is non-null, so the NULL-semantics trap of NOT IN doesn't
+    apply); the distinct count is staged two-phase on the
+    already-joined slice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    per_key = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size", "l_suppkey")
+        .agg(F.count("*").alias("_n"))
+    )
+    return per_key.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count("*").alias("supplier_cnt")
+    )
+
+
+@register(
+    "tpch_q19_bracket_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_bracket_revenue(spark, sf_dir):
+    """Q19 shape (disjunctive multi-bracket predicate): revenue from
+    three brand/size/quantity brackets OR-ed together. The join is a
+    plain equi-join on the part key with the disjunction evaluated
+    as a post-join filter; Catalyst extracts the common sub-predicates
+    it can (brand IN the 3-set, p_size <= 35, quantity ranges) below
+    the join — the pattern that keeps an OR-of-ANDs from forcing a
+    cross product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+      GROUP BY l.l_suppkey
+      HAVING SUM(l.l_quantity) > 2500
+    )
+    """,
+)
+def tpch_q20_excess_suppliers(spark, sf_dir):
+    """Q20 shape (IN over a grouped-HAVING subquery): suppliers who
+    moved more than a threshold volume of promo parts. The inner
+    aggregate runs once (shuffle on suppkey after the broadcast part
+    filter), then the IN is a left-semi join against the tiny
+    qualifying set — never a per-supplier re-scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 2500)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey, l_returnflag
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                 THEN l_suppkey END) AS n_r_supp
+      FROM l GROUP BY 1
+    )
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM l l1
+    JOIN per_order po ON po.l_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R' AND po.n_supp > 1 AND po.n_r_supp = 1
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """Q21 shape (EXISTS + NOT EXISTS double correlation): suppliers
+    solely responsible for a problem line in a multi-supplier
+    finished order (returnflag 'R' stands in for the late-receipt
+    predicate). The two correlated subqueries decorrelate into ONE
+    per-order aggregate — EXISTS(other supplier) is n_supp > 1 and
+    NOT EXISTS(other R supplier) is n_r_supp = 1 given the probe row
+    is itself 'R' — so the whole query costs one extra shuffle on
+    the order key instead of two correlated semi/anti joins over the
+    fact table."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)),
+              "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
