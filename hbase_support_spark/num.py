@@ -1,0 +1,39 @@
+"""Deterministic money aggregation — the integer-cents contract.
+
+``ROUND(SUM(double), 2)`` is engine-unstable for price-scale sums:
+Spark sums per-partition partials in shuffle order, DuckDB sums
+sequentially, and the ~1e-8 accumulation difference occasionally
+lands a total exactly on a half-cent rounding boundary (observed:
+tpch_q9 at sf0.01 — 1757513.865 rounding to .86 vs .87). Since the
+fixtures are regenerated per round, any ROUND(SUM) site is a latent
+once-per-round coin flip.
+
+The fix: round each TERM to integer cents and sum longs. A term's
+double is computed by one identical IEEE expression in both engines,
+so its ROUND is deterministic (both Spark and DuckDB round doubles
+half-away-from-zero — verified incl. exact dyadic halves), and an
+integer sum is associative — partial-aggregation order stops
+mattering. Division back by 100.0 is exact for any realistic total
+(cents < 2^53).
+
+Applies to sums of price-magnitude terms (o_totalprice,
+l_extendedprice arithmetic). Sums of small-magnitude values over
+small groups (events.value) keep plain ROUND(SUM): their absolute
+error (~1e-11) makes a boundary hit astronomically unlikely, and the
+cheaper form documents that judgment where it's used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def money_sum(col: Column | str) -> Column:
+    """Exact 2-decimal sum of a price-scale double expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * 100).cast("long")) / 100.0
+
+
+def d_money_sum(expr: str) -> str:
+    """DuckDB/ANSI twin of :func:`money_sum` (also valid Spark SQL)."""
+    return f"SUM(CAST(ROUND(({expr}) * 100) AS BIGINT)) / 100.0"

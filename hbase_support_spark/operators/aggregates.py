@@ -6,10 +6,12 @@ plans every groupBy here as partial (map-side) + final aggregation,
 which is exactly the coprocessor's region-local-then-merge shape —
 at 100 TB only the partial results cross the network.
 
-Float parity: every floating aggregate is ROUND()ed identically in
-Spark and the oracle because summation order differs between engines
-(SURVEY.md §5.2). Sums over many rows round to 2 (absolute error
-grows with magnitude); per-group means/stddevs round to 6.
+Float parity: price-scale sums accumulate integer cents (num.py —
+ROUND(SUM(double)) is a latent boundary coin-flip once the per-round
+fixture regen moves the data; integer sums are order-independent).
+Small-magnitude aggregates (events.value sums, stddevs) keep plain
+ROUND: their absolute error is orders of magnitude below the
+rounding grid, as documented per site.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..num import money_sum
 from ..registry import register
 
 
@@ -68,13 +71,18 @@ def agg_cellcount(spark, sf_dir):
     "agg_sum_min_max_avg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
-           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0        AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0   AS sum_base_price,
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100)
+                    AS BIGINT)) / 100.0                                AS sum_disc_price,
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100)
+                    AS BIGINT)) / 100.0                                AS sum_charge,
+           ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 6)                                        AS avg_qty,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 6)                                        AS avg_price,
+           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 6)                                        AS avg_disc,
            MIN(l_extendedprice)                                        AS min_price,
            MAX(l_extendedprice)                                        AS max_price,
            COUNT(*)                                                    AS count_order
@@ -91,13 +99,13 @@ def agg_sum_min_max_avg(spark, sf_dir):
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        money_sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_base_price"),
+        money_sum(disc_price).alias("sum_disc_price"),
+        money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        F.round(money_sum("l_quantity") / F.count("*"), 6).alias("avg_qty"),
+        F.round(money_sum("l_extendedprice") / F.count("*"), 6).alias("avg_price"),
+        F.round(money_sum("l_discount") / F.count("*"), 6).alias("avg_disc"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         F.count("*").alias("count_order"),
@@ -298,7 +306,8 @@ def agg_percentile_approx(spark, sf_dir):
     "agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+           COUNT(*) AS cnt,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -306,7 +315,7 @@ def agg_percentile_approx(spark, sf_dir):
 def agg_rollup(spark, sf_dir):
     return load_table(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        money_sum("l_quantity").alias("sum_qty"),
     )
 
 
@@ -328,7 +337,8 @@ def agg_cube(spark, sf_dir):
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+           COUNT(*) AS cnt,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -339,7 +349,8 @@ def agg_grouping_sets(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+               COUNT(*) AS cnt,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
         FROM gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from ..io import load_table
+from ..num import money_sum
 from ..registry import register
 
 
@@ -33,7 +34,7 @@ from ..registry import register
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*) AS order_cnt,
-           ROUND(SUM(o.o_totalprice), 2) AS revenue
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -46,7 +47,7 @@ def join_inner_equi(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money_sum("o_totalprice").alias("revenue"),
         )
     )
 
@@ -165,7 +166,8 @@ def join_anti(spark, sf_dir):
     oracle="""
     SELECT p.p_brand,
            COUNT(*) AS line_cnt,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100)
+                    AS BIGINT)) / 100.0 AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_type = 'PROMO'
     GROUP BY p.p_brand
@@ -182,7 +184,7 @@ def join_broadcast(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("line_cnt"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
         )
@@ -258,7 +260,8 @@ def join_interval_overlap(spark, sf_dir):
     "join_shipping_priority_topk",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100)
+                    AS BIGINT)) / 100.0 AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -288,7 +291,7 @@ def join_shipping_priority_topk(spark, sf_dir):
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -302,7 +305,8 @@ def join_shipping_priority_topk(spark, sf_dir):
     "join_multiway_star",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100)
+                    AS BIGINT)) / 100.0 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -340,7 +344,7 @@ def join_multiway_star(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -352,7 +356,7 @@ def join_multiway_star(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS order_cnt,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -383,6 +387,6 @@ def join_skew_salted(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum("o_totalprice").alias("total_price"),
         )
     )

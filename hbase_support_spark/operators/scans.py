@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 
 from ..hashutil import d_h60, h60
 from ..io import load_table, write_parquet, write_csv, read_csv
+from ..num import money_sum
 from ..registry import register
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
@@ -132,7 +133,8 @@ def scan_reverse(spark, sf_dir):
 
 @register(
     "copy_table",
-    oracle="SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total FROM orders",
+    oracle="SELECT COUNT(*) AS cnt,"
+    " SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total FROM orders",
 )
 def copy_table(spark, sf_dir):
     """CopyTable / Export+Import — full-fidelity table copy.
@@ -147,7 +149,7 @@ def copy_table(spark, sf_dir):
     back = spark.read.parquet(dst)
     return back.agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        money_sum("o_totalprice").alias("total"),
     )
 
 
@@ -194,7 +196,8 @@ def source_json_roundtrip(spark, sf_dir):
 @register(
     "sink_partitioned_parquet",
     oracle="""
-    SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -208,7 +211,7 @@ def sink_partitioned_parquet(spark, sf_dir):
     back = spark.read.parquet(dst)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        money_sum("o_totalprice").alias("total"),
     )
 
 

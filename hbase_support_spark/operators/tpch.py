@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..num import money_sum
 from ..registry import register
 
 
@@ -70,7 +71,8 @@ def tpch_q4_exists(spark, sf_dir):
 @register(
     "tpch_q6_forecast",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT SUM(CAST(ROUND((l_extendedprice * l_discount) * 100) AS BIGINT)) / 100.0
+             AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -92,14 +94,15 @@ def tpch_q6_forecast(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
 @register(
     "tpch_q7_volume",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           SUM(CAST(ROUND(volume * 100) AS BIGINT)) / 100.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
@@ -156,7 +159,7 @@ def tpch_q7_volume(spark, sf_dir):
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(money_sum("volume").alias("revenue"))
     )
 
 
@@ -164,8 +167,10 @@ def tpch_q7_volume(spark, sf_dir):
     "tpch_q8_share",
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           ROUND(SUM(CAST(ROUND((CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE 0 END) * 100) AS BIGINT))
+                 / CAST(SUM(CAST(ROUND(volume * 100) AS BIGINT)) AS DOUBLE),
+                 6) AS mkt_share
     FROM (
       SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
              l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -221,8 +226,14 @@ def tpch_q8_share(spark, sf_dir):
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    F.round(
+                        F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                        .otherwise(0.0)
+                        * 100
+                    ).cast("long")
+                )
+                / F.sum(F.round(F.col("volume") * 100).cast("long")).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -233,7 +244,8 @@ def tpch_q8_share(spark, sf_dir):
     "tpch_q10_returns",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100)
+                    AS BIGINT)) / 100.0 AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -264,7 +276,7 @@ def tpch_q10_returns(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -306,10 +318,11 @@ def tpch_q13_distribution(spark, sf_dir):
     "tpch_q14_promo",
     oracle="""
     SELECT ROUND(
-             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue
+             100.0 * SUM(CAST(ROUND((CASE WHEN p.p_type = 'PROMO'
+                                          THEN l.l_extendedprice * (1 - l.l_discount)
+                                          ELSE 0 END) * 100) AS BIGINT))
+             / CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100)
+                             AS BIGINT)) AS DOUBLE), 6) AS promo_revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
@@ -331,8 +344,12 @@ def tpch_q14_promo(spark, sf_dir):
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-                / F.sum(vol),
+                * F.sum(
+                    F.round(
+                        F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0) * 100
+                    ).cast("long")
+                )
+                / F.sum(F.round(vol * 100).cast("long")).cast("double"),
                 6,
             ).alias("promo_revenue")
         )
@@ -342,7 +359,8 @@ def tpch_q14_promo(spark, sf_dir):
 @register(
     "tpch_q17_scalar_corr",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0
+                 / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#7'
@@ -367,7 +385,7 @@ def tpch_q17_scalar_corr(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(part_avg, li.l_partkey == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(money_sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -420,7 +438,7 @@ def tpch_q18_in_having(spark, sf_dir):
     WITH avg_bal AS (
       SELECT AVG(c_acctbal) AS v FROM customer WHERE c_acctbal > 0.0
     )
-    SELECT n.n_name, COUNT(*) AS numcust, ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    SELECT n.n_name, COUNT(*) AS numcust, SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
     FROM customer c
     JOIN nation n ON n.n_nationkey = c.c_nationkey, avg_bal
     WHERE c.c_acctbal > avg_bal.v
@@ -458,7 +476,7 @@ def tpch_q22_anti_scalar(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum("c_acctbal").alias("totacctbal"),
         )
     )
 
@@ -651,8 +669,9 @@ def tpch_q12_priority_lines(spark, sf_dir):
     "tpch_q15_top_supplier",
     oracle="""
     WITH rev AS (
-      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-               AS total_rev
+      SELECT l_suppkey,
+             SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100)
+                      AS BIGINT)) / 100.0 AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -674,7 +693,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_rev"
         )
     )
@@ -733,7 +752,8 @@ def tpch_q16_supplier_counts(spark, sf_dir):
 @register(
     "tpch_q19_bracket_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100)
+                    AS BIGINT)) / 100.0 AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -772,9 +792,7 @@ def tpch_q19_bracket_revenue(spark, sf_dir):
         )
     )
     return j.filter(bracket).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 

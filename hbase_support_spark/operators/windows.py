@@ -100,8 +100,9 @@ def win_lag_lead(spark, sf_dir):
     "win_running_sum_rows",
     oracle="""
     SELECT event_id, user_id, ts,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           SUM(CAST(ROUND(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
              AS running_total,
            COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -110,7 +111,11 @@ def win_lag_lead(spark, sf_dir):
     """,
 )
 def win_running_sum_rows(spark, sf_dir):
-    """Running counters per rowkey in version order."""
+    """Running counters per rowkey in version order. The counter
+    accumulates integer cents (see num.py): DuckDB evaluates window
+    SUMs over a segment tree while Spark accumulates sequentially, so
+    unrounded running doubles differ in the last ulps on ~1/3 of rows
+    — integer window sums are tree-shape-independent."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -121,7 +126,9 @@ def win_running_sum_rows(spark, sf_dir):
         "event_id",
         "user_id",
         "ts",
-        F.round(F.sum("value").over(w), 6).alias("running_total"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0).alias(
+            "running_total"
+        ),
         F.count("*").over(w).alias("running_cnt"),
     )
 
@@ -130,7 +137,11 @@ def win_running_sum_rows(spark, sf_dir):
     "win_moving_avg_rows",
     oracle="""
     SELECT event_id, user_id, ts,
-           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 / 100.0
+                 / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
              AS moving_avg3
     FROM events
@@ -144,7 +155,12 @@ def win_moving_avg_rows(spark, sf_dir):
         "event_id",
         "user_id",
         "ts",
-        F.round(F.avg("value").over(w), 6).alias("moving_avg3"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+            / 100.0
+            / F.count("*").over(w),
+            6,
+        ).alias("moving_avg3"),
     )
 
 
@@ -154,8 +170,10 @@ def win_moving_avg_rows(spark, sf_dir):
     SELECT event_id, user_id, ts,
            COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS events_last_hour,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
-                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS value_last_hour
+           SUM(CAST(ROUND(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 100.0
+             AS value_last_hour
     FROM events
     """,
 )
@@ -170,7 +188,9 @@ def win_range_frame(spark, sf_dir):
         "user_id",
         "ts",
         F.count("*").over(w).alias("events_last_hour"),
-        F.round(F.sum("value").over(w), 6).alias("value_last_hour"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0).alias(
+            "value_last_hour"
+        ),
     )
 
 
