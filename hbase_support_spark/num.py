@@ -10,11 +10,14 @@ once-per-round coin flip.
 
 The fix: round each TERM to integer cents and sum longs. A term's
 double is computed by one identical IEEE expression in both engines,
-so its ROUND is deterministic (both Spark and DuckDB round doubles
-half-away-from-zero — verified incl. exact dyadic halves), and an
+so FLOOR(x * 100 + 0.5) — round-half-toward-+inf — is deterministic
+in both (floor is exact on doubles, no decimal conversion), and an
 integer sum is associative — partial-aggregation order stops
-mattering. Division back by 100.0 is exact for any realistic total
-(cents < 2^53).
+mattering. FLOOR, not ROUND: Spark's double ROUND routes through
+BigDecimal (~2x on a wide aggregate, measured at sf0.1), while the
+floor form is FASTER than even the plain double sum it replaces
+(long partials beat double partials). Division back by 100.0 is
+exact for any realistic total (cents < 2^53).
 
 Applies to sums of price-magnitude terms (o_totalprice,
 l_extendedprice arithmetic). Sums of small-magnitude values over
@@ -31,9 +34,9 @@ from pyspark.sql import Column, functions as F
 def money_sum(col: Column | str) -> Column:
     """Exact 2-decimal sum of a price-scale double expression."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(F.round(c * 100).cast("long")) / 100.0
+    return F.sum(F.floor(c * 100 + 0.5)) / 100.0
 
 
 def d_money_sum(expr: str) -> str:
     """DuckDB/ANSI twin of :func:`money_sum` (also valid Spark SQL)."""
-    return f"SUM(CAST(ROUND(({expr}) * 100) AS BIGINT)) / 100.0"
+    return f"SUM(CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT)) / 100.0"

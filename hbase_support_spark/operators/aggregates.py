@@ -71,17 +71,17 @@ def agg_cellcount(spark, sf_dir):
     "agg_sum_min_max_avg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0        AS sum_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0   AS sum_base_price,
-           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100)
+           SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0        AS sum_qty,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0   AS sum_base_price,
+           SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5)
                     AS BIGINT)) / 100.0                                AS sum_disc_price,
-           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100)
+           SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5)
                     AS BIGINT)) / 100.0                                AS sum_charge,
-           ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0
+           ROUND(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
                  / COUNT(*), 6)                                        AS avg_qty,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+           ROUND(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
                  / COUNT(*), 6)                                        AS avg_price,
-           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0
+           ROUND(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) / 100.0
                  / COUNT(*), 6)                                        AS avg_disc,
            MIN(l_extendedprice)                                        AS min_price,
            MAX(l_extendedprice)                                        AS max_price,
@@ -307,7 +307,7 @@ def agg_percentile_approx(spark, sf_dir):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS cnt,
-           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+           SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -338,7 +338,7 @@ def agg_cube(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS cnt,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -350,7 +350,7 @@ def agg_grouping_sets(spark, sf_dir):
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS cnt,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
         FROM gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """

@@ -34,7 +34,7 @@ from ..registry import register
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*) AS order_cnt,
-           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+           SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -166,7 +166,7 @@ def join_anti(spark, sf_dir):
     oracle="""
     SELECT p.p_brand,
            COUNT(*) AS line_cnt,
-           SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100)
+           SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
                     AS BIGINT)) / 100.0 AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_type = 'PROMO'
@@ -260,7 +260,7 @@ def join_interval_overlap(spark, sf_dir):
     "join_shipping_priority_topk",
     oracle="""
     SELECT l.l_orderkey,
-           SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100)
+           SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
                     AS BIGINT)) / 100.0 AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
@@ -305,7 +305,7 @@ def join_shipping_priority_topk(spark, sf_dir):
     "join_multiway_star",
     oracle="""
     SELECT n.n_name,
-           SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100)
+           SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
                     AS BIGINT)) / 100.0 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -356,7 +356,7 @@ def join_multiway_star(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS order_cnt,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,

@@ -134,7 +134,7 @@ def scan_reverse(spark, sf_dir):
 @register(
     "copy_table",
     oracle="SELECT COUNT(*) AS cnt,"
-    " SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total FROM orders",
+    " SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total FROM orders",
 )
 def copy_table(spark, sf_dir):
     """CopyTable / Export+Import — full-fidelity table copy.
@@ -197,7 +197,7 @@ def source_json_roundtrip(spark, sf_dir):
     "sink_partitioned_parquet",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS cnt,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )

@@ -71,7 +71,7 @@ def tpch_q4_exists(spark, sf_dir):
 @register(
     "tpch_q6_forecast",
     oracle="""
-    SELECT SUM(CAST(ROUND((l_extendedprice * l_discount) * 100) AS BIGINT)) / 100.0
+    SELECT SUM(CAST(FLOOR((l_extendedprice * l_discount) * 100 + 0.5) AS BIGINT)) / 100.0
              AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -102,7 +102,7 @@ def tpch_q6_forecast(spark, sf_dir):
     "tpch_q7_volume",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           SUM(CAST(ROUND(volume * 100) AS BIGINT)) / 100.0 AS revenue
+           SUM(CAST(FLOOR(volume * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
@@ -167,9 +167,9 @@ def tpch_q7_volume(spark, sf_dir):
     "tpch_q8_share",
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CAST(ROUND((CASE WHEN supp_nation = 'NATION_1'
-                               THEN volume ELSE 0 END) * 100) AS BIGINT))
-                 / CAST(SUM(CAST(ROUND(volume * 100) AS BIGINT)) AS DOUBLE),
+           ROUND(SUM(CAST(FLOOR((CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE 0 END) * 100 + 0.5) AS BIGINT))
+                 / CAST(SUM(CAST(FLOOR(volume * 100 + 0.5) AS BIGINT)) AS DOUBLE),
                  6) AS mkt_share
     FROM (
       SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
@@ -227,13 +227,14 @@ def tpch_q8_share(spark, sf_dir):
         .agg(
             F.round(
                 F.sum(
-                    F.round(
+                    F.floor(
                         F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
                         .otherwise(0.0)
                         * 100
-                    ).cast("long")
+                        + 0.5
+                        )
                 )
-                / F.sum(F.round(F.col("volume") * 100).cast("long")).cast("double"),
+                / F.sum(F.floor(F.col("volume") * 100 + 0.5)).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -244,7 +245,7 @@ def tpch_q8_share(spark, sf_dir):
     "tpch_q10_returns",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100)
+           SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
                     AS BIGINT)) / 100.0 AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -318,11 +319,11 @@ def tpch_q13_distribution(spark, sf_dir):
     "tpch_q14_promo",
     oracle="""
     SELECT ROUND(
-             100.0 * SUM(CAST(ROUND((CASE WHEN p.p_type = 'PROMO'
+             100.0 * SUM(CAST(FLOOR((CASE WHEN p.p_type = 'PROMO'
                                           THEN l.l_extendedprice * (1 - l.l_discount)
-                                          ELSE 0 END) * 100) AS BIGINT))
-             / CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100)
-                             AS BIGINT)) AS DOUBLE), 6) AS promo_revenue
+                                          ELSE 0 END) * 100 + 0.5) AS BIGINT))
+             / CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 100
+                                   + 0.5) AS BIGINT)) AS DOUBLE), 6) AS promo_revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
@@ -345,11 +346,11 @@ def tpch_q14_promo(spark, sf_dir):
             F.round(
                 100.0
                 * F.sum(
-                    F.round(
-                        F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0) * 100
-                    ).cast("long")
+                    F.floor(
+                        F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0) * 100 + 0.5
+                        )
                 )
-                / F.sum(F.round(vol * 100).cast("long")).cast("double"),
+                / F.sum(F.floor(vol * 100 + 0.5)).cast("double"),
                 6,
             ).alias("promo_revenue")
         )
@@ -359,7 +360,7 @@ def tpch_q14_promo(spark, sf_dir):
 @register(
     "tpch_q17_scalar_corr",
     oracle="""
-    SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0
+    SELECT ROUND(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
                  / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -438,7 +439,7 @@ def tpch_q18_in_having(spark, sf_dir):
     WITH avg_bal AS (
       SELECT AVG(c_acctbal) AS v FROM customer WHERE c_acctbal > 0.0
     )
-    SELECT n.n_name, COUNT(*) AS numcust, SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    SELECT n.n_name, COUNT(*) AS numcust, SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS totacctbal
     FROM customer c
     JOIN nation n ON n.n_nationkey = c.c_nationkey, avg_bal
     WHERE c.c_acctbal > avg_bal.v
@@ -545,7 +546,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 0.5 * 100)
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 0.5 * 100 + 0.5)
                     AS BIGINT)) / 100.0 AS profit
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -561,7 +562,8 @@ def tpch_q9_product_profit(spark, sf_dir):
     No ps_supplycost, so a 50% margin surrogate keeps the arithmetic
     (price x discount x cost factor) without inventing data. Profit
     accumulates as integer cents: each term's double is computed
-    identically by both engines, so per-term ROUND is deterministic,
+    identically by both engines, so the per-term FLOOR(x*100 + 0.5)
+    is deterministic (num.py contract),
     and an integer SUM is order-independent — unlike ROUND(SUM(dbl)),
     which this query's cent-scale totals showed to be one ulp from
     the rounding boundary at sf0.01. The
@@ -584,9 +586,10 @@ def tpch_q9_product_profit(spark, sf_dir):
         .agg(
             (
                 F.sum(
-                    F.round(
+                    F.floor(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 0.5 * 100
-                    ).cast("long")
+                        + 0.5
+                    )
                 )
                 / 100.0
             ).alias("profit")
@@ -670,7 +673,7 @@ def tpch_q12_priority_lines(spark, sf_dir):
     oracle="""
     WITH rev AS (
       SELECT l_suppkey,
-             SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100)
+             SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5)
                       AS BIGINT)) / 100.0 AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -752,7 +755,7 @@ def tpch_q16_supplier_counts(spark, sf_dir):
 @register(
     "tpch_q19_bracket_revenue",
     oracle="""
-    SELECT SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 100)
+    SELECT SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
                     AS BIGINT)) / 100.0 AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15

@@ -100,7 +100,7 @@ def win_lag_lead(spark, sf_dir):
     "win_running_sum_rows",
     oracle="""
     SELECT event_id, user_id, ts,
-           SUM(CAST(ROUND(value * 100) AS BIGINT))
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
              AS running_total,
@@ -126,7 +126,7 @@ def win_running_sum_rows(spark, sf_dir):
         "event_id",
         "user_id",
         "ts",
-        (F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0).alias(
+        (F.sum(F.floor(F.col("value") * 100 + 0.5)).over(w) / 100.0).alias(
             "running_total"
         ),
         F.count("*").over(w).alias("running_cnt"),
@@ -137,7 +137,7 @@ def win_running_sum_rows(spark, sf_dir):
     "win_moving_avg_rows",
     oracle="""
     SELECT event_id, user_id, ts,
-           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+           ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                  / 100.0
@@ -156,7 +156,7 @@ def win_moving_avg_rows(spark, sf_dir):
         "user_id",
         "ts",
         F.round(
-            F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).over(w)
             / 100.0
             / F.count("*").over(w),
             6,
@@ -170,7 +170,7 @@ def win_moving_avg_rows(spark, sf_dir):
     SELECT event_id, user_id, ts,
            COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS events_last_hour,
-           SUM(CAST(ROUND(value * 100) AS BIGINT))
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY epoch(ts)
                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 100.0
              AS value_last_hour
@@ -188,7 +188,7 @@ def win_range_frame(spark, sf_dir):
         "user_id",
         "ts",
         F.count("*").over(w).alias("events_last_hour"),
-        (F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0).alias(
+        (F.sum(F.floor(F.col("value") * 100 + 0.5)).over(w) / 100.0).alias(
             "value_last_hour"
         ),
     )
