@@ -2451,3 +2451,130 @@ def sample_importance_weighted(spark, sf_dir):
         .filter(slot < F.floor(F.col("p_keep") * 1000000).cast("long"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "pipeline_train_ready",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text, {D_TOKENS} AS tk,
+             SHA256(LOWER(TRIM(text))) AS content_hash
+      FROM documents
+    ),
+    deduped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      FROM toks WHERE LEN(tk) >= 10
+    ),
+    feats AS (
+      SELECT doc_id, lang, LEN(tk) AS n_toks,
+             LEN(LIST_DISTINCT(tk))::DOUBLE / LEN(tk) AS ttr,
+             LEN(LIST_FILTER(tk, w -> LIST_CONTAINS({list(_QL_STOPWORDS)}, w)))
+               / CAST(LEN(tk) AS DOUBLE) AS stop_ratio,
+             LIST_SUM(LIST_TRANSFORM(tk, w -> LENGTH(w)))
+               / CAST(LEN(tk) AS DOUBLE) AS avg_tok_len
+      FROM deduped WHERE rn = 1
+    ),
+    quality AS (
+      SELECT doc_id, lang, n_toks,
+             1.0 / (1.0 + EXP(-(-1.2 + 0.004 * n_toks + 2.0 * ttr
+                                - 3.0 * stop_ratio + 0.15 * avg_tok_len))) AS q
+      FROM feats
+    ),
+    kept_q AS (SELECT * FROM quality WHERE q >= 0.4),
+    shares AS (
+      SELECT lang, COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+      FROM kept_q GROUP BY lang
+    ),
+    probs AS (
+      SELECT lang, POW(share, -0.3) / MAX(POW(share, -0.3)) OVER () AS p_keep
+      FROM shares
+    ),
+    sampled AS (
+      SELECT k.doc_id, k.lang, k.n_toks, k.q
+      FROM kept_q k JOIN probs p ON k.lang = p.lang
+      WHERE CAST('0x' || substring(md5('iw|' || CAST(k.doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 1000000 < CAST(FLOOR(p.p_keep * 1000000) AS BIGINT)
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens,
+           ROUND(AVG(q), 6) AS avg_quality,
+           SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1048576) AS member_digest
+    FROM sampled GROUP BY lang
+    """,
+)
+def pipeline_train_ready(spark, sf_dir):
+    """The end-to-end training-data prep pipeline as ONE composed
+    plan — what the individual operators exist for, chained the way a
+    data team actually ships a corpus:
+
+        length gate → exact dedup (keep min doc_id per content hash)
+        → logistic quality filter → temperature (T=0.7) language
+        rebalance → per-language manifest
+
+    The manifest row per language carries exact counts, the token
+    budget, mean quality, and a membership digest (sum of portable
+    md5-h60 doc hashes) so the oracle pins the EXACT selected set,
+    not just its size. Scale shape: everything before the manifest is
+    map-side except three small shuffles (content-hash dedup,
+    per-lang shares, final agg); the shares/probs table is |langs|
+    rows broadcast back onto the stream. No UDFs, no collect — the
+    whole chain stays in whole-stage codegen, so it runs at scan
+    speed on 100 TB exactly as at sf0.01."""
+    from pyspark.sql import Window
+
+    from ..hashutil import h60
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+        F.expr(TOKENS).alias("tk"),
+    ).filter(F.size("tk") >= 10)
+    wdup = Window.partitionBy("content_hash").orderBy("doc_id")
+    dedup = toks.withColumn("rn", F.row_number().over(wdup)).filter(F.col("rn") == 1)
+    feats = dedup.select(
+        "doc_id",
+        "lang",
+        F.size("tk").alias("n_toks"),
+        (F.size(F.array_distinct("tk")) / F.size("tk").cast("double")).alias("ttr"),
+        (
+            F.size(F.filter("tk", lambda w: w.isin(*_QL_STOPWORDS)))
+            / F.size("tk").cast("double")
+        ).alias("stop_ratio"),
+        (
+            F.expr("aggregate(tk, 0L, (a, x) -> a + length(x))")
+            / F.size("tk").cast("double")
+        ).alias("avg_tok_len"),
+    )
+    z = (
+        F.lit(-1.2)
+        + 0.004 * F.col("n_toks")
+        + 2.0 * F.col("ttr")
+        - 3.0 * F.col("stop_ratio")
+        + 0.15 * F.col("avg_tok_len")
+    )
+    kept_q = feats.select(
+        "doc_id", "lang", "n_toks", (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("q")
+    ).filter(F.col("q") >= 0.4)
+    wall = Window.partitionBy()
+    shares = kept_q.groupBy("lang").agg(F.count("*").alias("n_l"))
+    probs = shares.select(
+        "lang",
+        (
+            F.pow(F.col("n_l") / F.sum("n_l").over(wall), -0.3)
+            / F.max(F.pow(F.col("n_l") / F.sum("n_l").over(wall), -0.3)).over(wall)
+        ).alias("p_keep"),
+    )
+    iw_key = "concat('iw|', cast(doc_id AS string))"
+    slot = F.expr(f"{h60(iw_key)} % 1000000")
+    sampled = kept_q.join(F.broadcast(probs), "lang").filter(
+        slot < F.floor(F.col("p_keep") * 1000000).cast("long")
+    )
+    digest = F.expr(f"{h60('cast(doc_id AS string)')} % 1048576")
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.sum(digest).alias("member_digest"),
+    )
