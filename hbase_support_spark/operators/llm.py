@@ -2578,3 +2578,63 @@ def pipeline_train_ready(spark, sf_dir):
         F.round(F.avg("q"), 6).alias("avg_quality"),
         F.sum(digest).alias("member_digest"),
     )
+
+
+@register(
+    "text_boilerplate_density",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, unnest({D_SHINGLES}) AS shingle FROM documents
+    ),
+    bp AS (
+      SELECT shingle FROM s GROUP BY shingle HAVING COUNT(*) >= 5
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_shingles,
+             COUNT(bp.shingle) AS n_boilerplate
+      FROM s LEFT JOIN bp ON s.shingle = bp.shingle
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_boilerplate,
+           ROUND(n_boilerplate / CAST(n_shingles AS DOUBLE), 6) AS bp_density,
+           (n_boilerplate / CAST(n_shingles AS DOUBLE) > 0.2) AS flag_boilerplate
+    FROM per_doc
+    """,
+)
+def text_boilerplate_density(spark, sf_dir):
+    """The cleaning step that consumes `text_boilerplate_phrases`:
+    score each document by the fraction of its (distinct) trigram
+    shingles that are corpus-global boilerplate, and flag documents
+    past a density threshold — C4 drops such lines, CCNet whole
+    documents. Two passes over the shingle stream: the detection agg
+    produces the boilerplate set (|boilerplate| rows — broadcast
+    back), then a map-side broadcast left-join + per-doc agg. The
+    corpus is never shuffled on text; at 100 TB only shingle partial
+    counts and doc_id partials move."""
+    d = load_table(spark, sf_dir, "documents")
+    s = with_shingles(d, "doc_id").select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    bp = (
+        s.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 5)
+        .select("shingle", F.lit(1).alias("is_bp"))
+    )
+    per_doc = (
+        s.join(F.broadcast(bp), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("is_bp").alias("n_boilerplate"),
+        )
+    )
+    density = F.col("n_boilerplate") / F.col("n_shingles").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_boilerplate",
+        F.round(density, 6).alias("bp_density"),
+        (density > 0.2).alias("flag_boilerplate"),
+    )
