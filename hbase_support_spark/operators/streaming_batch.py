@@ -378,3 +378,42 @@ def stream_windowed_distinct(spark, sf_dir):
         F.count("*").alias("distinct_users"),
         F.sum("key_cnt").alias("event_cnt"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS transition_cnt
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order behavioral transition matrix: counts of
+    (event_type → next event_type) per user session stream — the
+    input to Markov attribution, next-action prediction features,
+    and anomaly scoring on improbable transitions. One shuffle on
+    user_id with an in-partition sort (the LEAD), then a hash agg on
+    the tiny (from, to) key space — the same physical shape as
+    sessionization, so it scales identically (the per-user window
+    never materializes more than a partition)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("transition_cnt"))
+    )

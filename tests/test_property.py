@@ -84,3 +84,31 @@ def test_hash_digest_parity(spark, keys):
     con = duckdb.connect()
     for i, k in rows:
         assert got[i] == con.execute("SELECT md5(?)", [k]).fetchone()[0]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e7, max_value=1e7, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_money_sum_parity_and_exactness(spark, xs):
+    """The num.py cents contract: money_sum == DuckDB d_money_sum ==
+    a Python model summing floor(x*100 + 0.5) as exact ints — for
+    arbitrary signed doubles, any accumulation order."""
+    import math
+
+    import duckdb as _duckdb
+
+    from hbase_support_spark.num import d_money_sum, money_sum
+
+    df = spark.createDataFrame([(x,) for x in xs], ["v"])
+    got = df.agg(money_sum("v").alias("s")).collect()[0].s
+    con = _duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    oracle = con.execute(f"SELECT {d_money_sum('v')} FROM t").fetchone()[0]
+    model = sum(int(math.floor(x * 100 + 0.5)) for x in xs) / 100.0
+    assert got == oracle == model, (xs, got, oracle, model)
