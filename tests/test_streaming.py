@@ -121,3 +121,15 @@ def test_stream_upsert_matches_batch_counts(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_topk_per_window_matches_batch(spark, sf_dir):
+    """The foreachBatch-ranked streaming board equals the graded
+    batch twin stream_topk_per_window row-for-row."""
+    from hbase_support_spark.operators.streaming_batch import stream_topk_per_window
+    from hbase_support_spark.streaming.demo import run_topk_per_window_demo
+
+    streamed = run_topk_per_window_demo(spark, sf_dir)
+    batch = stream_topk_per_window(spark, sf_dir)
+    cols = ["window_start", "event_type", "event_cnt", "rnk"]
+    assert _as_sorted_tuples(streamed, cols) == _as_sorted_tuples(batch, cols)
