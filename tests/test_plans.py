@@ -108,3 +108,45 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q2_broadcasts_dims_and_prunes(spark, sf_dir):
+    """Q2's part/supplier/nation/region joins must all broadcast; the
+    double aggregation shuffles only (partkey, suppkey) partials."""
+    df = QUERIES["tpch_q2_min_cost_supplier"](spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)
+    assert not has_cartesian(df)
+
+
+def test_tpch_q7_seven_table_star_broadcasts(spark, sf_dir):
+    df = QUERIES["tpch_q7_volume"](spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)
+    assert not has_cartesian(df)
+
+
+def test_fn_unpivot_pushes_filter_below_expand(spark, sf_dir):
+    """The orderkey filter must reach the scan — the 4x row expand
+    happens after pruning, never before."""
+    df = QUERIES["fn_unpivot"](spark, sf_dir)
+    assert pushed_filters(df), formatted_plan(df)
+
+
+def test_pipeline_train_ready_stays_codegen(spark, sf_dir):
+    """The composed pipeline must contain no Python evaluation and no
+    cartesian product — whole chain in JVM expressions."""
+    plan = formatted_plan(QUERIES["pipeline_train_ready"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_blas_is_arrow_not_row_python(spark, sf_dir):
+    plan = formatted_plan(QUERIES["sim_knn_self_join_blas"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stream_topk_ranks_aggregated_rows_only(spark, sf_dir):
+    """The window function's input must be the aggregate, not raw
+    events: exactly one pre-rank aggregate shuffle on window_start."""
+    plan = formatted_plan(QUERIES["stream_topk_per_window"](spark, sf_dir))
+    assert "Window" in plan and "HashAggregate" in plan, plan
