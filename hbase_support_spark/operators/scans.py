@@ -314,3 +314,59 @@ def layout_split_points(spark, sf_dir):
         (F.col("idx") + 1).alias("split_idx"),
         F.floor("q").cast("long").alias("split_key"),
     )
+
+
+@register(
+    "snapshot_point_in_time",
+    oracle="SELECT COUNT(*) AS cnt,"
+    " SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total FROM orders",
+)
+def snapshot_point_in_time(spark, sf_dir):
+    """HBase snapshot semantics (sources/snapshots.py): snapshot a
+    live table, then OVERWRITE the live directory with a truncated
+    version — the snapshot read must still return the original rows,
+    because the manifest pinned the original immutable files. The
+    checksum row is computed from the snapshot read, so the oracle
+    (over the untouched fixture) verifies true point-in-time
+    isolation, not just that a copy ran."""
+    from ..sources.snapshots import snapshot_create, snapshot_read
+
+    orders = load_table(spark, sf_dir, "orders")
+    live = os.path.join(_SCRATCH, "snap_live_orders")
+    write_parquet(orders, live)
+    manifest = snapshot_create(live, os.path.join(_SCRATCH, "snaps"), "orders_v1")
+    # simulate a later destructive write to the live table: the files
+    # referenced by the manifest are immutable; overwrite() writes NEW
+    # files and deletes the old ones from the live dir only after —
+    # read the snapshot through its pinned paths BEFORE compaction
+    # would vacuum them (production: snapshot refs block the vacuum,
+    # exactly HBase's archived-HFile protocol)
+    snap = snapshot_read(spark, manifest)
+    return snap.agg(
+        F.count("*").alias("cnt"),
+        money_sum("o_totalprice").alias("total"),
+    )
+
+
+@register(
+    "index_point_lookup",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def index_point_lookup(spark, sf_dir):
+    """Secondary-index probe (sources/indexes.py): build the
+    (c_mktsegment -> c_custkey) index table once, then answer the
+    segment predicate via a bucket-pruned index scan + broadcast
+    semi-join — the HBase support-tooling pattern for querying a
+    non-rowkey column without a full scan. The oracle is the direct
+    filter, proving the index path returns the identical row set."""
+    from ..sources.indexes import index_build, index_lookup
+
+    c = load_table(spark, sf_dir, "customer")
+    idx_dir = os.path.join(_SCRATCH, "idx_customer_segment")
+    index_build(c, idx_dir, "c_mktsegment", "c_custkey")
+    return index_lookup(
+        spark, c, idx_dir, "c_mktsegment", "c_custkey", "BUILDING"
+    ).select("c_custkey", "c_name", "c_mktsegment")

@@ -1,0 +1,62 @@
+"""Secondary-index emulation — the HBase support-tooling move.
+
+HBase has exactly one index: the rowkey. Querying by any other
+column is a full scan, so support tooling maintains *index tables*
+mapping indexed-column values back to rowkeys. The same pattern in
+Spark/Parquet:
+
+  index_build   -> write (indexed_value, rowkey) pairs partitioned
+                   by a bucket of the indexed value, sorted within
+                   files, so an equality probe prunes to one bucket
+                   directory and min/max-skips within it
+  index_lookup  -> pruned scan of the index bucket -> semi-join the
+                   recovered rowkeys back to the base table
+
+Scale math: a 100 TB base table with a 0.1% selective predicate
+costs a 100 TB scan without the index; with it, the probe reads one
+index bucket (~index_size / n_buckets) plus the matching base rows.
+The index is eventually-consistent with the base (rebuilt per batch
+or maintained by the same MERGE that mutates the base — merge.py);
+HBase's own index tables carry the identical caveat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def index_build(
+    df: DataFrame, index_dir: str, indexed_col: str, key_col: str, n_buckets: int = 16
+) -> None:
+    """Write the (value, rowkey) index table, partitioned by value
+    bucket. One shuffle of two narrow columns — never the full rows."""
+    (
+        df.select(indexed_col, key_col)
+        .withColumn("bucket", F.crc32(F.col(indexed_col).cast("string")) % n_buckets)
+        .repartition("bucket")
+        .sortWithinPartitions(indexed_col)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
+
+
+def index_lookup(
+    spark: SparkSession,
+    base: DataFrame,
+    index_dir: str,
+    indexed_col: str,
+    key_col: str,
+    value,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Equality probe via the index: bucket-pruned index scan ->
+    broadcast semi-join of the recovered keys onto the base table."""
+    idx = spark.read.parquet(index_dir)
+    bucket = F.crc32(F.lit(str(value))) % n_buckets
+    keys = (
+        idx.filter((F.col("bucket") == bucket) & (F.col(indexed_col) == value))
+        .select(key_col)
+        .distinct()
+    )
+    return base.join(F.broadcast(keys), key_col, "left_semi")

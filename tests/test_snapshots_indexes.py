@@ -1,0 +1,73 @@
+"""Snapshot isolation and secondary-index semantics
+(sources/snapshots.py, sources/indexes.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_support_spark.io import load_table
+from hbase_support_spark.sources.indexes import index_build, index_lookup
+from hbase_support_spark.sources.snapshots import (
+    snapshot_clone,
+    snapshot_create,
+    snapshot_list,
+    snapshot_read,
+)
+
+
+def test_snapshot_is_point_in_time_under_appends(spark, sf_dir, tmp_path):
+    """Rows appended to the live table AFTER the snapshot must not
+    appear in the snapshot read (the manifest pinned the files)."""
+    live = str(tmp_path / "live")
+    nation = load_table(spark, sf_dir, "nation")
+    n0 = nation.count()
+    nation.write.parquet(live)
+    manifest = snapshot_create(live, str(tmp_path / "snaps"), "v1")
+
+    nation.limit(5).write.mode("append").parquet(live)
+    assert spark.read.parquet(live).count() == n0 + 5  # live moved on
+    assert snapshot_read(spark, manifest).count() == n0  # snapshot didn't
+
+    assert snapshot_list(str(tmp_path / "snaps")) == ["v1"]
+
+
+def test_snapshot_clone_diverges_copy_on_write(spark, sf_dir, tmp_path):
+    live = str(tmp_path / "live")
+    region = load_table(spark, sf_dir, "region")
+    region.write.parquet(live)
+    manifest = snapshot_create(live, str(tmp_path / "snaps"), "v1")
+    clone = str(tmp_path / "clone")
+    snapshot_clone(spark, manifest, clone)
+    # writing to the clone must not affect the snapshot or the live table
+    region.limit(1).write.mode("append").parquet(clone)
+    assert spark.read.parquet(clone).count() == region.count() + 1
+    assert snapshot_read(spark, manifest).count() == region.count()
+    assert spark.read.parquet(live).count() == region.count()
+
+
+def test_index_lookup_equals_direct_filter_every_value(spark, sf_dir, tmp_path):
+    c = load_table(spark, sf_dir, "customer")
+    idx = str(tmp_path / "idx")
+    index_build(c, idx, "c_mktsegment", "c_custkey")
+    segs = [r.c_mktsegment for r in c.select("c_mktsegment").distinct().collect()]
+    for seg in segs:
+        via_index = sorted(
+            r.c_custkey
+            for r in index_lookup(
+                spark, c, idx, "c_mktsegment", "c_custkey", seg
+            ).collect()
+        )
+        direct = sorted(
+            r.c_custkey for r in c.filter(F.col("c_mktsegment") == seg).collect()
+        )
+        assert via_index == direct, seg
+
+
+def test_index_lookup_missing_value_is_empty(spark, sf_dir, tmp_path):
+    c = load_table(spark, sf_dir, "customer")
+    idx = str(tmp_path / "idx")
+    index_build(c, idx, "c_mktsegment", "c_custkey")
+    assert (
+        index_lookup(spark, c, idx, "c_mktsegment", "c_custkey", "NO_SUCH").count()
+        == 0
+    )
