@@ -348,3 +348,29 @@ def run_topk_per_window_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         final, "window_start timestamp, event_type string, event_cnt bigint, rnk int"
     )
+
+
+def run_stream_dedup_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by business key in genuine streaming:
+    dropDuplicatesWithinWatermark keeps the first ARRIVING row per
+    (user, type, minute) and evicts key state once the watermark
+    passes — bounded memory at any rate. Which physical row survives
+    depends on arrival order (the batch twin pins (ts, event_id)
+    order instead), so stream/batch parity is asserted on the
+    surviving KEY SET — the exactly-once contract itself."""
+    ev = _stream_events(spark, sf_dir)
+    deduped = (
+        ev.withColumn("minute_bucket", F.date_trunc("minute", "ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_bucket"])
+        .select("user_id", "event_type", "minute_bucket")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_demo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("SELECT * FROM stream_dedup_demo")

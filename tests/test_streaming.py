@@ -133,3 +133,17 @@ def test_topk_per_window_matches_batch(spark, sf_dir):
     batch = stream_topk_per_window(spark, sf_dir)
     cols = ["window_start", "event_type", "event_cnt", "rnk"]
     assert _as_sorted_tuples(streamed, cols) == _as_sorted_tuples(batch, cols)
+
+
+def test_stream_dedup_key_set_matches_batch(spark, sf_dir):
+    """dropDuplicatesWithinWatermark must emit exactly one row per
+    key, and the same key set as the graded batch twin."""
+    from hbase_support_spark.operators.streaming_batch import stream_dedup_by_key
+    from hbase_support_spark.streaming.demo import run_stream_dedup_demo
+
+    streamed = run_stream_dedup_demo(spark, sf_dir)
+    cols = ["user_id", "event_type", "minute_bucket"]
+    skeys = _as_sorted_tuples(streamed, cols)
+    assert len(skeys) == len(set(skeys))  # exactly once
+    bkeys = _as_sorted_tuples(stream_dedup_by_key(spark, sf_dir).select(cols), cols)
+    assert skeys == bkeys
