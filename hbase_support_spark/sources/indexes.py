@@ -52,7 +52,15 @@ def index_lookup(
 ) -> DataFrame:
     """Equality probe via the index: bucket-pruned index scan ->
     broadcast semi-join of the recovered keys onto the base table."""
-    idx = spark.read.parquet(index_dir)
+    from pyspark.errors import AnalysisException
+
+    try:
+        idx = spark.read.parquet(index_dir)
+    except AnalysisException:
+        # an empty base table writes a partitioned dir with no data
+        # files (only _SUCCESS) — schema inference fails; the correct
+        # answer is simply the empty result
+        return base.limit(0)
     bucket = F.crc32(F.lit(str(value))) % n_buckets
     keys = (
         idx.filter((F.col("bucket") == bucket) & (F.col(indexed_col) == value))

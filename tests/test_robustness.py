@@ -85,3 +85,29 @@ def test_load_table_normalizes_both_ts_encodings(spark, tmp_path):
         got = sorted(r.ts for r in df.collect())
         assert got == vals, unit
     _TABLE_CACHE.clear()
+
+
+def test_queries_survive_empty_fixtures(spark, sf_dir, tmp_path):
+    """One representative per operator family runs against zero-row
+    fixtures without crashing (empty partitions, array_min of
+    nothing, 0/0 cases). A full 182-query empty sweep found exactly
+    one crash (index schema inference — fixed in sources/indexes.py);
+    this subset keeps the property pinned cheaply."""
+    from hbase_support_spark import QUERIES, load_all
+    from hbase_support_spark.io import TABLES, load_table
+
+    load_all()
+    dst = str(tmp_path / "empty_sf")
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+    reps = [
+        "scan_range", "filter_list_and_or", "latest_version", "join_multiway_star",
+        "agg_sum_min_max_avg", "win_running_sum_rows", "topk_per_group",
+        "fn_string", "dedup_exact", "sim_knn_query", "text_quality_logit",
+        "stream_session_30m", "udaf_centroid_per_label", "tpch_q21_waiting_supplier",
+        "pipeline_train_ready", "index_point_lookup", "snapshot_point_in_time",
+    ]
+    for name in reps:
+        QUERIES[name](spark, dst).write.format("noop").mode("overwrite").save()

@@ -71,3 +71,15 @@ def test_index_lookup_missing_value_is_empty(spark, sf_dir, tmp_path):
         index_lookup(spark, c, idx, "c_mktsegment", "c_custkey", "NO_SUCH").count()
         == 0
     )
+
+
+def test_index_on_empty_base_table(spark, sf_dir, tmp_path):
+    """A zero-row base table writes an index dir with no data files;
+    lookup must return empty, not crash on schema inference."""
+    c = load_table(spark, sf_dir, "customer").limit(0)
+    idx = str(tmp_path / "idx_empty")
+    index_build(c, idx, "c_mktsegment", "c_custkey")
+    assert (
+        index_lookup(spark, c, idx, "c_mktsegment", "c_custkey", "BUILDING").count()
+        == 0
+    )
