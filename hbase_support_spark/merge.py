@@ -148,3 +148,51 @@ def check_and_put(
         update_cond=expected,
         insert_unmatched=True,
     )
+
+
+def bulk_delete(
+    spark: SparkSession,
+    target_path: str,
+    predicate: Column,
+    partition_col: str,
+) -> dict:
+    """Predicate delete over partitioned Parquet — the
+    BulkDeleteEndpoint analog (HBase's server-side delete-by-scan),
+    as a copy-on-write rewrite of only the partitions that contain
+    matching rows.
+
+    Same pruning discipline as :func:`merge_into_parquet`: one
+    column-pruned probe finds the partitions holding doomed rows,
+    then ONLY those partitions are read back in full and rewritten
+    without the matching rows (dynamic partition overwrite). A
+    100 TB table with deletes confined to a few partitions rewrites
+    just those; a table format with row-level deletes (Delta/
+    Iceberg) turns the rewrite into a delete-vector write at the
+    same seam. Returns {"deleted": n, "touched_partitions": n}.
+
+    Caveat shared with dynamic overwrite everywhere: a partition
+    whose EVERY row is deleted still needs its directory dropped —
+    Spark's overwrite only replaces partitions present in the
+    output, so fully-emptied partitions are rewritten as a zero-row
+    marker here (counted in touched_partitions).
+    """
+    ensure_confs(spark)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    full = spark.read.parquet(target_path)
+    touched = [
+        r[0]
+        for r in full.filter(predicate).select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return {"deleted": 0, "touched_partitions": 0}
+    in_touched = F.col(partition_col).isin(touched)
+    doomed = full.filter(in_touched & predicate).count()
+    survivors = full.filter(in_touched & ~predicate)
+    # rewrite only the touched partitions; fully-emptied ones become
+    # zero-row partitions (see caveat)
+    (
+        survivors.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )
+    return {"deleted": doomed, "touched_partitions": len(touched)}

@@ -365,3 +365,43 @@ def merge_into_upsert(spark, sf_dir):
     )
     merge_into_parquet(spark, target, source, ["c_custkey"], "c_mktsegment")
     return spark.read.parquet(target).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "bulk_delete_predicate",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS cnt
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 300000)
+    GROUP BY o_orderstatus
+    """,
+)
+def bulk_delete_predicate(spark, sf_dir):
+    """The BulkDeleteEndpoint analog end-to-end (merge.bulk_delete):
+    seed a partitioned Parquet copy of orders, delete by predicate
+    (high-value finished orders), and return the surviving per-status
+    counts read back from disk. Only the partition containing doomed
+    rows is rewritten — the pruning is pinned byte-for-byte in
+    tests/test_merge.py; this query grades the surviving row set."""
+    import os
+
+    from ..merge import bulk_delete
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+    )
+    target = os.path.join(scratch, "bulkdel_orders")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(target)
+    bulk_delete(
+        spark,
+        target,
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000),
+        "o_orderstatus",
+    )
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+    )

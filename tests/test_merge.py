@@ -171,3 +171,60 @@ def test_merge_matches_dict_model(spark, tmp_path_factory, initial, batches, thr
 
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got == model
+
+
+def test_bulk_delete_prunes_and_deletes(spark, sf_dir, tmp_path):
+    """Predicate delete rewrites only touched partitions; untouched
+    partition files must remain byte-identical (never rewritten)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.merge import bulk_delete
+
+    target = str(tmp_path / "orders")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").parquet(target)
+
+    def files_of(status):
+        d = f"{target}/o_orderstatus={status}"
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_p = files_of("P")
+    n_before = orders.count()
+    doomed = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000)
+    ).count()
+    assert doomed > 0
+
+    stats = bulk_delete(
+        spark,
+        target,
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000),
+        "o_orderstatus",
+    )
+    assert stats == {"deleted": doomed, "touched_partitions": 1}
+    back = spark.read.parquet(target)
+    assert back.count() == n_before - doomed
+    assert back.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000)
+    ).count() == 0
+    # untouched partition not rewritten
+    assert files_of("P") == before_p
+
+
+def test_bulk_delete_no_matches_is_noop(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.merge import bulk_delete
+
+    target = str(tmp_path / "orders")
+    load_table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(target)
+    stats = bulk_delete(spark, target, F.col("o_totalprice") < -1, "o_orderstatus")
+    assert stats == {"deleted": 0, "touched_partitions": 0}
