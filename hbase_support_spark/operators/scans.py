@@ -370,3 +370,62 @@ def index_point_lookup(spark, sf_dir):
     return index_lookup(
         spark, c, idx_dir, "c_mktsegment", "c_custkey", "BUILDING"
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "layout_hotspot_report",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(user_id) AS lo, MAX(user_id) AS hi FROM events
+    ),
+    bucketed AS (
+      SELECT LEAST(CAST(FLOOR((user_id - lo) * 8 / (hi - lo + 1)) AS BIGINT), 7)
+               AS bucket
+      FROM events, bounds
+    ),
+    counts AS (
+      SELECT bucket, COUNT(*) AS n_rows FROM bucketed GROUP BY bucket
+    )
+    SELECT bucket, n_rows,
+           ROUND(n_rows * 8.0 / SUM(n_rows) OVER (), 6) AS load_factor,
+           (n_rows * 8.0 / SUM(n_rows) OVER () > 1.5) AS is_hot
+    FROM counts
+    """,
+)
+def layout_hotspot_report(spark, sf_dir):
+    """Region-balance audit — the other half of the pre-split story
+    (layout_split_points designs balanced ranges; this measures how
+    balanced the CURRENT fixed-width ranges actually are). Each row
+    maps to one of 8 equal-width rowkey ranges; the report emits per
+    range its row count, load factor (1.0 = perfectly balanced), and
+    a hot flag past 1.5x — what an HBase operator reads before
+    deciding to split or move regions. Two tiny aggregates: global
+    min/max broadcast back onto the scan, then an 8-key hash agg;
+    the window over 8 rows is free."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+    counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("user_id") - F.col("lo"))
+                    * 8
+                    / (F.col("hi") - F.col("lo") + 1)
+                ),
+                F.lit(7),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    w = Window.partitionBy()
+    lf = F.col("n_rows") * 8.0 / F.sum("n_rows").over(w)
+    return counts.select(
+        "bucket",
+        "n_rows",
+        F.round(lf, 6).alias("load_factor"),
+        (lf > 1.5).alias("is_hot"),
+    )

@@ -71,3 +71,23 @@ def snapshot_list(snap_dir: str) -> list[str]:
     if not os.path.isdir(snap_dir):
         return []
     return sorted(f[:-5] for f in os.listdir(snap_dir) if f.endswith(".json"))
+
+
+def snapshot_diff(spark: SparkSession, manifest_a: str, manifest_b: str) -> dict:
+    """Incremental-backup planning (HBase ExportSnapshot's delta
+    mode): compare two snapshots of the same table by FILE, the
+    O(metadata) fast path immutability enables — only files added
+    since snapshot A need shipping; removed files are compactions.
+    Returns the file-level delta plus exact row counts for the added
+    set (one pruned scan of just those files)."""
+    with open(manifest_a) as f:
+        a = set(json.load(f)["files"])
+    with open(manifest_b) as f:
+        b = set(json.load(f)["files"])
+    added, removed = sorted(b - a), sorted(a - b)
+    added_rows = spark.read.parquet(*added).count() if added else 0
+    return {
+        "added_files": added,
+        "removed_files": removed,
+        "added_rows": added_rows,
+    }

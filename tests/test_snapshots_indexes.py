@@ -83,3 +83,24 @@ def test_index_on_empty_base_table(spark, sf_dir, tmp_path):
         index_lookup(spark, c, idx, "c_mktsegment", "c_custkey", "BUILDING").count()
         == 0
     )
+
+
+def test_snapshot_diff_plans_incremental_backup(spark, sf_dir, tmp_path):
+    """The v1->v2 diff must list exactly the appended files and count
+    exactly the appended rows."""
+    from hbase_support_spark.sources.snapshots import snapshot_diff
+
+    live = str(tmp_path / "live")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.parquet(live)
+    m1 = snapshot_create(live, str(tmp_path / "snaps"), "v1")
+    nation.limit(7).write.mode("append").parquet(live)
+    m2 = snapshot_create(live, str(tmp_path / "snaps"), "v2")
+
+    d = snapshot_diff(spark, m1, m2)
+    assert d["removed_files"] == []
+    assert d["added_rows"] == 7
+    assert len(d["added_files"]) >= 1
+    # and the reverse direction sees the files as removed
+    rd = snapshot_diff(spark, m2, m1)
+    assert rd["added_files"] == [] and rd["removed_files"] == d["added_files"]
