@@ -41,7 +41,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each hash-gradable
-    query; rows-only ops (seed/sketch-dependent) are omitted."""
+    """DuckDB-runnable SQL twin for every registered query — the full
+    registry is hash-gradable (sketch/hash-defined ops restate the
+    same portable arithmetic; see hashutil.py and num.py)."""
     load_all()
     return dict(registry.ORACLES)
