@@ -2654,3 +2654,68 @@ def text_boilerplate_density(spark, sf_dir):
         F.round(density, 6).alias("bp_density"),
         (density > 0.2).alias("flag_boilerplate"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS true_lang,
+             {_langid_scores_sql('toks', 'list_filter')}
+      FROM (SELECT doc_id, lang, {D_TOKENS} AS toks FROM documents)
+    ),
+    pred AS (
+      SELECT true_lang,
+             CASE GREATEST(score_de, score_en, score_es, score_fr, score_zh)
+               WHEN score_de THEN 'de' WHEN score_en THEN 'en'
+               WHEN score_es THEN 'es' WHEN score_fr THEN 'fr' ELSE 'zh' END
+               AS predicted_lang
+      FROM scores
+    )
+    SELECT true_lang, predicted_lang, COUNT(*) AS n_docs,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*))
+                 OVER (PARTITION BY true_lang) AS DOUBLE), 6) AS row_frac
+    FROM pred GROUP BY true_lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """In-engine classifier evaluation: the confusion matrix of the
+    marker-word language ID against gold labels, with per-true-lang
+    row fractions (recall on the diagonal). This is how a pipeline
+    validates a cheap classifier against a labeled sample before
+    trusting it on 100 TB — one agg over the scored stream, matrix
+    size |langs|², no collect. The same shape evaluates any
+    row-level classifier in this engine (quality filters, PII
+    detectors): predict map-side, aggregate the (gold, pred) grid."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.col("lang").alias("true_lang"), F.expr(TOKENS).alias("toks"))
+    scores = t.select(
+        "doc_id",
+        "true_lang",
+        *[
+            F.size(F.expr(f"filter(toks, w -> w IN {m})")).alias(f"score_{lang}")
+            for lang, m in _LANG_MARKERS.items()
+        ],
+    )
+    top = F.greatest(*[F.col(f"score_{k}") for k in _LANG_MARKERS])
+    pred = (
+        F.when(F.col("score_de") == top, "de")
+        .when(F.col("score_en") == top, "en")
+        .when(F.col("score_es") == top, "es")
+        .when(F.col("score_fr") == top, "fr")
+        .otherwise("zh")
+    )
+    from pyspark.sql import Window
+
+    counts = (
+        scores.select("true_lang", pred.alias("predicted_lang"))
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("row_frac"),
+    )

@@ -429,3 +429,39 @@ def layout_hotspot_report(spark, sf_dir):
         F.round(lf, 6).alias("load_factor"),
         (lf > 1.5).alias("is_hot"),
     )
+
+
+@register(
+    "scan_salted_table_roundtrip",
+    oracle="""
+    SELECT user_id, COUNT(*) AS event_cnt
+    FROM events WHERE user_id < 100
+    GROUP BY user_id
+    """,
+)
+def scan_salted_table_roundtrip(spark, sf_dir):
+    """The salted-rowkey table design end-to-end: monotonically
+    increasing keys (timestamps, sequence ids) hotspot the tail
+    region of a sorted table, so HBase schemas prepend a hash-derived
+    salt byte — writes spread across salt ranges, and a key lookup
+    fans out to one probe per salt. Here: write events into a layout
+    partitioned by an 8-way md5-h60 salt of the rowkey, then answer a
+    key-range query by scanning ALL salt partitions with the pushed
+    key predicate and merging — exactly the HBase salted-scan fan-out.
+    The oracle over the unsalted fixture proves salting is a pure
+    physical-layout change. At 100 TB the salt count trades write
+    parallelism against read fan-out; 8-16 is the common choice."""
+    ev = load_table(spark, sf_dir, "events")
+    salted_dir = os.path.join(_SCRATCH, "events_salted")
+    (
+        ev.withColumn("salt", F.expr(f"{h60('cast(user_id AS string)')} % 8"))
+        .write.mode("overwrite")
+        .partitionBy("salt")
+        .parquet(salted_dir)
+    )
+    back = spark.read.parquet(salted_dir)
+    return (
+        back.filter(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("event_cnt"))
+    )
