@@ -465,3 +465,45 @@ def scan_salted_table_roundtrip(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count("*").alias("event_cnt"))
     )
+
+
+@register(
+    "layout_zorder_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    WHERE user_id BETWEEN 5 AND 10
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def layout_zorder_scan(spark, sf_dir):
+    """Z-order layout end-to-end (sources/layout.py): write events
+    range-partitioned + sorted by the Morton interleave of (user_id,
+    epoch-minute), then answer a 2-D range query from the z-ordered
+    copy. The oracle over the unsorted fixture proves the layout is
+    a pure physical change; tests/test_layout.py proves the POINT —
+    each z-file covers a compact 2-D tile, so parquet min/max stats
+    prune files on BOTH dimensions, where a single-key sort prunes
+    only one. This is HBase's 'composite rowkey design' problem
+    solved the columnar way (Delta/Iceberg OPTIMIZE ZORDER)."""
+    from ..sources.layout import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "minute_idx",
+        ((F.col("ts").cast("long") - F.lit(1704067200)) / 60).cast("long"),
+    )
+    zdir = os.path.join(_SCRATCH, "events_zorder")
+    write_zordered(ev, zdir, "user_id", "minute_idx")
+    back = spark.read.parquet(zdir)
+    return back.filter(
+        (F.col("user_id").between(5, 10))
+        & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        money_sum("value").alias("total_value"),
+    )

@@ -67,3 +67,68 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: s
     lt = spark.table(left_table)
     rt = spark.table(right_table)
     return lt.hint("merge").join(rt, key)
+
+
+def morton_code(x, y, bits: int = 16):
+    """Interleave the low ``bits`` of two non-negative int columns
+    into a Z-order (Morton) code — pure bit arithmetic, identical in
+    any engine. Sorting/range-partitioning a table by this code
+    clusters rows that are close in BOTH dimensions into the same
+    files, so parquet min/max row-group stats prune 2-D range
+    queries — the mechanism behind Delta/Iceberg OPTIMIZE ZORDER,
+    stated as a plain column expression."""
+    from pyspark.sql import functions as F
+
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_x = F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_y = F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1))
+        code = (
+            code.bitwiseOR(F.shiftleft(bit_x, 2 * i))
+            .bitwiseOR(F.shiftleft(bit_y, 2 * i + 1))
+        )
+    return code
+
+
+def write_zordered(
+    df, path: str, x_col: str, y_col: str, n_files: int = 8, bits: int = 8
+) -> None:
+    """Write ``df`` range-partitioned and sorted by the Morton code
+    of (x_col, y_col): each output file covers a compact 2-D tile,
+    so min/max stats on BOTH columns become selective.
+
+    Both dimensions are first quantized to ``bits`` over their actual
+    min/max (a broadcast 1-row bounds join — no driver collect):
+    interleaving RAW values gives the wider dimension all the high
+    bits and degenerates to a single-key sort (observed: 15 users vs
+    43k minutes → zero user pruning). Equal-width quantization is
+    what OPTIMIZE ZORDER implementations do for the same reason."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        F.min(x_col).alias("_xlo"),
+        F.max(x_col).alias("_xhi"),
+        F.min(y_col).alias("_ylo"),
+        F.max(y_col).alias("_yhi"),
+    )
+
+    def quant(c, lo, hi):
+        span = F.col(hi) - F.col(lo) + 1
+        return F.floor((c - F.col(lo)) * (1 << bits) / span).cast("long")
+
+    (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_z",
+            morton_code(
+                quant(F.col(x_col), "_xlo", "_xhi"),
+                quant(F.col(y_col), "_ylo", "_yhi"),
+                bits=bits,
+            ),
+        )
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_xlo", "_xhi", "_ylo", "_yhi")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

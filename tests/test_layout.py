@@ -81,3 +81,59 @@ def test_sorted_layout_round_trips_and_skips(spark, sf_dir, tmp_path):
     want = orders.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 200)).count()
     assert got == want
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(o_orderkey,100)" in plan
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Each z-ordered file must cover a compact 2-D tile: for a small
+    2-D box query, the count of files whose (user_id, minute) min/max
+    ranges intersect the box must be strictly smaller than under a
+    single-key sort, where every file spans the full second dimension."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.sources.layout import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "minute_idx",
+        ((F.col("ts").cast("long") - F.lit(1704067200)) / 60).cast("long"),
+    ).select("event_id", "user_id", "minute_idx", "value")
+
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(ev, zdir, "user_id", "minute_idx")
+    # single-key layout: range-partitioned + sorted by minute only
+    (
+        ev.repartitionByRange(8, "minute_idx")
+        .sortWithinPartitions("minute_idx")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def files_touching(d, u_lo, u_hi, m_lo, m_hi):
+        n = 0
+        for p in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(p).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            span = {}
+            for col in ("user_id", "minute_idx"):
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(names[col]).statistics
+                    los.append(st.min); his.append(st.max)
+                span[col] = (min(los), max(his))
+            if span["user_id"][0] <= u_hi and span["user_id"][1] >= u_lo and \
+               span["minute_idx"][0] <= m_hi and span["minute_idx"][1] >= m_lo:
+                n += 1
+        return n, len(glob.glob(f"{d}/part-*.parquet"))
+
+    # the discriminating box: narrow in users, UNBOUNDED in minutes —
+    # the minute-sorted layout can't prune it at all (every file spans
+    # all users), while z-tiles bound both dimensions
+    box = (2, 4, 0, 10**9)
+    z_touch, z_total = files_touching(zdir, *box)
+    s_touch, s_total = files_touching(sdir, *box)
+    assert s_touch == s_total  # single-key layout: no pruning possible
+    assert z_touch < z_total, (z_touch, z_total)  # z-order: real pruning
+    assert z_touch < s_touch
