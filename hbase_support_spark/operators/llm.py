@@ -2719,3 +2719,133 @@ def text_langid_confusion(spark, sf_dir):
         "n_docs",
         F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("row_frac"),
     )
+
+
+# 16 fixed odd multipliers/offsets for the PORTABLE MinHash used by
+# the recall report: permutation s of a 20-bit base hash is
+# (A[s]*h + B[s]) % 2^20 — products stay < 2^40, exact in BIGINT in
+# every engine (no xxhash64 dependency, so the oracle re-computes
+# IDENTICAL signatures).
+_LSH_A = [953617, 583261, 462949, 807503, 372173, 679289, 246713, 918043,
+          534851, 720959, 164999, 891737, 438409, 602533, 350843, 775231]
+_LSH_B = [377851, 924119, 151007, 686477, 432259, 873721, 295081, 518269,
+          749923, 102559, 637447, 284129, 960737, 415469, 568223, 831599]
+_LSH_CONFIGS = [(8, 2), (4, 4), (2, 8)]
+
+
+def _portable_sig_spark() -> str:
+    a = "array(" + ", ".join(str(v) for v in _LSH_A) + ")"
+    b = "array(" + ", ".join(str(v) for v in _LSH_B) + ")"
+    return (
+        f"transform(sequence(0, 15), s -> array_min(transform(hs, h ->"
+        f" (element_at({a}, s + 1) * h + element_at({b}, s + 1)) % 1048576)))"
+    )
+
+
+def _portable_sig_duck() -> str:
+    a = "[" + ", ".join(str(v) for v in _LSH_A) + "]"
+    b = "[" + ", ".join(str(v) for v in _LSH_B) + "]"
+    return (
+        f"list_transform(range(0, 16), s -> list_min(list_transform(hs, h ->"
+        f" ({a}[s + 1] * h + {b}[s + 1]) % 1048576)))"
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    branches = []
+    for b, r in _LSH_CONFIGS:
+        branches.append(f"""
+    SELECT {b} AS bands, {r} AS rows_per_band,
+           COUNT(*) AS n_true,
+           COUNT(*) FILTER (
+             len(list_filter(range(0, {b}), i ->
+                 sig_a[i * {r} + 1 : i * {r} + {r}] = sig_b[i * {r} + 1 : i * {r} + {r}])) > 0
+           ) AS n_found,
+           ROUND(COUNT(*) FILTER (
+             len(list_filter(range(0, {b}), i ->
+                 sig_a[i * {r} + 1 : i * {r} + {r}] = sig_b[i * {r} + 1 : i * {r} + {r}])) > 0
+           ) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+    FROM truth""")
+    body = "\n    UNION ALL\n".join(branches)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source, {D_SHINGLES} AS shingles FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, lang, source, shingles, {_portable_sig_duck()} AS sig
+      FROM (SELECT doc_id, lang, source, shingles,
+                   list_transform(shingles, sh -> {_d_h60('sh')} % 1048576) AS hs
+            FROM sh WHERE len(shingles) > 0)
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+      FROM sigs a JOIN sigs b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+            LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))) >= 0.7
+    )
+    {body}
+    """
+
+
+@register("dedup_lsh_recall_report", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall_report(spark, sf_dir):
+    """LSH parameter tuning as a query: for each banding of a shared
+    16-permutation MinHash signature — (8 bands x 2 rows), (4x4),
+    (2x8) — what fraction of the TRUE near-dup pairs (exact blocked
+    Jaccard >= 0.7) would surface as LSH candidates? This is the
+    recall/efficiency table a team reads before committing band
+    parameters for a 100 TB dedup run: more bands -> higher recall,
+    more candidate volume. Run on a labeled/blocked sample exactly
+    like this, then ship the chosen config into the banded pipeline
+    (dedup_near_minhash).
+
+    Recall needs candidate status only for TRUE pairs, so the plan
+    joins truth pairs' signatures directly and tests band equality
+    per pair — no candidate-set materialization at all. Signatures
+    use the engine-portable affine rehash of a 20-bit md5 base
+    (products < 2^40, exact in BIGINT everywhere), so the oracle
+    re-derives bit-identical signatures and the whole report is
+    hash-graded."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = (
+        with_shingles(d, "doc_id", "lang", "source")
+        .filter(F.size("shingles") > 0)
+        .withColumn("hs", F.expr(f"transform(shingles, sh -> {_h60('sh')} % 1048576)"))
+        .withColumn("sig", F.expr(_portable_sig_spark()))
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    jac = F.size(F.array_intersect("a.shingles", "b.shingles")) / F.size(
+        F.array_union("a.shingles", "b.shingles")
+    ).cast("double")
+    truth = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.7)
+        .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+    )
+    reports = []
+    for bands, r in _LSH_CONFIGS:
+        matched = F.expr(
+            f"exists(sequence(0, {bands - 1}), i ->"
+            f" slice(sig_a, i * {r} + 1, {r}) == slice(sig_b, i * {r} + 1, {r}))"
+        )
+        reports.append(
+            truth.agg(
+                F.lit(bands).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.count("*").alias("n_true"),
+                F.sum(matched.cast("long")).alias("n_found"),
+                F.round(
+                    F.sum(matched.cast("long")) / F.count("*").cast("double"), 6
+                ).alias("recall"),
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionAll(rep)
+    return out

@@ -169,3 +169,41 @@ def test_registry_orders_ungraded_before_green():
         return  # fresh checkout without correctness files
     first_green = min(names.index(n) for n in green if n in names)
     assert all(n in green for n in names[first_green:])
+
+
+def test_lsh_recall_report_tradeoff_on_synthetic_pairs(spark, tmp_path):
+    """On a corpus with near-dup pairs across the 0.35-0.95 Jaccard
+    range, fewer/wider bands must trade recall away monotonically
+    (8x2 >= 4x4 >= 2x8) and the strictest banding must miss at least
+    one borderline pair — the tradeoff the report exists to show."""
+    import random
+
+    from hbase_support_spark.operators.llm import dedup_lsh_recall_report
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    doc_id = 0
+    for pair in range(40):
+        base = rng.sample(vocab, 60)
+        # overlap fraction sweeps the similarity range
+        keep = 20 + pair  # 20..59 shared tokens
+        variant = base[:keep] + rng.sample(vocab, 60 - keep)
+        for toks in (base, variant):
+            rows.append((doc_id, " ".join(toks), "en", "srcA", len(" ".join(toks))))
+            doc_id += 1
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = str(tmp_path / "synth")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    rep = {
+        (r.bands, r.rows_per_band): (r.n_true, r.n_found)
+        for r in dedup_lsh_recall_report(spark, d).collect()
+    }
+    n_true = rep[(8, 2)][0]
+    assert n_true >= 5  # the synthetic corpus actually has true pairs
+    f82, f44, f28 = rep[(8, 2)][1], rep[(4, 4)][1], rep[(2, 8)][1]
+    assert f82 >= f44 >= f28  # recall monotone in band count
+    assert f28 < n_true  # strictest banding misses borderline pairs
