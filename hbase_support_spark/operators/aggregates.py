@@ -684,3 +684,53 @@ def table_profile_stats(spark, sf_dir):
     return a.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (col_name, n_null, n_distinct, min_val, max_val)"
     )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(ts) AS last_seen,
+             COUNT(*) AS frequency,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT user_id, last_seen, frequency, monetary,
+           NTILE(5) OVER (ORDER BY last_seen, user_id) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+    FROM per_user
+    """,
+)
+def events_rfm_segmentation(spark, sf_dir):
+    """RFM segmentation — the classic behavioral scoring: per user,
+    recency (last purchase), frequency, and monetary value, each
+    bucketed into quintiles. One hash agg over the purchase stream,
+    then three windows over the |users| aggregate (tiny relative to
+    events). Monetary uses the cents contract; every NTILE orders
+    with a user_id tie-break so quintile boundaries are deterministic
+    across engines. At 100 TB the windows run over per-user rows, so
+    a single global sort of |users| — if even that is too wide,
+    swap NTILE for percentile thresholds from percentile_approx
+    (mergeable, no global sort), same downstream schema."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count("*").alias("frequency"),
+        money_sum("value").alias("monetary"),
+    )
+    return per_user.select(
+        "user_id",
+        "last_seen",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_seen", "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
+    )

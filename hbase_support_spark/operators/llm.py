@@ -2849,3 +2849,61 @@ def dedup_lsh_recall_report(spark, sf_dir):
     for rep in reports[1:]:
         out = out.unionAll(rep)
     return out
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source, {D_SHINGLES} AS shingles FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+                 LEN(a.shingles), 6) AS containment_a_in_b,
+           ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+                 LEN(b.shingles), 6) AS containment_b_in_a
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE LEN(a.shingles) > 0 AND LEN(b.shingles) > 0
+      AND LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+          LEAST(LEN(a.shingles), LEN(b.shingles)) >= 0.5
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric near-dup: containment C(A,B) = |A∩B| / |A| — the
+    measure Jaccard misses. A short document quoted wholesale inside
+    a long one has LOW Jaccard (the union is big) but containment
+    ≈ 1 in one direction; training-data pipelines use containment to
+    catch quotation/inclusion duplicates and benchmark text embedded
+    in larger pages. Emits both directions for pairs where the
+    smaller side is ≥ 50% contained. Same blocked equi-join shape as
+    the Jaccard twin — sub-quadratic by blocking, and the
+    max-containment prefilter (|A∩B| ≤ min|A|,|B|) is built into the
+    threshold on the smaller side."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(d, "doc_id", "lang", "source")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter((F.size("a.shingles") > 0) & (F.size("b.shingles") > 0))
+        .filter(
+            inter / F.least(F.size("a.shingles"), F.size("b.shingles")).cast("double")
+            >= 0.5
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / F.size("a.shingles").cast("double"), 6).alias(
+                "containment_a_in_b"
+            ),
+            F.round(inter / F.size("b.shingles").cast("double"), 6).alias(
+                "containment_b_in_a"
+            ),
+        )
+    )
