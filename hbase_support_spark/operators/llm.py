@@ -2907,3 +2907,142 @@ def dedup_containment(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label, ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e, q, range(1, 65) r(i)
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, cos_sim FROM scored WHERE cos_sim >= 0.2
+    """,
+)
+def sim_range_search(spark, sf_dir):
+    """Radius search — everything within a similarity threshold of
+    the query, the other half of the ANN API surface (top-k answers
+    'give me the closest'; radius answers 'give me everything close
+    ENOUGH', the right primitive for dedup-against-query and
+    retrieval with a quality floor, where result counts are
+    data-dependent). Same map-only shape as sim_knn_query: broadcast
+    query vector, JVM-expression cosine, pushed threshold filter —
+    no top-k heap, no shuffle at all (the filter replaces
+    TakeOrdered), so at 100 TB it is one scan at full parallelism."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+    )
+
+
+def _d_cosine_prefix(a: str, b: str) -> str:
+    # same math as _d_cosine but the companion range() bounds the dims
+    return _d_cosine(a, b)
+
+
+@register(
+    "embedding_truncation_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    full_rank AS (
+      SELECT q.q_id, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) DESC, e.vec_id
+             ) AS rn
+      FROM embeddings e, q, range(1, 65) r(i)
+      WHERE e.vec_id <> q.q_id
+      GROUP BY q.q_id, e.vec_id
+    ),
+    trunc_rank AS (
+      SELECT q.q_id, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) DESC, e.vec_id
+             ) AS rn
+      FROM embeddings e, q, range(1, 17) r(i)
+      WHERE e.vec_id <> q.q_id
+      GROUP BY q.q_id, e.vec_id
+    )
+    SELECT f.q_id,
+           COUNT(*) FILTER (t.vec_id IS NOT NULL) AS n_overlap,
+           ROUND(COUNT(*) FILTER (t.vec_id IS NOT NULL) / 5.0, 6) AS recall_at_5
+    FROM (SELECT * FROM full_rank WHERE rn <= 5) f
+    LEFT JOIN (SELECT * FROM trunc_rank WHERE rn <= 5) t
+      ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+    GROUP BY f.q_id
+    """,
+)
+def embedding_truncation_recall(spark, sf_dir):
+    """Matryoshka-style dimension truncation, measured: rank the
+    corpus by full 64-dim cosine and by the FIRST 16 DIMS only, and
+    report recall@5 of the truncated ranking per query. This is the
+    accept/reject experiment behind shipping truncated embeddings
+    (4x less memory, bandwidth, and ANN index size at 100 TB) — if
+    recall@5 holds on a labeled sample, the pipeline switches to the
+    prefix and keeps the full vector only for rerank. Cosine over a
+    prefix is the same JVM expression over `slice(embedding, 1, 16)`;
+    both rankings are windows over the per-query scored stream with
+    rounded scores and vec_id tie-breaks, so the comparison is
+    engine-deterministic."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    base = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+
+    def ranked(vec_expr, q_expr):
+        cos = F.round(
+            _dot(vec_expr, q_expr) / (_norm(vec_expr) * _norm(q_expr)), 6
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+        return (
+            base.select("q_id", "vec_id", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("q_id", "vec_id")
+        )
+
+    full = ranked(F.col("embedding"), F.col("qv"))
+    # rename BOTH columns: full and trunc share base's lineage, so
+    # unrenamed attributes resolve to the same expression ids and the
+    # join condition degenerates
+    trunc = (
+        ranked(F.slice(F.col("embedding"), 1, 16), F.slice(F.col("qv"), 1, 16))
+        .withColumnRenamed("vec_id", "t_vec_id")
+        .withColumnRenamed("q_id", "t_q_id")
+    )
+    return (
+        full.join(
+            trunc,
+            (F.col("q_id") == F.col("t_q_id"))
+            & (F.col("vec_id") == F.col("t_vec_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("t_vec_id").alias("n_overlap"),
+            F.round(F.count("t_vec_id") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
