@@ -3046,3 +3046,58 @@ def embedding_truncation_recall(spark, sf_dir):
             F.round(F.count("t_vec_id") / 5.0, 6).alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH freq AS (
+      SELECT w, COUNT(*) AS n
+      FROM (SELECT unnest({D_TOKENS}) AS w FROM documents)
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT LN(ROW_NUMBER() OVER (ORDER BY n DESC, w)) AS x, LN(n) AS y
+      FROM freq
+    )
+    SELECT COUNT(*) AS vocab_size,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) /
+                 (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS zipf_slope,
+           ROUND((SUM(y) - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) /
+                 (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))) * SUM(x))
+                 / COUNT(*), 6) AS intercept
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Corpus health check: fit log(freq) ~ a + s*log(rank) over the
+    vocabulary — natural language sits near s = -1 (Zipf); templated
+    or synthetic text drifts flat, OCR noise drifts steep. Pipelines
+    run this per source/snapshot to catch corpus regressions before
+    training. One token explode + vocab agg, a rank window over
+    |vocab| rows (tiny), then closed-form least squares in one
+    aggregate — no iteration, no driver math. Rank ties break on the
+    word so both engines rank identically; the regression sums run
+    over ~|vocab| values of ln-magnitude, far below the round-6
+    boundary-risk class (num.py)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.expr(TOKENS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = freq.select(
+        F.log(F.row_number().over(Window.orderBy(F.col("n").desc(), "w")).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    cnt = F.count("*")
+    slope = (cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return ranked.agg(
+        cnt.alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.sum("y") - slope * F.sum("x")) / cnt, 6).alias("intercept"),
+    )

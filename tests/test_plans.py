@@ -150,3 +150,20 @@ def test_stream_topk_ranks_aggregated_rows_only(spark, sf_dir):
     events: exactly one pre-rank aggregate shuffle on window_start."""
     plan = formatted_plan(QUERIES["stream_topk_per_window"](spark, sf_dir))
     assert "Window" in plan and "HashAggregate" in plan, plan
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column must appear as PartitionFilters
+    (directory pruning), not a data filter — the §2.1 scale story for
+    date/status-partitioned tables."""
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+
+    d = str(tmp_path / "by_status")
+    load_table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(d)
+    df = spark.read.parquet(d).filter(F.col("o_orderstatus") == "F")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], plan
