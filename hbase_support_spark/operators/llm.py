@@ -3101,3 +3101,90 @@ def text_zipf_fit(spark, sf_dir):
         F.round(slope, 6).alias("zipf_slope"),
         F.round((F.sum("y") - slope * F.sum("x")) / cnt, 6).alias("intercept"),
     )
+
+
+@register(
+    "pipeline_dedup_cascade",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             SHA256(LOWER(TRIM(text))) AS content_hash,
+             {D_SHINGLES} AS shingles
+      FROM documents
+    ),
+    exact_kept AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        FROM sh
+      ) WHERE rn = 1
+    ),
+    near_pairs AS (
+      SELECT b.doc_id AS loser
+      FROM exact_kept a JOIN exact_kept b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE LEN(a.shingles) > 0 AND LEN(b.shingles) > 0
+        AND LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+            LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))) >= 0.7
+    ),
+    near_kept AS (
+      SELECT * FROM exact_kept
+      WHERE doc_id NOT IN (SELECT loser FROM near_pairs)
+    )
+    SELECT 'input' AS stage, (SELECT COUNT(*) FROM sh) AS n_docs
+    UNION ALL
+    SELECT 'after_exact', (SELECT COUNT(*) FROM exact_kept)
+    UNION ALL
+    SELECT 'after_near', (SELECT COUNT(*) FROM near_kept)
+    """,
+)
+def pipeline_dedup_cascade(spark, sf_dir):
+    """The dedup cascade as production runs it — cheap stages first,
+    each stage only sees the previous stage's survivors:
+
+        exact (hash groupBy, removes byte-dups for pennies)
+        → near (blocked exact-Jaccard ≥ 0.7 on what remains,
+          loser = larger doc_id)
+
+    and the report is the funnel: documents surviving each stage.
+    Ordering matters for cost, not correctness: exact dedup first
+    shrinks the quadratic stage's blocks. At 100 TB the near stage
+    swaps in the banded MinHash (dedup_near_minhash) — same funnel
+    row, sub-quadratic candidates; the exact-Jaccard form here keeps
+    the whole cascade hash-free for the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    sh = with_shingles(d, "doc_id", "lang", "source").join(
+        d.select("doc_id", F.sha2(F.lower(F.trim("text")), 256).alias("content_hash")),
+        "doc_id",
+    )
+    wdup = Window.partitionBy("content_hash").orderBy("doc_id")
+    exact_kept = sh.withColumn("rn", F.row_number().over(wdup)).filter(
+        F.col("rn") == 1
+    )
+    a, b = exact_kept.alias("a"), exact_kept.alias("b")
+    jac = F.size(F.array_intersect("a.shingles", "b.shingles")) / F.size(
+        F.array_union("a.shingles", "b.shingles")
+    ).cast("double")
+    losers = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter((F.size("a.shingles") > 0) & (F.size("b.shingles") > 0))
+        .filter(jac >= 0.7)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    near_kept = exact_kept.join(losers, "doc_id", "left_anti")
+
+    def stage(name, df):
+        return df.agg(F.lit(name).alias("stage"), F.count("*").alias("n_docs"))
+
+    return (
+        stage("input", sh)
+        .unionAll(stage("after_exact", exact_kept))
+        .unionAll(stage("after_near", near_kept))
+    )
