@@ -417,3 +417,63 @@ def events_markov_transitions(spark, sf_dir):
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("transition_cnt"))
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH stats AS (
+      SELECT SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+               / COUNT(*) AS mu
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+               - (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                 * (SELECT mu FROM stats) AS cusum
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(MAX(cusum), 4) AS max_cusum,
+           ROUND(MIN(cusum), 4) AS min_cusum,
+           (MAX(cusum) > 2000 OR MIN(cusum) < -2000) AS shifted
+    FROM walk GROUP BY user_id
+    """,
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM mean-shift detection per user: the running sum of
+    deviations from the global mean drifts linearly once a user's
+    level shifts — max/min excursion past a threshold flags the
+    change (the classic control-chart test, and the batch twin of a
+    streaming applyInPandasWithState monitor). The cumulative sum
+    rides the cents contract (num.py): an exact integer running sum
+    minus rank x mean, so the excursion values are engine-identical
+    despite DuckDB's segment-tree window evaluation. One broadcast
+    1-row mean, one shuffle on user_id — sessionization's shape."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.agg(
+        (F.sum(F.floor(F.col("value") * 100 + 0.5)) / 100.0 / F.count("*")).alias("mu")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    walk = ev.crossJoin(F.broadcast(mu)).select(
+        "user_id",
+        (
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).over(w) / 100.0
+            - F.row_number().over(rn) * F.col("mu")
+        ).alias("cusum"),
+    )
+    return walk.groupBy("user_id").agg(
+        F.round(F.max("cusum"), 4).alias("max_cusum"),
+        F.round(F.min("cusum"), 4).alias("min_cusum"),
+        ((F.max("cusum") > 2000) | (F.min("cusum") < -2000)).alias("shifted"),
+    )
