@@ -777,3 +777,51 @@ def agg_benford_first_digit(spark, sf_dir):
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("observed_frac"),
         F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_frac"),
     )
+
+
+@register(
+    "agg_entropy_behavior",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+      SELECT user_id, SUM(n) AS total FROM per GROUP BY user_id
+    )
+    SELECT p.user_id,
+           t.total AS n_events,
+           COUNT(*) AS n_types,
+           ROUND(-SUM((p.n / CAST(t.total AS DOUBLE)) *
+                      LN(p.n / CAST(t.total AS DOUBLE))), 6) AS behavior_entropy
+    FROM per p JOIN tot t ON p.user_id = t.user_id
+    GROUP BY p.user_id, t.total
+    """,
+)
+def agg_entropy_behavior(spark, sf_dir):
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (bots and scrapers sit near zero or
+    at the uniform maximum; organic users in between), and the same
+    kernel scores class balance of a training corpus per source. Two
+    cascaded hash aggs on keys that only narrow ((user, type) →
+    user); the -Σ p ln p runs over ≤|event_types| terms per user, so
+    the ln arithmetic is far below the round-6 boundary-risk class
+    (num.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = per.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total").cast("double")
+    return (
+        per.join(tot, "user_id")
+        .groupBy("user_id", "total")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("behavior_entropy"),
+        )
+        .select(
+            "user_id",
+            F.col("total").alias("n_events"),
+            "n_types",
+            "behavior_entropy",
+        )
+    )

@@ -405,3 +405,62 @@ def bulk_delete_predicate(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@register(
+    "as_of_join_forward",
+    oracle="""
+    SELECT q.user_id, q.t AS query_ts,
+           MIN(e.ts) AS next_ts
+    FROM (SELECT DISTINCT user_id, TIMESTAMP '2024-01-10 00:00:00' AS t FROM events
+          UNION ALL
+          SELECT DISTINCT user_id, TIMESTAMP '2024-01-25 00:00:00' FROM events) q
+    LEFT JOIN events e ON e.user_id = q.user_id AND e.ts > q.t
+    GROUP BY q.user_id, q.t
+    """,
+)
+def as_of_join_forward(spark, sf_dir):
+    """Forward as-of: for each (user, query-time), the FIRST event
+    strictly after it — the 'next reading after the alarm' /
+    'next quote after the trade' direction the backward as-of can't
+    answer. Same union-tag single-pass shape as `as_of_join`, run in
+    reverse: sort descending and carry the running MIN future
+    timestamp onto each probe row — one shuffle on (user_id, ts),
+    no inequality join, so it scales exactly like sessionization.
+    The oracle states the semantics as the naive correlated MIN
+    (DuckDB ASOF only supports the backward direction)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    q = users.select(
+        "user_id", F.lit("2024-01-10 00:00:00").cast("timestamp").alias("t")
+    ).unionByName(
+        users.select(
+            "user_id", F.lit("2024-01-25 00:00:00").cast("timestamp").alias("t")
+        )
+    )
+    probes = q.select(
+        "user_id",
+        F.col("t").alias("ts"),
+        F.lit(1).alias("is_q"),
+        F.lit(None).cast("timestamp").alias("e_ts"),
+    )
+    evs = ev.select(
+        "user_id", "ts", F.lit(0).alias("is_q"), F.col("ts").alias("e_ts")
+    )
+    merged = probes.unionByName(evs)
+    # descending time with probes sorted before events at equal ts:
+    # a probe's frame (everything strictly before it in this order)
+    # is exactly the rows with LATER ts — events at precisely t sort
+    # after the probe and stay out, giving the strict '>' semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_q").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        merged.withColumn("next_ts", F.min("e_ts").over(w))
+        .filter(F.col("is_q") == 1)
+        .select("user_id", F.col("ts").alias("query_ts"), "next_ts")
+    )
