@@ -825,3 +825,59 @@ def agg_entropy_behavior(spark, sf_dir):
             "behavior_entropy",
         )
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS total
+      FROM spend
+    )
+    SELECT MAX(n) AS n_customers,
+           ROUND(MAX(total) / 100.0, 2) AS total_spend,
+           ROUND(2.0 * SUM(i * cents) / (MAX(n) * CAST(MAX(total) AS DOUBLE))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_concentration(spark, sf_dir):
+    """Gini coefficient of customer spend — the concentration audit
+    ('what fraction of revenue rides on the top accounts', and the
+    same kernel measures source/domain concentration of a training
+    corpus). Closed form over the rank-ordered totals:
+    G = 2*Σ(i*x_i) / (n*Σx) - (n+1)/n. Spend accumulates as exact
+    integer cents (num.py), ranks tie-break on the customer key, and
+    Σ(i*cents) is an exact integer sum — so the only float op is the
+    final division. One agg, one |customers| sort, one pass."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).alias("cents")
+    )
+    wall = Window.partitionBy()
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.round(F.max("total") / 100.0, 2).alias("total_spend"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("cents"))
+            / (F.max("n") * F.max("total").cast("double"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -253,3 +253,48 @@ def win_first_last(spark, sf_dir):
         F.first("value").over(w).alias("first_value_seen"),
         F.last("value").over(w).alias("last_value_seen"),
     )
+
+
+@register(
+    "win_pattern_rising_runs",
+    oracle="""
+    WITH laged AS (
+      SELECT user_id, ts, value,
+             LAG(value, 1) OVER w AS v1,
+             LAG(value, 2) OVER w AS v2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (v2 IS NOT NULL AND v1 > v2 AND value > v1)
+             AS rising_runs
+    FROM laged GROUP BY user_id
+    """,
+)
+def win_pattern_rising_runs(spark, sf_dir):
+    """Sequence-pattern detection, MATCH_RECOGNIZE-lite: count
+    strictly-rising 3-event runs per user (the 'momentum' pattern;
+    the same lag-conjunction template expresses V-shapes, double
+    tops, or any fixed-length pattern). One shuffle on user_id with
+    an in-partition sort — the heavy MATCH_RECOGNIZE machinery
+    collapses to lag columns + a boolean when the pattern length is
+    fixed, which is the scalable form: no backtracking, no state
+    machine, pure window + filter."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    laged = ev.select(
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 2).over(w).alias("v2"),
+    )
+    rising = (
+        F.col("v2").isNotNull()
+        & (F.col("v1") > F.col("v2"))
+        & (F.col("value") > F.col("v1"))
+    )
+    return laged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(rising.cast("long")).alias("rising_runs"),
+    )
