@@ -471,3 +471,39 @@ def fn_unpivot(spark, sf_dir):
         "measure",
         F.round("raw_val", 2).alias("val"),
     )
+
+
+@register(
+    "fn_content_uuid",
+    oracle="""
+    SELECT doc_id,
+           substring(md5(lower(trim(text))), 1, 8) || '-' ||
+           substring(md5(lower(trim(text))), 9, 4) || '-' ||
+           substring(md5(lower(trim(text))), 13, 4) || '-' ||
+           substring(md5(lower(trim(text))), 17, 4) || '-' ||
+           substring(md5(lower(trim(text))), 21, 12) AS content_uuid
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def fn_content_uuid(spark, sf_dir):
+    """Deterministic content-derived IDs (UUIDv3-style formatting of
+    the normalized-text md5): the stable document identity every
+    multi-stage pipeline needs — re-ingesting the same content on any
+    cluster, any engine, any day mints the SAME id, so downstream
+    joins, dedup ledgers, and provenance records never fork. Contrast
+    F.uuid()/monotonically_increasing_id(), which differ per run and
+    per partitioning. Pure map-side string math; the md5 is the same
+    engine-portable primitive as hashutil.h60."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    h = F.md5(F.lower(F.trim("text")))
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.substring(h, 13, 4),
+            F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        ).alias("content_uuid"),
+    )
