@@ -3225,3 +3225,41 @@ def pipeline_dedup_cascade(spark, sf_dir):
         .unionAll(stage("after_exact", exact_kept))
         .unionAll(stage("after_near", near_kept))
     )
+
+
+@register(
+    "sample_k_per_group",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_d_h60("'kpg|' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= 40
+    """,
+)
+def sample_k_per_group(spark, sf_dir):
+    """Balanced deterministic sampling: exactly min(k, |group|)
+    documents per language, selected by portable-hash order — how
+    eval and calibration sets get drawn (equal representation, and
+    the SAME members on every run, engine, and cluster; a seeded
+    rand() guarantees none of those). Hash order is uniform over the
+    group, so this is simple random sampling conditioned on
+    reproducibility. One window over the grouped stream; at 100 TB
+    swap the full sort for a per-group TakeOrdered on the hash —
+    same result, heap-bounded."""
+    from pyspark.sql import Window
+
+    from ..hashutil import h60
+
+    d = load_table(spark, sf_dir, "documents")
+    key = "concat('kpg|', cast(doc_id AS string))"
+    w = Window.partitionBy("lang").orderBy(F.expr(h60(key)), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "lang")
+    )

@@ -477,3 +477,36 @@ def events_cusum_changepoint(spark, sf_dir):
         F.round(F.min("cusum"), 4).alias("min_cusum"),
         ((F.max("cusum") > 2000) | (F.min("cusum") < -2000)).alias("shifted"),
     )
+
+
+@register(
+    "events_seasonality_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+           COUNT(*) AS event_cnt,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*))
+                 OVER (PARTITION BY event_type) AS DOUBLE), 6) AS hour_frac
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_seasonality_profile(spark, sf_dir):
+    """Hour-of-day seasonality per event type — the capacity-planning
+    and anomaly-baseline profile (today's 3am spike is only a spike
+    relative to the 3am norm). A 24 x |event_types| aggregate with
+    per-type fractions; the window runs over the tiny aggregate. The
+    same profile keyed by ingest hour audits a training corpus for
+    crawl-schedule bias."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(F.count("*").alias("event_cnt"))
+    w = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "hour_of_day",
+        "event_cnt",
+        F.round(F.col("event_cnt") / F.sum("event_cnt").over(w), 6).alias("hour_frac"),
+    )
