@@ -390,3 +390,69 @@ def join_skew_salted(spark, sf_dir):
             money_sum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@register(
+    "join_er_numeric_banding",
+    oracle="""
+    WITH banded AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(FLOOR(c_acctbal / 50.0) AS BIGINT) AS band
+      FROM customer
+    ),
+    expanded AS (
+      SELECT *, band AS probe_band FROM banded
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal, band, band + 1 AS probe_band
+      FROM banded
+    )
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           a.c_mktsegment AS segment,
+           ROUND(ABS(a.c_acctbal - b.c_acctbal), 2) AS balance_gap
+    FROM expanded a JOIN banded b
+      ON a.c_mktsegment = b.c_mktsegment AND a.probe_band = b.band
+         AND a.c_custkey < b.c_custkey
+    WHERE ABS(a.c_acctbal - b.c_acctbal) <= 25.0
+    """,
+)
+def join_er_numeric_banding(spark, sf_dir):
+    """Entity-resolution banding for NUMERIC attributes — the
+    record-linkage counterpart of LSH: candidates for 'same entity,
+    slightly different balance' must agree on the blocking key
+    (segment) and sit within a tolerance (25.0) of each other. A
+    naive |x_a - x_b| <= eps predicate is a theta join (quadratic);
+    banding by floor(x / 2*eps) and probing each row's own band plus
+    the next turns it into an EQUI-join that provably covers every
+    qualifying pair (two values within eps span at most one band
+    boundary). One side expands 2x — the standard band-join
+    rewrite, and the same shape matches timestamps, coordinates, or
+    any metric attribute at 100 TB without a cross product."""
+    c = load_table(spark, sf_dir, "customer")
+    banded = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / 50.0).alias("band"),
+    )
+    expanded = banded.withColumn("probe_band", F.col("band")).unionByName(
+        banded.withColumn("probe_band", F.col("band") + 1)
+    )
+    a = expanded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.probe_band") == F.col("b.band"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= 25.0)
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.col("a.c_mktsegment").alias("segment"),
+            F.round(F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")), 2).alias(
+                "balance_gap"
+            ),
+        )
+    )

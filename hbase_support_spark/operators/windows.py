@@ -298,3 +298,62 @@ def win_pattern_rising_runs(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.sum(rising.cast("long")).alias("rising_runs"),
     )
+
+
+@register(
+    "win_longest_streak",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 3600
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    streaks AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS streak_id
+      FROM gaps
+    ),
+    lens AS (
+      SELECT user_id, streak_id, COUNT(*) AS len FROM streaks
+      GROUP BY user_id, streak_id
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           COUNT(*) AS n_streaks
+    FROM lens GROUP BY user_id
+    """,
+)
+def win_longest_streak(spark, sf_dir):
+    """Longest activity streak per user (events no more than 1 hour
+    apart) — the engagement metric behind 'day streaks'. Built from
+    the sessionization kernel: gap-break flags, running sum as the
+    streak id, then max streak length — so it inherits the same
+    one-shuffle-on-user scale shape. The break flag and streak id
+    are pure integer arithmetic; no float anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 3600)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    streaks = gaps.withColumn("streak_id", F.sum("brk").over(wrun))
+    lens = streaks.groupBy("user_id", "streak_id").agg(F.count("*").alias("len"))
+    return lens.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
