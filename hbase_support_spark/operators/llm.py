@@ -3263,3 +3263,68 @@ def sample_k_per_group(spark, sf_dir):
         .filter(F.col("rn") <= 40)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "pipeline_token_budget_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len({D_TOKENS}) AS n_toks,
+             {_d_h60("'tb|' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    walk AS (
+      SELECT doc_id, lang, n_toks,
+             COALESCE(SUM(n_toks) OVER (
+               PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM toks
+    ),
+    kept AS (
+      SELECT * FROM walk WHERE before < 4000
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_toks) AS tokens_kept,
+           SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1048576) AS member_digest
+    FROM kept GROUP BY lang
+    """,
+)
+def pipeline_token_budget_plan(spark, sf_dir):
+    """Token-budget planning: fill a fixed per-language budget (4000
+    tokens here; '200B per language' in production) by walking each
+    language's documents in portable-hash order and keeping documents
+    until the budget is crossed — greedy fill with one boundary doc
+    allowed, the rule every mix plan needs stated deterministically.
+    Because the walk order is the reproducible hash order (not
+    arrival order), the plan is stable across engines and reruns,
+    and the membership digest pins the exact chosen set. Integer
+    token counts make the cumulative cutoff fp-free. One window per
+    language over (hash, doc_id) — sessionization's shuffle shape on
+    the lang key."""
+    from pyspark.sql import Window
+
+    from ..hashutil import h60
+
+    d = load_table(spark, sf_dir, "documents")
+    key = "concat('tb|', cast(doc_id AS string))"
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(TOKENS)).alias("n_toks"),
+        F.expr(h60(key)).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    walk = toks.withColumn("before", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+    kept = walk.filter(F.col("before") < 4000)
+    digest = F.expr(f"{h60('cast(doc_id AS string)')} % 1048576")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("tokens_kept"),
+        F.sum(digest).alias("member_digest"),
+    )

@@ -147,3 +147,14 @@ def test_stream_dedup_key_set_matches_batch(spark, sf_dir):
     assert len(skeys) == len(set(skeys))  # exactly once
     bkeys = _as_sorted_tuples(stream_dedup_by_key(spark, sf_dir).select(cols), cols)
     assert skeys == bkeys
+
+
+def test_rate_limited_replay_processes_incrementally(spark, sf_dir, tmp_path):
+    """maxFilesPerTrigger must split the replay into one batch per
+    file while conserving the row count."""
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.streaming.demo import run_rate_limited_replay_demo
+
+    stats = run_rate_limited_replay_demo(spark, sf_dir, str(tmp_path))
+    assert stats["n_batches"] == 4
+    assert stats["total_rows"] == load_table(spark, sf_dir, "events").count()
