@@ -456,3 +456,49 @@ def join_er_numeric_banding(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "join_er_fuzzy_string",
+    oracle="""
+    WITH keys AS (
+      SELECT c_custkey, c_name, LENGTH(c_name) AS ln
+      FROM customer
+    )
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           levenshtein(a.c_name, b.c_name) AS edit_distance
+    FROM keys a JOIN keys b
+      ON a.ln = b.ln AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) = 1
+    """,
+)
+def join_er_fuzzy_string(spark, sf_dir):
+    """String entity resolution: candidate 'same entity, typo'd key'
+    pairs at edit distance exactly 1, blocked by string length —
+    valid blocking because distance-1 pairs differ by at most one
+    length unit and the fixture's substitution typos preserve length
+    (production adds the +/-1 length bands exactly like the numeric
+    band join's neighbor probe). The quadratic Levenshtein only runs
+    inside equal-length blocks, never across the full cross product —
+    the same blocked-verify discipline as every dedup operator here.
+    Both engines ship identical Levenshtein semantics (pinned by the
+    hypothesis property suite)."""
+    c = load_table(spark, sf_dir, "customer")
+    keys = c.select("c_custkey", "c_name", F.length("c_name").alias("ln"))
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ln") == F.col("b.ln"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) == 1)
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_distance"),
+        )
+    )

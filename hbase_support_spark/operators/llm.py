@@ -3328,3 +3328,66 @@ def pipeline_token_budget_plan(spark, sf_dir):
         F.sum("n_toks").alias("tokens_kept"),
         F.sum(digest).alias("member_digest"),
     )
+
+
+@register(
+    "corpus_drift_psi",
+    oracle=f"""
+    WITH halves AS (
+      SELECT CASE WHEN {_d_h60("'psi|' || CAST(doc_id AS VARCHAR)")} % 2 = 0
+                  THEN 'a' ELSE 'b' END AS half,
+             LEAST(CAST(FLOOR(n_chars / 100.0) AS BIGINT), 9) AS len_bucket
+      FROM documents
+    ),
+    counts AS (
+      SELECT len_bucket,
+             COUNT(*) FILTER (half = 'a') AS n_a,
+             COUNT(*) FILTER (half = 'b') AS n_b
+      FROM halves GROUP BY len_bucket
+    ),
+    fracs AS (
+      SELECT len_bucket, n_a, n_b,
+             (n_a + 0.5) / (SUM(n_a) OVER () + 0.5 * COUNT(*) OVER ()) AS p_a,
+             (n_b + 0.5) / (SUM(n_b) OVER () + 0.5 * COUNT(*) OVER ()) AS p_b
+      FROM counts
+    )
+    SELECT len_bucket, n_a, n_b,
+           ROUND((p_a - p_b) * LN(p_a / p_b), 6) AS psi_term
+    FROM fracs
+    """,
+)
+def corpus_drift_psi(spark, sf_dir):
+    """Distribution-drift monitoring: the Population Stability Index
+    between two corpus cohorts (here a deterministic hash A/B split
+    standing in for snapshot-vs-snapshot), per document-length
+    bucket: PSI_term = (p_a - p_b) * ln(p_a / p_b); the summed index
+    past ~0.2 is the retrain/investigate alarm in every ML-ops
+    runbook. Laplace-smoothed fractions (+0.5) keep the log finite
+    for empty buckets. Per-bucket terms are emitted (rather than the
+    single sum) so the alarm can localize WHERE the distribution
+    moved. Two scans' worth of work in one: the cohort split is a
+    map-side hash, buckets are a 10-key agg, the window runs over 10
+    rows."""
+    from pyspark.sql import Window
+
+    from ..hashutil import h60
+
+    d = load_table(spark, sf_dir, "documents")
+    key = "concat('psi|', cast(doc_id AS string))"
+    halves = d.select(
+        F.when(F.expr(h60(key)) % 2 == 0, "a").otherwise("b").alias("half"),
+        F.least(F.floor(F.col("n_chars") / 100.0), F.lit(9)).alias("len_bucket"),
+    )
+    counts = halves.groupBy("len_bucket").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    w = Window.partitionBy()
+    p_a = (F.col("n_a") + 0.5) / (F.sum("n_a").over(w) + 0.5 * F.count("*").over(w))
+    p_b = (F.col("n_b") + 0.5) / (F.sum("n_b").over(w) + 0.5 * F.count("*").over(w))
+    return counts.select(
+        "len_bucket",
+        "n_a",
+        "n_b",
+        F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_term"),
+    )
