@@ -453,13 +453,12 @@ def scan_salted_table_roundtrip(spark, sf_dir):
     parallelism against read fan-out; 8-16 is the common choice."""
     ev = load_table(spark, sf_dir, "events")
     salted_dir = os.path.join(_SCRATCH, "events_salted")
-    (
-        ev.withColumn("salt", F.expr(f"{h60('cast(user_id AS string)')} % 8"))
-        .write.mode("overwrite")
-        .partitionBy("salt")
-        .parquet(salted_dir)
-    )
-    back = spark.read.parquet(salted_dir)
+    salted = ev.withColumn("salt", F.expr(f"{h60('cast(user_id AS string)')} % 8"))
+    salted.write.mode("overwrite").partitionBy("salt").parquet(salted_dir)
+    # explicit schema: an empty input writes a partitioned dir with no
+    # data files, and schema inference has nothing to read (same edge
+    # as sources/indexes.py)
+    back = spark.read.schema(salted.schema).parquet(salted_dir)
     return (
         back.filter(F.col("user_id") < 100)
         .groupBy("user_id")
