@@ -510,3 +510,86 @@ def events_seasonality_profile(spark, sf_dir):
         "event_cnt",
         F.round(F.col("event_cnt") / F.sum("event_cnt").over(w), 6).alias("hour_frac"),
     )
+
+
+@register(
+    "events_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    sized AS (
+      SELECT cohort_week, COUNT(*) AS cohort_users FROM firsts GROUP BY cohort_week
+    ),
+    aged AS (
+      SELECT f.cohort_week,
+             CAST(FLOOR((epoch(DATE_TRUNC('week', e.ts)) - epoch(f.cohort_week))
+                        / 604800.0) AS BIGINT) AS age_weeks,
+             CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    weekly AS (
+      SELECT cohort_week, age_weeks, SUM(cents) AS week_cents
+      FROM aged GROUP BY cohort_week, age_weeks
+    )
+    SELECT w.cohort_week, w.age_weeks, s.cohort_users,
+           ROUND(SUM(w.week_cents) OVER (
+                   PARTITION BY w.cohort_week ORDER BY w.age_weeks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / 100.0 / s.cohort_users, 4) AS cum_value_per_user
+    FROM weekly w JOIN sized s ON w.cohort_week = s.cohort_week
+    """,
+)
+def events_cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curves: for each signup-week cohort,
+    cumulative purchase value per user by cohort age — the growth
+    chart every subscription/commerce team draws, and the payback
+    model behind acquisition budgets. Purchase cents accumulate as
+    exact integers (num.py) so the cumulative window is fp-free up to
+    the single final division. Shapes: one agg for first-seen, one
+    broadcast-sized cohort table, one (cohort, age) agg, then the
+    cumulative window over the tiny weekly matrix — the raw stream is
+    touched twice and shuffled on user_id/cohort keys only."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sized = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_users"))
+    aged = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                (
+                    F.date_trunc("week", F.col("ts")).cast("long")
+                    - F.col("cohort_week").cast("long")
+                )
+                / 604800.0
+            ).alias("age_weeks"),
+            F.floor(F.col("value") * 100 + 0.5).alias("cents"),
+        )
+    )
+    weekly = aged.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("cents").alias("week_cents")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.join(F.broadcast(sized), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            F.round(
+                F.sum("week_cents").over(w) / 100.0 / F.col("cohort_users"), 4
+            ).alias("cum_value_per_user"),
+        )
+    )
