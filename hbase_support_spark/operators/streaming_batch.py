@@ -593,3 +593,61 @@ def events_cohort_ltv_curve(spark, sf_dir):
             ).alias("cum_value_per_user"),
         )
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    dau AS (
+      SELECT day, COUNT(*) AS dau FROM user_days GROUP BY day
+    ),
+    spread AS (
+      SELECT user_id, day + INTERVAL 1 DAY * k AS obs_day
+      FROM user_days, range(0, 7) r(k)
+    ),
+    wau AS (
+      SELECT obs_day AS day, COUNT(DISTINCT user_id) AS wau
+      FROM spread GROUP BY obs_day
+    )
+    SELECT d.day, d.dau, w.wau,
+           ROUND(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def events_dau_wau(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness (DAU/WAU) — the product
+    health metrics every growth dashboard leads with. Rolling
+    DISTINCT doesn't compose from daily distincts, so the scalable
+    trick: reduce to distinct (user, day) pairs first (the only
+    shuffle over raw data), then each pair votes into the 7
+    observation days it supports — turning a sliding distinct into a
+    plain exploded hash agg, partial-aggregated map-side. Trailing
+    windows with no activity simply don't appear (JOIN, not a
+    calendar spine) — honest about fixture boundaries. Note WAU here
+    is per observation day INCLUDING days the user wasn't active
+    that day — exactly the trailing-window semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
+    spread = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "day",
+    ).select(
+        "user_id",
+        (F.col("day") + F.make_interval(days=F.col("k"))).alias("day"),
+    )
+    per_key = spread.groupBy("day", "user_id").agg(F.count("*").alias("_c"))
+    wau = per_key.groupBy("day").agg(F.count("*").alias("wau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
+    )
