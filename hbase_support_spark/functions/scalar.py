@@ -69,7 +69,7 @@ def fn_string(spark, sf_dir):
            DAYOFWEEK(o_orderdate)                               AS dow_sun0,
            DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
            CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)         AS plus_3_months,
-           EPOCH(o_orderdate)                                   AS epoch_sec,
+           CAST(EPOCH(o_orderdate) AS BIGINT)                   AS epoch_sec,
            CAST(o_orderdate AS DATE)                            AS order_date,
            STRFTIME(o_orderdate, '%Y-%m-%d')                    AS date_str,
            o_orderdate + INTERVAL 36 HOUR                       AS plus_36h
@@ -114,7 +114,7 @@ def fn_date(spark, sf_dir):
            GREATEST(l_discount, l_tax)                          AS max_rate,
            LEAST(l_discount, l_tax)                             AS min_rate,
            ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7           AS key_pmod7,
-           SIGN(l_discount - 0.05)                              AS disc_sign,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE)              AS disc_sign,
            CAST(LEAST(GREATEST(FLOOR((l_quantity - 1) / 49.0 * 5), 0), 4) + 1 AS BIGINT)
                                                                 AS qty_bucket
     FROM lineitem WHERE l_orderkey <= 200

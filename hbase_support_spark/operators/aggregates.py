@@ -338,7 +338,7 @@ def agg_cube(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS cnt,
-           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -350,7 +350,7 @@ def agg_grouping_sets(spark, sf_dir):
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS cnt,
-               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         FROM gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -361,7 +361,7 @@ def agg_grouping_sets(spark, sf_dir):
     "agg_conditional",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS big_cnt,
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS big_cnt,
            COUNT(*) FILTER (WHERE value <= 100) AS small_cnt,
            ROUND(SUM(CASE WHEN value > 100 THEN value ELSE 0 END), 2) AS big_value
     FROM events GROUP BY event_type
@@ -516,11 +516,11 @@ def agg_hll_sketch_mergeable(spark, sf_dir):
     "agg_pivot",
     oracle="""
     SELECT user_id,
-           COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS click,
-           COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS error,
-           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-           COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS signup,
-           COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS view
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS error,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS BIGINT) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS view
     FROM events WHERE user_id < 50
     GROUP BY user_id
     """,
@@ -787,7 +787,7 @@ def agg_benford_first_digit(spark, sf_dir):
       FROM events GROUP BY user_id, event_type
     ),
     tot AS (
-      SELECT user_id, SUM(n) AS total FROM per GROUP BY user_id
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS total FROM per GROUP BY user_id
     )
     SELECT p.user_id,
            t.total AS n_events,

@@ -1284,9 +1284,9 @@ def text_token_count_regex(spark, sf_dir):
            ROUND(hi, 6) AS scale_hi,
            CAST(LEAST(GREATEST(FLOOR((0.0 - lo) / (hi - lo) * 255.0), 0), 255) AS INT)
              AS zero_point,
-           LIST_SUM(LIST_TRANSFORM(e.embedding, x ->
+           CAST(LIST_SUM(LIST_TRANSFORM(e.embedding, x ->
              CAST(LEAST(GREATEST(FLOOR((CAST(x AS DOUBLE) - lo) / (hi - lo) * 255.0), 0), 255) AS BIGINT)))
-             AS q_checksum
+             AS BIGINT) AS q_checksum
     FROM embeddings e JOIN rng USING (vec_id, label)
     """,
 )
@@ -1473,7 +1473,8 @@ _LSH_ORACLE = f"""
                   THEN (1 << (8 - p.pid)) ELSE 0 END AS bit
       FROM embeddings e CROSS JOIN planes p
     ),
-    bucketed AS (SELECT vec_id, SUM(bit) AS bucket FROM sig GROUP BY vec_id)
+    bucketed AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket
+                 FROM sig GROUP BY vec_id)
     SELECT bucket, COUNT(*) AS occupancy,
            MIN(vec_id) AS min_member, MAX(vec_id) AS max_member
     FROM bucketed GROUP BY bucket
@@ -1509,7 +1510,9 @@ def sim_lsh_hyperplane(spark, sf_dir):
         "vec_id", sig.alias("sig")
     ).select(
         "vec_id",
-        F.aggregate(F.col("sig"), F.lit(0), lambda acc, b: acc * 2 + b).alias("bucket"),
+        F.aggregate(F.col("sig"), F.lit(0), lambda acc, b: acc * 2 + b)
+        .cast("long")
+        .alias("bucket"),
     )
     return bucketed.groupBy("bucket").agg(
         F.count("*").alias("occupancy"),
@@ -1758,7 +1761,7 @@ BIGRAMS_FROM_TOKS = (
            COUNT(*) AS n_docs,
            ROUND(AVG(dup_tok), 6) AS avg_dup_token_frac,
            ROUND(AVG(dup_2g), 6) AS avg_dup_bigram_frac,
-           SUM(CASE WHEN dup_2g > 0.5 THEN 1 ELSE 0 END) AS n_repetitive
+           CAST(SUM(CASE WHEN dup_2g > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
     FROM per_doc GROUP BY source ORDER BY source
     """,
 )
@@ -1809,7 +1812,7 @@ def text_repetition_ratio(spark, sf_dir):
     )
     SELECT source, ANY_VALUE(keep_pct) AS keep_pct,
            COUNT(*) AS n_in,
-           SUM(CASE WHEN slot < keep_pct THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN slot < keep_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM w GROUP BY source ORDER BY source
     """,
 )
@@ -1928,13 +1931,14 @@ def pipeline_epoch_order(spark, sf_dir):
       FROM documents
     ), o AS (
       SELECT doc_id, shard, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
+             CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
       FROM t
     )
     SELECT doc_id, shard, n_tokens, start_offset,
-           shard * 1000000 + start_offset // 2048 AS pack_id,
+           CAST(shard * 1000000 + start_offset // 2048 AS BIGINT) AS pack_id,
            (start_offset + n_tokens - 1) // 2048 > start_offset // 2048 AS straddles
     FROM o
     """,
@@ -1985,7 +1989,7 @@ def pipeline_pack_sequences(spark, sf_dir):
            COUNT(*) AS df,
            MIN(doc_id) AS min_doc,
            MAX(doc_id) AS max_doc,
-           SUM({_d_h60("CAST(doc_id AS VARCHAR)")} % 1048576) AS posting_digest
+           CAST(SUM({_d_h60("CAST(doc_id AS VARCHAR)")} % 1048576) AS BIGINT) AS posting_digest
     FROM (SELECT doc_id, UNNEST({D_DISTINCT_TOKENS}) AS term FROM documents)
     GROUP BY term
     HAVING COUNT(*) >= 5
@@ -2092,7 +2096,7 @@ def dedup_incremental_vs_corpus(spark, sf_dir):
     oracle=f"""
     SELECT lang, split,
            COUNT(*) AS n,
-           SUM({_d_h60("CAST(doc_id AS VARCHAR)")} % 1048576) AS member_digest
+           CAST(SUM({_d_h60("CAST(doc_id AS VARCHAR)")} % 1048576) AS BIGINT) AS member_digest
     FROM (
       SELECT doc_id, lang,
              CASE WHEN {_d_h60("'strat1|' || CAST(doc_id AS VARCHAR)")} % 10000
@@ -2511,10 +2515,10 @@ def sample_importance_weighted(spark, sf_dir):
       WHERE CAST('0x' || substring(md5('iw|' || CAST(k.doc_id AS VARCHAR)), 1, 15)
                  AS BIGINT) % 1000000 < CAST(FLOOR(p.p_keep * 1000000) AS BIGINT)
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens,
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
            ROUND(AVG(q), 6) AS avg_quality,
-           SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                    AS BIGINT) % 1048576) AS member_digest
+           CAST(SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1048576) AS BIGINT) AS member_digest
     FROM sampled GROUP BY lang
     """,
 )
@@ -3285,9 +3289,9 @@ def sample_k_per_group(spark, sf_dir):
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_toks) AS tokens_kept,
-           SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                    AS BIGINT) % 1048576) AS member_digest
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_kept,
+           CAST(SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1048576) AS BIGINT) AS member_digest
     FROM kept GROUP BY lang
     """,
 )

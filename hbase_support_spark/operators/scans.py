@@ -240,7 +240,7 @@ def source_orc_roundtrip(spark, sf_dir):
     "source_text_corpus",
     oracle="""
     SELECT COUNT(*) AS n_lines,
-           SUM(LEN(text)) AS total_chars,
+           CAST(SUM(LEN(text)) AS BIGINT) AS total_chars,
            MIN(LEN(text)) AS min_chars,
            MAX(LEN(text)) AS max_chars
     FROM documents

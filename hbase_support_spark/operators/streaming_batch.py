@@ -76,7 +76,7 @@ def stream_sliding_1h_15m(spark, sf_dir):
     "stream_session_30m",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
       FROM events
@@ -84,9 +84,9 @@ def stream_sliding_1h_15m(spark, sf_dir):
     ),
     sess AS (
       SELECT user_id, ts, value,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id,
@@ -254,12 +254,12 @@ def stream_dedup_by_key(spark, sf_dir):
     ),
     daily AS (
       SELECT event_type, DATE_TRUNC('day', bucket) AS bucket,
-             SUM(event_cnt) AS event_cnt, SUM(sum_value) AS sum_value
+             CAST(SUM(event_cnt) AS BIGINT) AS event_cnt, SUM(sum_value) AS sum_value
       FROM hourly GROUP BY 1, 2
     ),
     monthly AS (
       SELECT event_type, DATE_TRUNC('month', bucket) AS bucket,
-             SUM(event_cnt) AS event_cnt, SUM(sum_value) AS sum_value
+             CAST(SUM(event_cnt) AS BIGINT) AS event_cnt, SUM(sum_value) AS sum_value
       FROM daily GROUP BY 1, 2
     )
     SELECT 'hour' AS grain, event_type, bucket, event_cnt,

@@ -8,6 +8,16 @@ order-insensitively.
 Normalization: columns sorted by name, floats rounded to 6 (queries
 additionally ROUND themselves — this is belt-and-braces), timestamps
 to ISO-µs strings, rows sorted lexicographically.
+
+Round-2 lesson (VERDICT r02): the driver's value-hash is numeric-KIND
+sensitive — DuckDB ``SUM(int)``→HUGEINT vs Spark BIGINT, ``epoch()``→
+DOUBLE vs BIGINT, ``sign()``→TINYINT vs DOUBLE all hash-mismatch even
+when the Python scalar values compare equal. ``fetchall()`` collapses
+those kinds (HUGEINT→int, DOUBLE→float), so value comparison alone is
+blind to the class. ``compare()`` therefore asserts *kind agreement*
+(Spark ``df.dtypes`` vs DuckDB ``rel.types`` mapped into a common
+vocabulary) before comparing any values, with HUGEINT/UBIGINT kept as
+their own never-matching kind so the oracle is forced to CAST.
 """
 
 from __future__ import annotations
@@ -28,6 +38,96 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
+
+
+import re as _re
+
+# ---------------------------------------------------------------- kinds
+#
+# Common numeric/temporal "kind" vocabulary shared by the Spark and
+# DuckDB type mappers. The driver's hash distinguishes at least:
+#   int vs float (0 vs 0.0), HUGEINT vs BIGINT, TINYINT vs DOUBLE,
+#   DECIMAL vs DOUBLE.
+# HUGEINT/UBIGINT deliberately map to "hugeint" (no Spark type ever
+# produces it) so any oracle emitting one fails the kind gate until a
+# CAST lands. Decimals carry (precision,scale) — a scale difference
+# changes the rendered value.
+
+
+def spark_kind(dtype: str) -> str:
+    t = dtype.strip().lower()
+    m = _re.match(r"^array<(.*)>$", t)
+    if m:
+        return f"array<{spark_kind(m.group(1))}>"
+    if t.startswith("map<") or t.startswith("struct<"):
+        return "nested"
+    m = _re.match(r"^decimal\((\d+),\s*(\d+)\)$", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"):
+        return "int"
+    if t in ("double", "float", "real"):
+        return "float"
+    if t in ("timestamp", "timestamp_ltz", "timestamp_ntz"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t == "boolean":
+        return "bool"
+    if t == "binary":
+        return "binary"
+    if t in ("string", "varchar", "char"):
+        return "string"
+    return t
+
+
+def duck_kind(dtype: str) -> str:
+    t = str(dtype).strip().upper()
+    if t.endswith("[]"):
+        return f"array<{duck_kind(t[:-2])}>"
+    if t.startswith("MAP(") or t.startswith("STRUCT("):
+        return "nested"
+    m = _re.match(r"^DECIMAL\((\d+),\s*(\d+)\)$", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    if t in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+        return "hugeint"  # never produced by Spark — forces a CAST
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t == "BOOLEAN":
+        return "bool"
+    if t in ("BLOB", "BYTEA", "VARBINARY"):
+        return "binary"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "string"
+    return t.lower()
+
+
+def kind_mismatches(
+    spark_dtypes: list[tuple[str, str]],
+    oracle_sql: str,
+    con: duckdb.DuckDBPyConnection,
+) -> list[str]:
+    """Per-column kind disagreements between a (lazy) Spark schema and
+    the DuckDB oracle's prepared result types. Executes nothing on the
+    Spark side and only plans on the DuckDB side."""
+    rel = con.sql(oracle_sql)
+    d_kinds = {c: duck_kind(t) for c, t in zip(rel.columns, rel.types)}
+    out = []
+    for col, dt in spark_dtypes:
+        sk = spark_kind(dt)
+        dk = d_kinds.get(col)
+        if dk is None:
+            continue  # column-name mismatch is schema_match's job
+        if sk != dk:
+            out.append(f"{col}: spark={dt}({sk}) duckdb={dk}")
+    return out
 
 
 def _norm_cell(v):
@@ -66,7 +166,11 @@ def _normalize(cols: list[str], rows) -> list[tuple]:
 
 def compare(spark_df, oracle_sql: str, con: duckdb.DuckDBPyConnection) -> tuple[bool, str]:
     """Return (match, detail). Mirrors the driver's row-count + schema
-    (column names) + order-insensitive value comparison."""
+    (column names) + order-insensitive value comparison, plus the
+    numeric-kind gate the driver's hash implies (see module docstring)."""
+    kinds_bad = kind_mismatches(spark_df.dtypes, oracle_sql, con)
+    if kinds_bad:
+        return False, f"kind mismatch: {'; '.join(kinds_bad)}"
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
     rel = con.execute(oracle_sql)
