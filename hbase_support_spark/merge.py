@@ -171,10 +171,11 @@ def bulk_delete(
     same seam. Returns {"deleted": n, "touched_partitions": n}.
 
     Caveat shared with dynamic overwrite everywhere: a partition
-    whose EVERY row is deleted still needs its directory dropped —
-    Spark's overwrite only replaces partitions present in the
-    output, so fully-emptied partitions are rewritten as a zero-row
-    marker here (counted in touched_partitions).
+    whose EVERY row is deleted is invisible to the overwrite (only
+    partitions present in the written output are replaced), so after
+    the rewrite this function explicitly drops the directories of
+    touched partitions that have no survivors. Both collects here are
+    metadata-scale (distinct partition values of the delta, not data).
     """
     ensure_confs(spark)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -188,11 +189,47 @@ def bulk_delete(
     in_touched = F.col(partition_col).isin(touched)
     doomed = full.filter(in_touched & predicate).count()
     survivors = full.filter(in_touched & ~predicate)
-    # rewrite only the touched partitions; fully-emptied ones become
-    # zero-row partitions (see caveat)
-    (
-        survivors.write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(target_path)
-    )
-    return {"deleted": doomed, "touched_partitions": len(touched)}
+    surviving_parts = {
+        r[0] for r in survivors.select(partition_col).distinct().collect()
+    }
+    if surviving_parts:
+        # rewrite only touched partitions that still have rows
+        (
+            survivors.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target_path)
+        )
+    emptied = [v for v in touched if v not in surviving_parts]
+    for v in emptied:
+        _drop_partition_dir(spark, target_path, partition_col, v)
+    return {
+        "deleted": doomed,
+        "touched_partitions": len(touched),
+        "emptied_partitions": len(emptied),
+    }
+
+
+def _drop_partition_dir(
+    spark: SparkSession, target_path: str, partition_col: str, value
+) -> None:
+    """Remove ``target_path/<partition_col>=<value>`` via the Hadoop
+    FileSystem API (works on any Hadoop-supported FS, not just
+    local). Value rendering mirrors Hive's partition-path escaping
+    for the characters that matter in practice."""
+    rendered = "__HIVE_DEFAULT_PARTITION__" if value is None else _escape_part(str(value))
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{partition_col}={rendered}")
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _escape_part(v: str) -> str:
+    # Hive escapePathName: percent-encode path-hostile characters.
+    out = []
+    for ch in v:
+        if ch in '\x01"#%\'*/:=?\\\x7f{[]^' or ord(ch) < 0x20:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)

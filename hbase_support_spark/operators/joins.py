@@ -405,6 +405,9 @@ def join_skew_salted(spark, sf_dir):
       UNION ALL
       SELECT c_custkey, c_mktsegment, c_acctbal, band, band + 1 AS probe_band
       FROM banded
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal, band, band - 1 AS probe_band
+      FROM banded
     )
     SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
            a.c_mktsegment AS segment,
@@ -422,11 +425,18 @@ def join_er_numeric_banding(spark, sf_dir):
     (segment) and sit within a tolerance (25.0) of each other. A
     naive |x_a - x_b| <= eps predicate is a theta join (quadratic);
     banding by floor(x / 2*eps) and probing each row's own band plus
-    the next turns it into an EQUI-join that provably covers every
-    qualifying pair (two values within eps span at most one band
-    boundary). One side expands 2x — the standard band-join
-    rewrite, and the same shape matches timestamps, coordinates, or
-    any metric attribute at 100 TB without a cross product."""
+    both neighbors turns it into an EQUI-join that covers every
+    qualifying pair: two values within eps land in the same or
+    adjacent bands, and because the pair filter (custkey_a <
+    custkey_b) is key-based — not band-based — the qualifying
+    neighbor may sit in either the band above OR below, so both
+    must be probed (probing only band+1 silently drops pairs whose
+    smaller key holds the larger value; ADVICE r02). Each pair still
+    matches exactly once — the unexpanded side's band is a single
+    value and the probe values are distinct. One side expands 3x —
+    the standard band-join rewrite, and the same shape matches
+    timestamps, coordinates, or any metric attribute at 100 TB
+    without a cross product."""
     c = load_table(spark, sf_dir, "customer")
     banded = c.select(
         "c_custkey",
@@ -434,8 +444,10 @@ def join_er_numeric_banding(spark, sf_dir):
         "c_acctbal",
         F.floor(F.col("c_acctbal") / 50.0).alias("band"),
     )
-    expanded = banded.withColumn("probe_band", F.col("band")).unionByName(
-        banded.withColumn("probe_band", F.col("band") + 1)
+    expanded = (
+        banded.withColumn("probe_band", F.col("band"))
+        .unionByName(banded.withColumn("probe_band", F.col("band") + 1))
+        .unionByName(banded.withColumn("probe_band", F.col("band") - 1))
     )
     a = expanded.alias("a")
     b = banded.alias("b")

@@ -601,12 +601,14 @@ def tpch_q9_product_profit(spark, sf_dir):
     "tpch_q11_important_parts",
     oracle="""
     WITH val AS (
-      SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS part_value
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT))
+               AS pv_cents
       FROM lineitem GROUP BY 1
     )
-    SELECT l_partkey AS p_partkey, ROUND(part_value, 2) AS part_value
+    SELECT l_partkey AS p_partkey, pv_cents / 100.0 AS part_value
     FROM val
-    WHERE part_value > (SELECT SUM(part_value) * 0.0006 FROM val)
+    WHERE pv_cents > (SELECT SUM(pv_cents) * 0.0006 FROM val)
     """,
 )
 def tpch_q11_important_parts(spark, sf_dir):
@@ -616,18 +618,21 @@ def tpch_q11_important_parts(spark, sf_dir):
     per-part aggregate — the decorrelated plan Catalyst produces for
     the SQL form, stated directly: no per-row re-aggregation, the
     value table is computed once and scanned twice (self-reuse via
-    the shuffle exchange)."""
+    the shuffle exchange). Both the displayed value AND the
+    threshold predicate run on the integer-cents contract (num.py):
+    an engine-ordered double SUM compared against a double threshold
+    is a per-round rounding coin flip (ADVICE r02; observed once on
+    tpch_q9), while long-cents totals are associative and exact."""
     li = load_table(spark, sf_dir, "lineitem")
-    val = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
-    )
-    total = val.agg((F.sum("part_value") * 0.0006).alias("threshold"))
+    cents = F.floor(F.col("l_extendedprice") * F.col("l_quantity") * 100 + 0.5)
+    val = li.groupBy("l_partkey").agg(F.sum(cents).alias("pv_cents"))
+    total = val.agg((F.sum("pv_cents") * 0.0006).alias("threshold_cents"))
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
+        .filter(F.col("pv_cents") > F.col("threshold_cents"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("part_value", 2).alias("part_value"),
+            (F.col("pv_cents") / 100.0).alias("part_value"),
         )
     )
 

@@ -304,14 +304,14 @@ def win_pattern_rising_runs(spark, sf_dir):
     "win_longest_streak",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 3600
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     streaks AS (
       SELECT user_id,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS streak_id
       FROM gaps
@@ -338,6 +338,7 @@ def win_longest_streak(spark, sf_dir):
     gaps = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 3600)
             | F.lag("ts").over(w).isNull(),
@@ -346,9 +347,11 @@ def win_longest_streak(spark, sf_dir):
         .otherwise(0)
         .alias("brk"),
     )
+    # (ts, event_id) — same tie-break as the gap window: rows sharing a
+    # timestamp must land in one deterministic streak in both engines
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     streaks = gaps.withColumn("streak_id", F.sum("brk").over(wrun))

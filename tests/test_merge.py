@@ -208,7 +208,7 @@ def test_bulk_delete_prunes_and_deletes(spark, sf_dir, tmp_path):
         (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000),
         "o_orderstatus",
     )
-    assert stats == {"deleted": doomed, "touched_partitions": 1}
+    assert stats == {"deleted": doomed, "touched_partitions": 1, "emptied_partitions": 0}
     back = spark.read.parquet(target)
     assert back.count() == n_before - doomed
     assert back.filter(
@@ -216,6 +216,67 @@ def test_bulk_delete_prunes_and_deletes(spark, sf_dir, tmp_path):
     ).count() == 0
     # untouched partition not rewritten
     assert files_of("P") == before_p
+
+
+def test_bulk_delete_drops_fully_emptied_partition(spark, sf_dir, tmp_path):
+    """A partition whose EVERY row matches the predicate must actually
+    disappear — dynamic overwrite alone leaves its old files in place
+    (ADVICE r02), so bulk_delete drops the emptied directory itself."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.merge import bulk_delete
+
+    target = str(tmp_path / "orders")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").parquet(target)
+    n_p = orders.filter(F.col("o_orderstatus") == "P").count()
+    assert n_p > 0
+
+    # whole P partition + a slice of F: one emptied, one rewritten
+    pred = (F.col("o_orderstatus") == "P") | (
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000)
+    )
+    doomed = orders.filter(pred).count()
+    stats = bulk_delete(spark, target, pred, "o_orderstatus")
+    assert stats == {
+        "deleted": doomed,
+        "touched_partitions": 2,
+        "emptied_partitions": 1,
+    }
+    assert not os.path.exists(f"{target}/o_orderstatus=P")
+    back = spark.read.parquet(target)
+    assert back.count() == orders.count() - doomed
+    assert back.filter(F.col("o_orderstatus") == "P").count() == 0
+
+
+def test_bulk_delete_all_rows_everywhere(spark, sf_dir, tmp_path):
+    """Degenerate case: the predicate kills every partition — nothing
+    survives to write, every touched dir must be dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.merge import bulk_delete
+
+    target = str(tmp_path / "orders")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").parquet(target)
+    n = orders.count()
+    n_parts = orders.select("o_orderstatus").distinct().count()
+    stats = bulk_delete(spark, target, F.lit(True), "o_orderstatus")
+    assert stats == {
+        "deleted": n,
+        "touched_partitions": n_parts,
+        "emptied_partitions": n_parts,
+    }
+    leftover = [
+        d for d in os.listdir(target) if d.startswith("o_orderstatus=")
+    ]
+    assert leftover == []
 
 
 def test_bulk_delete_no_matches_is_noop(spark, sf_dir, tmp_path):

@@ -207,3 +207,39 @@ def test_lsh_recall_report_tradeoff_on_synthetic_pairs(spark, tmp_path):
     f82, f44, f28 = rep[(8, 2)][1], rep[(4, 4)][1], rep[(2, 8)][1]
     assert f82 >= f44 >= f28  # recall monotone in band count
     assert f28 < n_true  # strictest banding misses borderline pairs
+
+
+def test_er_banding_covers_higher_band_smaller_key(spark, tmp_path):
+    """ADVICE r02 counterexample: keys 1@60.0 / 2@40.0 share a segment,
+    gap 20 <= eps 25, but the smaller custkey sits in the HIGHER band
+    (floor(60/50)=1 vs floor(40/50)=0). Probing only band and band+1
+    on the expanded side returned empty; band-1 must be probed too."""
+    from hbase_support_spark.operators.joins import join_er_numeric_banding
+    from hbase_support_spark.parity import compare
+    from hbase_support_spark.registry import ORACLES
+
+    df = spark.createDataFrame(
+        [(1, "SEG", 60.0), (2, "SEG", 40.0), (3, "SEG", 140.0)],
+        ["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    d = str(tmp_path / "er")
+    df.coalesce(1).write.parquet(f"{d}/customer.parquet")
+
+    out = join_er_numeric_banding(spark, d).collect()
+    pairs = {(r.cust_a, r.cust_b) for r in out}
+    assert (1, 2) in pairs  # the previously-dropped pair
+    assert (2, 3) not in pairs and (1, 3) not in pairs  # gap > eps
+
+    # oracle agrees on the same tiny fixture
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{d}/customer.parquet/*.parquet')"
+    )
+    ok, detail = compare(
+        join_er_numeric_banding(spark, d),
+        ORACLES["join_er_numeric_banding"],
+        con,
+    )
+    assert ok, detail
