@@ -19,7 +19,8 @@ def test_oracle_parity(name, spark, sf_dir, oracle_con):
     assert ok, f"{name}: {detail}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_runs(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+def test_every_query_has_an_oracle():
+    """All 210 registered queries carry a full SQL oracle (round 2
+    restructured the last rows-only ones); a regression to rows-only
+    grading should be a deliberate choice, not an accident."""
+    assert set(QUERIES) == set(ORACLES)
