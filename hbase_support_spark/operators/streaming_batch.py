@@ -77,7 +77,7 @@ def stream_sliding_1h_15m(spark, sf_dir):
     oracle="""
     WITH gaps AS (
       SELECT user_id, ts, value, event_id,
-             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -99,25 +99,39 @@ def stream_sliding_1h_15m(spark, sf_dir):
     """,
 )
 def stream_session_30m(spark, sf_dir):
-    """Session windows, 30-min gap (streaming: session_window(ts,
-    '30 minutes')). Batch form: lag-gap → running-sum session ids →
-    per-session agg. One shuffle on user_id; the sort is reused by
-    both window functions (same partitioning/ordering)."""
+    """Session windows, 30-min gap, via Spark's native
+    ``session_window`` in batch mode — the same expression the
+    streaming twin uses. Plan shape (and the reason this beats the
+    lag-gap/running-sum form at scale): map-side PARTIAL session
+    merging inside each input partition, ONE exchange on user_id of
+    pre-merged session fragments (not raw events), final merge agg —
+    vs the window form, which shuffles every raw event and makes two
+    full window passes. The oracle's ordinal session numbering is
+    recovered with row_number over the (small) per-user session list.
+
+    Boundary exactness: the gap compare runs on integer MICROSECONDS
+    on both engines (session_window gap 1800000001us merges iff
+    diff <= 1800s; oracle epoch_us > 1800000000 breaks) — the
+    fractional-second fixtures make a double epoch() vs
+    floor-second cast('long') comparison a regen-roll boundary
+    coin-flip, same class as num.py's cents contract."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    wsum = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    sess = ev.withColumn("session_id", F.sum(brk).over(wsum))
-    return sess.groupBy("user_id", "session_id").agg(
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", "1800000001 microseconds").alias("sw")
+    ).agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("session_value"),
+    )
+    wnum = Window.partitionBy("user_id").orderBy("session_start")
+    return sess.select(
+        "user_id",
+        F.row_number().over(wnum).cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "session_value",
     )
 
 

@@ -168,21 +168,26 @@ def win_moving_avg_rows(spark, sf_dir):
     "win_range_frame",
     oracle="""
     SELECT event_id, user_id, ts,
-           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
-                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS events_last_hour,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS events_last_hour,
            SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
-             OVER (PARTITION BY user_id ORDER BY epoch(ts)
-                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 100.0
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) / 100.0
              AS value_last_hour
     FROM events
     """,
 )
 def win_range_frame(spark, sf_dir):
     """Value-range frame: trailing 1-hour window keyed on epoch
-    seconds (RANGE, not ROWS — frame width is in the value domain)."""
+    MICROSECONDS (RANGE, not ROWS — frame width is in the value
+    domain). Integer-us ordering on both engines: a double epoch()
+    vs floor-second cast('long') pairing makes frame membership of a
+    row sitting ~3600s back a fractional-part coin flip under
+    fixture regeneration."""
     ev = load_table(spark, sf_dir, "events")
-    sec = F.col("ts").cast("long")
-    w = Window.partitionBy("user_id").orderBy(sec).rangeBetween(-3600, 0)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us).rangeBetween(-3600 * 1000000, 0)
     return ev.select(
         "event_id",
         "user_id",
@@ -305,7 +310,7 @@ def win_pattern_rising_runs(spark, sf_dir):
     oracle="""
     WITH gaps AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 3600
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 3600000000
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
@@ -332,30 +337,18 @@ def win_longest_streak(spark, sf_dir):
     the sessionization kernel: gap-break flags, running sum as the
     streak id, then max streak length — so it inherits the same
     one-shuffle-on-user scale shape. The break flag and streak id
-    are pure integer arithmetic; no float anywhere."""
+    are pure integer arithmetic; no float anywhere.
+
+    Same plan shape as stream_session_30m: native batch
+    ``session_window`` (1-hour gap) gives map-side partial streak
+    merging and shuffles pre-merged fragments instead of raw events;
+    the gap compare is integer microseconds in both engines
+    (session_window gap 3600000001us merges iff diff <= 3600s —
+    matching the oracle's epoch_us diff > 3600000000 break)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 3600)
-            | F.lag("ts").over(w).isNull(),
-            1,
-        )
-        .otherwise(0)
-        .alias("brk"),
-    )
-    # (ts, event_id) — same tie-break as the gap window: rows sharing a
-    # timestamp must land in one deterministic streak in both engines
-    wrun = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    streaks = gaps.withColumn("streak_id", F.sum("brk").over(wrun))
-    lens = streaks.groupBy("user_id", "streak_id").agg(F.count("*").alias("len"))
+    lens = ev.groupBy(
+        "user_id", F.session_window("ts", "3600000001 microseconds").alias("sw")
+    ).agg(F.count("*").alias("len"))
     return lens.groupBy("user_id").agg(
         F.max("len").alias("longest_streak"),
         F.count("*").alias("n_streaks"),
