@@ -804,6 +804,64 @@ def sim_knn_ivf_multiprobe(spark, sf_dir):
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(5)
 
 
+_ANN_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    cent AS (
+      SELECT label, r.i AS i, AVG(CAST(embedding[r.i] AS DOUBLE)) AS c
+      FROM embeddings, range(1, 65) r(i) GROUP BY label, r.i
+    ),
+    cscore AS (
+      SELECT c.label,
+             SUM(c.c * CAST(q.qv[c.i] AS DOUBLE)) /
+               (SQRT(SUM(c.c * c.c)) *
+                SQRT(SUM(CAST(q.qv[c.i] AS DOUBLE) * CAST(q.qv[c.i] AS DOUBLE))))
+               AS score
+      FROM cent c, q GROUP BY c.label
+    ),
+    probe AS (SELECT label FROM cscore ORDER BY score DESC, label LIMIT 2),
+    scored AS (
+      SELECT e.vec_id, ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e JOIN probe p ON e.label = p.label, q, range(1, 65) r(i)
+      WHERE e.vec_id <> 7
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """
+
+
+@register("sim_knn_ivf_persisted", oracle=_ANN_ORACLE)
+def sim_knn_ivf_persisted(spark, sf_dir):
+    """IVF ANN against a PERSISTED index (sources/ann_index.py): the
+    build-once/probe-many path the ephemeral sim_knn_ivf* queries
+    approximate. Build writes the centroid table (nlist rows,
+    broadcastable) and the vectors hive-partitioned by cell_id; probe
+    ranks centroids, then scans ONLY the nprobe=2 winning cell
+    directories (PartitionFilters pruning — tests/test_ann_index.py
+    asserts it) with a map-only cosine + TakeOrdered top-5. The cell
+    quantizer here is the deterministic `label` column so the DuckDB
+    oracle can restate the index exactly; k-means cells (ivf_build
+    without assign_col) are covered by build/recall tests instead —
+    float cell boundaries don't belong in a hash-compared oracle. The
+    query vector arrives as a literal (the serving-path contract),
+    taken from vec_id=7; the indexed corpus keeps vector 7 (a real
+    index contains the query's own row), which is only excluded from
+    the result list."""
+    import os as _os
+
+    from ..sources.ann_index import ivf_build, ivf_probe
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".scratch",
+        "ivf_label_index",
+    )
+    ivf_build(spark, e, idx, assign_col=F.col("label"))
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 7).head().embedding]
+    return ivf_probe(spark, idx, qv, k=5, nprobe=2, exclude_id=7)
+
+
+
 @register(
     "sim_knn_batch",
     oracle=f"""

@@ -143,6 +143,7 @@ GRADING_PRIORITY: list[str] = [
     "dedup_ngram_jaccard_fast",
     "dedup_embedding_cosine",
     "sim_knn_batch",
+    "sim_knn_ivf_persisted",
     "sim_pairs_threshold_blas",
     "text_bigram_counts",
     "text_token_count_regex",
