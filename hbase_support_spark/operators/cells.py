@@ -464,3 +464,96 @@ def as_of_join_forward(spark, sf_dir):
         .filter(F.col("is_q") == 1)
         .select("user_id", F.col("ts").alias("query_ts"), "next_ts")
     )
+
+
+@register(
+    "as_of_join_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             event_type = 'click' AS is_click
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    scanned AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN is_click THEN ts_us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS back_us,
+             LAST_VALUE(CASE WHEN is_click THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS back_id,
+             FIRST_VALUE(CASE WHEN is_click THEN ts_us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS fwd_us,
+             FIRST_VALUE(CASE WHEN is_click THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS fwd_id
+      FROM tagged
+    )
+    SELECT event_id, user_id,
+           CASE WHEN back_us IS NOT NULL
+                 AND (fwd_us IS NULL OR ts_us - back_us <= fwd_us - ts_us)
+                THEN back_id ELSE fwd_id END AS click_event_id,
+           CASE WHEN back_us IS NOT NULL
+                 AND (fwd_us IS NULL OR ts_us - back_us <= fwd_us - ts_us)
+                THEN ts_us - back_us ELSE fwd_us - ts_us END AS delta_us
+    FROM scanned WHERE NOT is_click
+    """,
+)
+def as_of_join_nearest(spark, sf_dir):
+    """Nearest as-of: attach to each purchase the click by the same
+    user closest in time in EITHER direction (ties → the earlier,
+    i.e. backward, click) — attribution's 'which touchpoint was this
+    conversion nearest to'. Composes the backward and forward as-of
+    in ONE pass: union-tag both event kinds, sort once per user, and
+    carry the last-preceding / first-following click via framed
+    IGNORE NULLS window functions — no inequality join, no second
+    sort (all four windows share one (user_id, ts_us, event_id)
+    frame ordering, so the plan is one shuffle + one in-partition
+    sort, sessionization's shape). Purchases with no click on a side
+    fall back to the other; integer-µs deltas keep the comparison
+    exact. Cites the classic pandas ``merge_asof(direction=
+    'nearest')`` semantics, restated as a distributed single-scan."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            (F.col("event_type") == "click").alias("is_click"),
+        )
+    )
+    base = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    back = base.rowsBetween(Window.unboundedPreceding, -1)
+    fwd = base.rowsBetween(1, Window.unboundedFollowing)
+    click_us = F.when(F.col("is_click"), F.col("ts_us"))
+    click_id = F.when(F.col("is_click"), F.col("event_id"))
+    scanned = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "is_click",
+        F.last(click_us, ignorenulls=True).over(back).alias("back_us"),
+        F.last(click_id, ignorenulls=True).over(back).alias("back_id"),
+        F.first(click_us, ignorenulls=True).over(fwd).alias("fwd_us"),
+        F.first(click_id, ignorenulls=True).over(fwd).alias("fwd_id"),
+    )
+    take_back = F.col("back_us").isNotNull() & (
+        F.col("fwd_us").isNull()
+        | (F.col("ts_us") - F.col("back_us") <= F.col("fwd_us") - F.col("ts_us"))
+    )
+    return scanned.filter(~F.col("is_click")).select(
+        "event_id",
+        "user_id",
+        F.when(take_back, F.col("back_id")).otherwise(F.col("fwd_id")).alias(
+            "click_event_id"
+        ),
+        F.when(take_back, F.col("ts_us") - F.col("back_us"))
+        .otherwise(F.col("fwd_us") - F.col("ts_us"))
+        .alias("delta_us"),
+    )

@@ -3453,3 +3453,118 @@ def corpus_drift_psi(spark, sf_dir):
         "n_b",
         F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_term"),
     )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {D_TOKENS} AS toks FROM documents
+    ),
+    pos_sh AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             UNNEST(list_transform(range(1, len(toks) - 1), i -> i - 1)) AS pos,
+             UNNEST(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM t WHERE len(toks) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, n_tokens, pos, {_d_h60('sh')} AS h FROM pos_sh
+    ),
+    shared AS (
+      SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup_pos AS (
+      SELECT doc_id, n_tokens, pos FROM hashed JOIN shared USING (h)
+    ),
+    runs AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3
+                  THEN 0 ELSE 1 END AS brk
+      FROM dup_pos
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS span_id
+      FROM runs
+    ),
+    per_span AS (
+      SELECT doc_id, n_tokens, span_id,
+             MAX(pos) - MIN(pos) + 3 AS span_tokens
+      FROM spans GROUP BY doc_id, n_tokens, span_id
+    )
+    SELECT doc_id, n_tokens,
+           COUNT(*) AS dup_span_cnt,
+           CAST(SUM(span_tokens) AS BIGINT) AS dup_token_cnt,
+           ROUND(CAST(SUM(span_tokens) AS DOUBLE) / n_tokens, 6) AS dup_ratio
+    FROM per_span GROUP BY doc_id, n_tokens
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact repeated-SPAN detection — the span-granular form of
+    'Deduplicating Training Data Makes Language Models Better' (Lee
+    et al. 2022): instead of whole-doc near-dup, find the stretches
+    of text that recur verbatim across documents (boilerplate,
+    licenses, quoted chunks) and measure how much of each doc is
+    duplicated material. Positional trigram shingles are hashed
+    (portable h60), shingles seen in ≥2 distinct docs are flagged,
+    and per doc the flagged positions are merged into maximal
+    contiguous spans (a trigram at pos p covers tokens p..p+2, so
+    gaps ≤3 merge) via the island trick — break flag + running sum.
+    Output: per affected doc, span count, duplicated-token total and
+    duplicated fraction.
+
+    Physical shape at 100 TB: the suffix-array approach is a
+    single-machine algorithm; this is its distributed restatement —
+    one hash agg on the 60-bit shingle hash (partial agg collapses
+    each doc's repeats map-side), one hash semi-join back on the
+    hash (NEVER on shingle strings — 8 bytes/row shuffled), one
+    window on doc_id. No all-pairs stage anywhere, so cost is linear
+    in corpus token count."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(TOKENS).alias("toks"))
+    pos_sh = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN"
+                " transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                " ELSE cast(array() AS array<string>) END"
+            )
+        ).alias("pos", "sh"),
+    )
+    hashed = pos_sh.select(
+        "doc_id", "n_tokens", "pos", F.expr(_h60("sh")).alias("h")
+    )
+    shared = (
+        hashed.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    from pyspark.sql import Window
+
+    dup_pos = hashed.join(shared, "h").select("doc_id", "n_tokens", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup_pos.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= 3, 0).otherwise(1),
+    )
+    spans = runs.withColumn(
+        "span_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_span = spans.groupBy("doc_id", "n_tokens", "span_id").agg(
+        (F.max("pos") - F.min("pos") + 3).alias("span_tokens")
+    )
+    return per_span.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").alias("dup_span_cnt"),
+        F.sum("span_tokens").cast("bigint").alias("dup_token_cnt"),
+        F.round(
+            F.sum("span_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_ratio"),
+    )

@@ -665,3 +665,104 @@ def events_dau_wau(spark, sf_dir):
         "wau",
         F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
     )
+
+
+@register(
+    "events_path_topk",
+    oracle="""
+    WITH steps AS (
+      SELECT event_type AS s1,
+             LEAD(event_type, 1) OVER w AS s2,
+             LEAD(event_type, 2) OVER w AS s3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s1 || '>' || s2 || '>' || s3 AS path,
+           COUNT(*) AS path_cnt
+    FROM steps WHERE s3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY path_cnt DESC, path
+    LIMIT 20
+    """,
+)
+def events_path_topk(spark, sf_dir):
+    """Top-k behavioral paths: the 20 most frequent 3-step event
+    sequences across all users — the workhorse of navigation-flow
+    and funnel-discovery analysis. Physical shape: one shuffle on
+    user_id with an in-partition sort (the two LEADs share a single
+    window pass), then a hash agg on the tiny path keyspace (5^3
+    possible trigrams — partial agg collapses map-side), then
+    TakeOrdered for the top 20 (no global sort). The final ordering
+    tie-breaks on the path string itself, so the LIMIT boundary is
+    deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    return (
+        steps.select(F.concat_ws(">", "s1", "s2", "s3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("path_cnt"))
+        .orderBy(F.desc("path_cnt"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "stream_late_events_audit",
+    oracle="""
+    WITH arrivals AS (
+      SELECT user_id,
+             epoch_us(ts) AS ts_us,
+             MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS hwm_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN hwm_us - ts_us > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_cnt,
+           MAX(hwm_us - ts_us) AS max_late_us
+    FROM arrivals
+    GROUP BY user_id
+    """,
+)
+def stream_late_events_audit(spark, sf_dir):
+    """Late-data accounting — the batch audit behind choosing a
+    streaming watermark delay. Arrival order is event_id (the
+    fixture's ingestion sequence); an event is *late* when it
+    arrives after the per-user event-time high-water-mark has moved
+    more than 30 min past it — exactly the rows
+    ``withWatermark("ts", "30 minutes")`` would drop from a per-user
+    stateful aggregation. Output per user: event count, late count,
+    and the worst lateness observed (the number that sizes the
+    watermark). Integer-µs arithmetic end-to-end (unix_micros ↔
+    epoch_us) — no float time math. One shuffle on user_id with an
+    in-partition sort for the running max, then a hash agg on the
+    same key — the second agg reuses the partitioning, so the plan
+    has a single Exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros(F.col("ts"))
+    arr = ev.select(
+        "user_id",
+        us.alias("ts_us"),
+        F.max(us).over(w).alias("hwm_us"),
+    )
+    late = F.col("hwm_us") - F.col("ts_us")
+    return arr.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(late > 1_800_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("late_cnt"),
+        F.max(late).alias("max_late_us"),
+    )

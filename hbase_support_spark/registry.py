@@ -171,6 +171,11 @@ GRADING_PRIORITY: list[str] = [
     "sample_k_per_group",
     "corpus_drift_psi",
     "multimodal_frame_sample",
+    # ---- round-3 additions (graded after the blocks above)
+    "events_path_topk",
+    "stream_late_events_audit",
+    "as_of_join_nearest",
+    "dedup_substring_spans",
 ]
 
 
