@@ -708,14 +708,17 @@ def events_rfm_segmentation(spark, sf_dir):
     """RFM segmentation — the classic behavioral scoring: per user,
     recency (last purchase), frequency, and monetary value, each
     bucketed into quintiles. One hash agg over the purchase stream,
-    then three windows over the |users| aggregate (tiny relative to
-    events). Monetary uses the cents contract; every NTILE orders
-    with a user_id tie-break so quintile boundaries are deterministic
-    across engines. At 100 TB the windows run over per-user rows, so
-    a single global sort of |users| — if even that is too wide,
-    swap NTILE for percentile thresholds from percentile_approx
-    (mergeable, no global sort), same downstream schema."""
-    from pyspark.sql import Window
+    then three exact quintile scorings over the |users| aggregate.
+    A naive ``NTILE(5) OVER (ORDER BY ...)`` would single-partition
+    |users| (billions of rows at 100 TB on ONE task); instead each
+    score uses the distributed rank kernel (operators/ranking.py):
+    range-shuffle + per-partition row_number + K-row broadcast
+    offsets, then NTILE derived arithmetically from (rank, n) —
+    value-identical to the window form (the oracle still states
+    NTILE), with every stage parallel. Monetary uses the cents
+    contract; every ordering tie-breaks on user_id so quintile
+    boundaries are deterministic across engines."""
+    from .ranking import ntile_from_rank, with_global_rank
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
@@ -725,14 +728,20 @@ def events_rfm_segmentation(spark, sf_dir):
         F.count("*").alias("frequency"),
         money_sum("value").alias("monetary"),
     )
-    return per_user.select(
+    ranked = with_global_rank(
+        per_user, ["last_seen", "user_id"], "_r_rank", total_col="_n"
+    )
+    ranked = with_global_rank(ranked, ["frequency", "user_id"], "_f_rank")
+    ranked = with_global_rank(ranked, ["monetary", "user_id"], "_m_rank")
+    n = F.col("_n")
+    return ranked.select(
         "user_id",
         "last_seen",
         "frequency",
         "monetary",
-        F.ntile(5).over(Window.orderBy("last_seen", "user_id")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
+        ntile_from_rank(F.col("_r_rank"), n, 5).alias("r_score"),
+        ntile_from_rank(F.col("_f_rank"), n, 5).alias("f_score"),
+        ntile_from_rank(F.col("_m_rank"), n, 5).alias("m_score"),
     )
 
 
@@ -857,27 +866,26 @@ def agg_gini_concentration(spark, sf_dir):
     G = 2*Σ(i*x_i) / (n*Σx) - (n+1)/n. Spend accumulates as exact
     integer cents (num.py), ranks tie-break on the customer key, and
     Σ(i*cents) is an exact integer sum — so the only float op is the
-    final division. One agg, one |customers| sort, one pass."""
-    from pyspark.sql import Window
+    final division. The rank comes from the distributed kernel
+    (operators/ranking.py) — no single-partition sort of |customers|
+    — and n / Σx fold into the final 1-row aggregate instead of
+    riding a global window. One agg, one range shuffle, one pass."""
+    from .ranking import with_global_rank
 
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).alias("cents")
     )
-    wall = Window.partitionBy()
-    ranked = spend.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
-        F.count("*").over(wall).alias("n"),
-        F.sum("cents").over(wall).alias("total"),
-    )
+    ranked = with_global_rank(spend, ["cents", "o_custkey"], "i")
+    n = F.count("*")
+    total = F.sum("cents")
     return ranked.agg(
-        F.max("n").alias("n_customers"),
-        F.round(F.max("total") / 100.0, 2).alias("total_spend"),
+        n.alias("n_customers"),
+        F.round(total / 100.0, 2).alias("total_spend"),
         F.round(
             2.0 * F.sum(F.col("i") * F.col("cents"))
-            / (F.max("n") * F.max("total").cast("double"))
-            - (F.max("n") + 1.0) / F.max("n"),
+            / (n * total.cast("double"))
+            - (n + 1.0) / n,
             6,
         ).alias("gini"),
     )

@@ -3173,13 +3173,15 @@ def text_zipf_fit(spark, sf_dir):
     vocabulary — natural language sits near s = -1 (Zipf); templated
     or synthetic text drifts flat, OCR noise drifts steep. Pipelines
     run this per source/snapshot to catch corpus regressions before
-    training. One token explode + vocab agg, a rank window over
-    |vocab| rows (tiny), then closed-form least squares in one
-    aggregate — no iteration, no driver math. Rank ties break on the
-    word so both engines rank identically; the regression sums run
-    over ~|vocab| values of ln-magnitude, far below the round-6
+    training. One token explode + vocab agg, a distributed exact
+    rank over |vocab| (operators/ranking.py — a web-scale corpus has
+    a 100M+ surface-form vocabulary, too wide for the naive
+    single-partition rank window), then closed-form least squares in
+    one aggregate — no iteration, no driver math. Rank ties break on
+    the word so both engines rank identically; the regression sums
+    run over ~|vocab| values of ln-magnitude, far below the round-6
     boundary-risk class (num.py)."""
-    from pyspark.sql import Window
+    from .ranking import with_global_rank
 
     d = load_table(spark, sf_dir, "documents")
     freq = (
@@ -3187,8 +3189,8 @@ def text_zipf_fit(spark, sf_dir):
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
-    ranked = freq.select(
-        F.log(F.row_number().over(Window.orderBy(F.col("n").desc(), "w")).cast("double")).alias("x"),
+    ranked = with_global_rank(freq, [F.col("n").desc(), "w"], "_r").select(
+        F.log(F.col("_r").cast("double")).alias("x"),
         F.log(F.col("n").cast("double")).alias("y"),
     )
     cnt = F.count("*")

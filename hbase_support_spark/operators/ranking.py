@@ -1,0 +1,106 @@
+"""Distributed exact global ranking — removing the last
+single-partition WindowExec from the engine.
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` with no PARTITION BY compiles to
+a WindowExec that moves EVERY row into one partition — fine over a
+9-row digit histogram, fatal over |users| or |vocab| at 100 TB (one
+task sorts everything while 999 executors idle; Spark itself logs
+"No Partition Defined for Window operation" for exactly this reason).
+
+The classic distributed restatement implemented here:
+
+  1. ``repartitionByRange`` on the ordering key — the same range
+     shuffle a global ``orderBy`` would do, producing K partitions
+     that are *globally ordered across partition boundaries* (equal
+     keys never straddle a boundary).
+  2. A per-partition local ``row_number`` (window PARTITIONed on
+     ``spark_partition_id()`` — parallel, no data concentration).
+  3. Per-partition counts (a K-row aggregate) turned into starting
+     offsets with a window over K rows — metadata-scale, broadcast
+     back onto the data.
+
+``global rank = local rank + offset(partition)`` — exactly equal to
+the single-partition ``row_number`` for any total ordering (the
+order columns must include a tie-break, as every ranked query in
+this repo already does), at the cost of one extra hash shuffle on
+the partition id instead of a 1-task sort of the world.
+
+``ntile_from_rank`` then derives NTILE(k) arithmetically from
+(rank, n): SQL NTILE gives the first ``n mod k`` tiles ``n/k + 1``
+rows and the rest ``n/k`` — a closed form over the rank, so quintile
+scoring needs no second window. Both kernels are verified
+value-identical to the native window forms in tests/test_ranking.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_PID = "_gr_pid"
+_OFF = "_gr_off"
+_N = "_gr_n"
+
+
+def _as_cols(order_cols) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols,
+    rank_col: str = "g_rank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Append an exact global ``row_number`` over ``order_cols``
+    (which must form a total order — include a tie-break key) without
+    ever concentrating the data on one task. Optionally also append
+    the total row count as ``total_col`` (needed by NTILE) — it rides
+    the same K-row offsets frame, so it costs nothing extra.
+
+    Plan shape: range Exchange → pid hash Exchange + local sort
+    (both parallel) + a broadcast join of the K-row offset table.
+    The only unpartitioned window runs over the K-row per-partition
+    counts aggregate — metadata, not data.
+    """
+    cols = _as_cols(order_cols)
+    d = df.repartitionByRange(*cols).withColumn(_PID, F.spark_partition_id())
+    counts = d.groupBy(_PID).agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [
+        F.col(_PID),
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias(_OFF),
+    ]
+    if total_col is not None:
+        off_cols.append(F.sum("_cnt").over(w_all).alias(_N))
+    offsets = counts.select(*off_cols)
+
+    w_loc = Window.partitionBy(_PID).orderBy(*cols)
+    out = (
+        d.join(F.broadcast(offsets), _PID)
+        .withColumn(rank_col, F.row_number().over(w_loc) + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )
+    if total_col is not None:
+        out = out.withColumnRenamed(_N, total_col)
+    return out
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """Exact SQL ``NTILE(k)`` derived from a 1-based global rank and
+    the total row count: with ``base = n div k`` and
+    ``extra = n mod k``, the first ``extra`` tiles hold ``base + 1``
+    rows and the rest hold ``base``. Double division keeps the
+    expression ANSI-safe when ``base = 0`` (n < k): the CASE's first
+    branch then covers every row, so the ``base`` divisor is never
+    evaluated. Result cast to int — the native NTILE's type."""
+    base = F.floor(n / k)
+    extra = n % k
+    cut = (base + 1) * extra
+    return (
+        F.when(rank <= cut, F.ceil(rank / (base + 1)))
+        .otherwise(extra + F.ceil((rank - cut) / base))
+        .cast("int")
+    )
