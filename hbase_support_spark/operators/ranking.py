@@ -63,7 +63,21 @@ def with_global_rank(
     counts aggregate — metadata, not data.
     """
     cols = _as_cols(order_cols)
-    d = df.repartitionByRange(*cols).withColumn(_PID, F.spark_partition_id())
+    # The range-partitioned frame is consumed TWICE (offsets + data
+    # path). spark_partition_id() is nondeterministic, which defeats
+    # plan canonicalization — without materialization each consumer
+    # re-runs the whole upstream plan and ReuseExchange never fires
+    # (measured: chaining three ranks exploded to 28 exchanges). A
+    # lazy localCheckpoint pins the ranged frame to executor-local
+    # storage on first use, so both consumers — and any downstream
+    # rank chained on top — read one materialization. The frame is
+    # the per-entity aggregate being ranked, not raw data, so local
+    # storage is the right cost at 100 TB.
+    d = (
+        df.repartitionByRange(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     counts = d.groupBy(_PID).agg(F.count("*").alias("_cnt"))
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy(_PID).rowsBetween(

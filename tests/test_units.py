@@ -243,3 +243,16 @@ def test_er_banding_covers_higher_band_smaller_key(spark, tmp_path):
         con,
     )
     assert ok, detail
+
+
+def test_grading_priority_names_resolve():
+    """A typo'd name in GRADING_PRIORITY silently drops that query
+    out of the driver's grading window (_reorder skips unknown
+    names). Every scheduled name must exist in the registry."""
+    from hbase_support_spark import QUERIES, load_all
+    from hbase_support_spark.registry import GRADING_PRIORITY
+
+    load_all()
+    missing = [n for n in GRADING_PRIORITY if n not in QUERIES]
+    assert not missing, f"GRADING_PRIORITY names not in registry: {missing}"
+    assert len(set(GRADING_PRIORITY)) == len(GRADING_PRIORITY), "duplicates"
