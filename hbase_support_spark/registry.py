@@ -176,6 +176,7 @@ GRADING_PRIORITY: list[str] = [
     "stream_late_events_audit",
     "as_of_join_nearest",
     "dedup_substring_spans",
+    "join_bucketed_colocated",
 ]
 
 

@@ -167,3 +167,16 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split(
         "PartitionFilters:"
     )[1].split("]")[0], plan
+
+
+def test_bucketed_colocated_join_has_single_exchange(spark, sf_dir):
+    """The graded bucketed fact-to-fact join must read co-located
+    buckets: SortMergeJoin fed by bucketed scans, with the final
+    status aggregate as the ONLY Exchange in the plan."""
+    import re
+
+    plan = formatted_plan(QUERIES["join_bucketed_colocated"](spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    tree = plan.split("\n\n")[0]  # the numbered tree section
+    assert len(re.findall(r"\bExchange\b", tree)) == 1, tree

@@ -158,3 +158,27 @@ def test_rate_limited_replay_processes_incrementally(spark, sf_dir, tmp_path):
     stats = run_rate_limited_replay_demo(spark, sf_dir, str(tmp_path))
     assert stats["n_batches"] == 4
     assert stats["total_rows"] == load_table(spark, sf_dir, "events").count()
+
+
+def test_transform_with_state_counter_matches_batch(spark, sf_dir):
+    """Spark-4-native StatefulProcessor twin of the
+    applyInPandasWithState counter. Environment-gated: the sandbox
+    image has no google.protobuf (transformWithState's state
+    protocol), so this skips here and runs wherever protobuf exists."""
+    import pytest
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.streaming.demo import (
+        run_transform_with_state_demo,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf absent: transformWithState protocol unavailable")
+    got = {
+        r.user_id: r.event_count
+        for r in run_transform_with_state_demo(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {r.user_id: r.cnt for r in ev.groupBy("user_id").count().withColumnRenamed("count", "cnt").collect()}
+    assert got == want
