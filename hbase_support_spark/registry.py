@@ -177,6 +177,8 @@ GRADING_PRIORITY: list[str] = [
     "as_of_join_nearest",
     "dedup_substring_spans",
     "join_bucketed_colocated",
+    "pipeline_shard_manifest",
+    "sample_negative_pairs",
 ]
 
 

@@ -108,6 +108,9 @@ def test_queries_survive_empty_fixtures(spark, sf_dir, tmp_path):
         "fn_string", "dedup_exact", "sim_knn_query", "text_quality_logit",
         "stream_session_30m", "udaf_centroid_per_label", "tpch_q21_waiting_supplier",
         "pipeline_train_ready", "index_point_lookup", "snapshot_point_in_time",
+        # round-3 additions (full empty sweep re-run clean over them)
+        "as_of_join_nearest", "dedup_substring_spans", "join_bucketed_colocated",
+        "join_er_fuzzy_string", "events_rfm_segmentation",
     ]
     for name in reps:
         QUERIES[name](spark, dst).write.format("noop").mode("overwrite").save()
