@@ -766,3 +766,76 @@ def stream_late_events_audit(spark, sf_dir):
         .alias("late_cnt"),
         F.max(late).alias("max_late_us"),
     )
+
+
+@register(
+    "events_bot_cadence_score",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(FLOOR((epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)))
+                  / 1000000.0) AS BIGINT) AS gap_s
+      FROM events
+    ),
+    moments AS (
+      SELECT user_id,
+             COUNT(gap_s) AS n_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS sum_s,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_s2
+      FROM gaps
+      GROUP BY user_id
+      HAVING COUNT(gap_s) >= 5 AND SUM(gap_s) > 0
+    )
+    SELECT user_id, n_gaps,
+           ROUND(SQRT((sum_s2 - CAST(sum_s AS DOUBLE) * sum_s / n_gaps)
+                      / (n_gaps - 1))
+                 / (CAST(sum_s AS DOUBLE) / n_gaps), 6) AS cadence_cv,
+           ROUND(SQRT((sum_s2 - CAST(sum_s AS DOUBLE) * sum_s / n_gaps)
+                      / (n_gaps - 1))
+                 / (CAST(sum_s AS DOUBLE) / n_gaps), 6) < 0.5 AS bot_flag
+    FROM moments
+    """,
+)
+def events_bot_cadence_score(spark, sf_dir):
+    """Bot/automation detection by cadence regularity — a standard
+    training-data and abuse filter: humans have bursty inter-event
+    gaps (coefficient of variation near or above 1), schedulers and
+    scrapers tick metronomically (CV ≪ 1). Per user: gaps in whole
+    seconds (integer-µs window arithmetic, floored — exact in both
+    engines), then CV from EXACT integer moments (n, Σx, Σx²) so the
+    sample-stddev is one deterministic closed-form expression rather
+    than an accumulation-order-dependent streaming variance — the
+    num.py discipline applied to second moments (Σx² of second-scale
+    gaps stays far inside int64). Users with <5 gaps or all-zero
+    gaps are excluded (no 0/0). One shuffle on user_id shared by the
+    LAG window and the moment agg — sessionization's shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id",
+        F.floor((us - F.unix_micros(F.lag("ts").over(w))) / 1000000.0)
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    moments = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_s").cast("bigint").alias("sum_s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("sum_s2"),
+        )
+        .filter((F.col("n_gaps") >= 5) & (F.col("sum_s") > 0))
+    )
+    mean = F.col("sum_s").cast("double") / F.col("n_gaps")
+    var = (
+        F.col("sum_s2") - F.col("sum_s").cast("double") * F.col("sum_s") / F.col("n_gaps")
+    ) / (F.col("n_gaps") - 1)
+    cv = F.round(F.sqrt(var) / mean, 6)
+    return moments.select(
+        "user_id",
+        "n_gaps",
+        cv.alias("cadence_cv"),
+        (cv < 0.5).alias("bot_flag"),
+    )

@@ -353,3 +353,56 @@ def win_longest_streak(spark, sf_dir):
         F.max("len").alias("longest_streak"),
         F.count("*").alias("n_streaks"),
     )
+
+
+@register(
+    "win_ohlc_bars",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS bar_start, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bar_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS volume
+    FROM ordered
+    GROUP BY event_type, bar_start
+    """,
+)
+def win_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC candles per event type — the time-series
+    downsampling every monitoring/market dashboard draws. Open and
+    close are first/last by (ts, event_id) — the tie-break makes the
+    bar boundaries engine-deterministic; high/low/volume are plain
+    min/max/count. One shuffle on (type, hour) with an in-partition
+    sort feeding BOTH directions' row_numbers (one window pass — the
+    descending rank is derived in the same frame), then a hash agg
+    on the same key, which reuses the partitioning: a single
+    Exchange end to end. O/H/L/C are selections of raw doubles, not
+    accumulations, so no rounding contract is needed."""
+    hour = F.date_trunc("hour", "ts")
+    w = Window.partitionBy("event_type", hour).orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", hour).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        hour.alias("bar_start"),
+        "value",
+        F.row_number().over(w).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ev.groupBy("event_type", "bar_start").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("volume"),
+    )

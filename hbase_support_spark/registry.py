@@ -179,6 +179,8 @@ GRADING_PRIORITY: list[str] = [
     "join_bucketed_colocated",
     "pipeline_shard_manifest",
     "sample_negative_pairs",
+    "win_ohlc_bars",
+    "events_bot_cadence_score",
 ]
 
 
