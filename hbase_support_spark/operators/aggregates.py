@@ -889,3 +889,50 @@ def agg_gini_concentration(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, cnt AS modal_cnt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """MODE() with a pinned tie-break — engines (and Spark itself
+    across partitionings) disagree on which value a bare mode()
+    returns when counts tie, so the graded form states the rule:
+    highest count, ties to the lexicographically smallest value.
+    Two-level shape: a hash agg on the (group, value) pair (partial
+    agg collapses map-side — the value domain, not the row count,
+    reaches the shuffle), then a per-group top-1 rank over the tiny
+    count table. The same template computes any 'most frequent X per
+    Y' (top referrer, dominant language, hottest qualifier)."""
+    from pyspark.sql import Window
+
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("cnt").alias("modal_cnt"),
+        )
+    )

@@ -839,3 +839,79 @@ def events_bot_cadence_score(spark, sf_dir):
         cv.alias("cadence_cv"),
         (cv < 0.5).alias("bot_flag"),
     )
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, COUNT(*) AS n_users FROM tu GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           sa.n_users AS n_a, sb.n_users AS n_b,
+           ROUND(i.n_both / CAST(sa.n_users + sb.n_users - i.n_both AS DOUBLE), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_audience_overlap(spark, sf_dir):
+    """Audience overlap between event types — 'how much do viewers
+    and purchasers intersect': Jaccard over per-type user sets, the
+    segment-overlap matrix behind cross-sell and cohort design. The
+    scalable shape: reduce to DISTINCT (type, user) pairs first (the
+    only shuffle over raw events — same opening move as DAU/WAU),
+    self-join on user_id so co-membership pairs count themselves
+    (each user contributes |their types choose 2| rows — bounded by
+    the tiny type domain, never |users|²), then broadcast the
+    per-type sizes onto the type-pair counts. |A∪B| is derived as
+    n_a + n_b − |A∩B| — no union materialization."""
+    tu = load_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = tu.alias("a")
+    b = tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

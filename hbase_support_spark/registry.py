@@ -181,6 +181,8 @@ GRADING_PRIORITY: list[str] = [
     "sample_negative_pairs",
     "win_ohlc_bars",
     "events_bot_cadence_score",
+    "agg_mode_deterministic",
+    "events_audience_overlap",
 ]
 
 
