@@ -112,3 +112,65 @@ def test_money_sum_parity_and_exactness(spark, xs):
     oracle = con.execute(f"SELECT {d_money_sum('v')} FROM t").fetchone()[0]
     model = sum(int(math.floor(x * 100 + 0.5)) for x in xs) / 100.0
     assert got == oracle == model, (xs, got, oracle, model)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=5000), st.integers(min_value=1, max_value=64))
+def test_ntile_formula_matches_sql_ntile(n, k):
+    """ntile_from_rank's closed form must equal SQL NTILE(k) for every
+    (rank, n): first n%k tiles get n//k+1 rows, the rest n//k —
+    checked against DuckDB's NTILE over an n-row sequence. Pure
+    arithmetic (no Spark job), so hypothesis can sweep widely."""
+    import duckdb
+
+    want = dict(
+        duckdb.sql(
+            f"SELECT r, NTILE({k}) OVER (ORDER BY r) FROM range(1, {n + 1}) t(r)"
+        ).fetchall()
+    )
+    base, extra = n // k, n % k
+    cut = (base + 1) * extra
+    for r in range(1, n + 1):
+        if r <= cut:
+            tile = -(-r // (base + 1))
+        else:
+            tile = extra + -(-(r - cut) // base)
+        assert tile == want[r], (n, k, r, tile, want[r])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=2, max_size=12
+    )
+)
+def test_deletion_neighborhood_finds_all_distance1_pairs(strings):
+    """FastSS completeness/soundness (join_er_fuzzy_string's kernel):
+    over a low-alphabet corpus rich in near-misses, the deletion-
+    neighborhood candidate set must be EXACTLY the equal-length
+    Levenshtein-distance-1 pairs — each found exactly once (the
+    single-collision property the join relies on to skip dedup)."""
+    strings = list(dict.fromkeys(strings))  # unique corpus
+
+    def lev1_same_len(a, b):
+        if len(a) != len(b) or a == b:
+            return False
+        return sum(x != y for x, y in zip(a, b)) == 1
+
+    want = {
+        (i, j)
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if lev1_same_len(strings[i], strings[j])
+    }
+    got = []
+    index = {}
+    for i, s in enumerate(strings):
+        for p in range(len(s)):
+            key = (p, s[:p] + s[p + 1 :])
+            for j in index.get(key, []):
+                if strings[j] != s:
+                    got.append((min(i, j), max(i, j)))
+            index.setdefault(key, []).append(i)
+    assert sorted(got) == sorted(want), (strings, sorted(got), sorted(want))
+    assert len(got) == len(set(got)), "a pair collided at more than one position"
