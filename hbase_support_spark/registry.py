@@ -183,6 +183,7 @@ GRADING_PRIORITY: list[str] = [
     "events_bot_cadence_score",
     "agg_mode_deterministic",
     "events_audience_overlap",
+    "events_time_to_convert_curve",
 ]
 
 
