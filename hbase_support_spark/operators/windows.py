@@ -361,16 +361,16 @@ def win_longest_streak(spark, sf_dir):
     WITH ordered AS (
       SELECT event_type, DATE_TRUNC('hour', ts) AS bar_start, value,
              ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
-                                ORDER BY ts, event_id) AS rn_a,
-             ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
-                                ORDER BY ts DESC, event_id DESC) AS rn_d
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts))
+               AS n_bar
       FROM events
     )
     SELECT event_type, bar_start,
-           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(CASE WHEN rn = 1 THEN value END) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           MAX(CASE WHEN rn = n_bar THEN value END) AS close,
            COUNT(*) AS volume
     FROM ordered
     GROUP BY event_type, bar_start
@@ -381,28 +381,35 @@ def win_ohlc_bars(spark, sf_dir):
     downsampling every monitoring/market dashboard draws. Open and
     close are first/last by (ts, event_id) — the tie-break makes the
     bar boundaries engine-deterministic; high/low/volume are plain
-    min/max/count. One shuffle on (type, hour) with an in-partition
-    sort feeding BOTH directions' row_numbers (one window pass — the
-    descending rank is derived in the same frame), then a hash agg
-    on the same key, which reuses the partitioning: a single
-    Exchange end to end. O/H/L/C are selections of raw doubles, not
-    accumulations, so no rounding contract is needed."""
-    hour = F.date_trunc("hour", "ts")
-    w = Window.partitionBy("event_type", hour).orderBy("ts", "event_id")
-    wd = Window.partitionBy("event_type", hour).orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    ev = load_table(spark, sf_dir, "events").select(
+    min/max/count. The last-row rank is derived as rn = count over
+    the same partition (an UNORDERED window — no second descending
+    sort pass), so the plan is one shuffle on (type, hour), ONE
+    in-partition sort, and a hash agg reusing the partitioning.
+    O/H/L/C are selections of raw doubles, not accumulations, so no
+    rounding contract is needed."""
+    base = load_table(spark, sf_dir, "events").select(
         "event_type",
-        hour.alias("bar_start"),
+        F.date_trunc("hour", "ts").alias("bar_start"),
+        "ts",
+        "event_id",
         "value",
-        F.row_number().over(w).alias("rn_a"),
-        F.row_number().over(wd).alias("rn_d"),
+    )
+    # both windows key on the STAGED bar_start so they share one
+    # exchange (inlining the date_trunc into each spec canonicalizes
+    # to two different partitionings -> two shuffles)
+    w = Window.partitionBy("event_type", "bar_start").orderBy("ts", "event_id")
+    wn = Window.partitionBy("event_type", "bar_start")
+    ev = base.select(
+        "event_type",
+        "bar_start",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n_bar"),
     )
     return ev.groupBy("event_type", "bar_start").agg(
-        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.max(F.when(F.col("rn") == F.col("n_bar"), F.col("value"))).alias("close"),
         F.count("*").alias("volume"),
     )
