@@ -936,3 +936,61 @@ def agg_mode_deterministic(spark, sf_dir):
             F.col("cnt").alias("modal_cnt"),
         )
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p5,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND(MAX(b.p5), 6) AS p5,
+           ROUND(MAX(b.p95), 6) AS p95,
+           ROUND(SUM(CAST(FLOOR(LEAST(GREATEST(e.value, b.p5), b.p95) * 100 + 0.5)
+                          AS BIGINT)) / 100.0 / COUNT(*), 6) AS winsorized_mean,
+           ROUND(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) / 100.0
+                 / COUNT(*), 6) AS raw_mean
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def agg_winsorized_mean(spark, sf_dir):
+    """Winsorized mean per group — the robust-statistics answer to
+    'one whale distorts the average': values are clamped to the
+    exact [p5, p95] band before averaging, reported next to the raw
+    mean so the outlier impact is visible. Two passes over the
+    group: exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont` — the same equivalence
+    agg_percentile_approx grades), broadcast back onto the stream
+    (|event_types| rows), clamp via LEAST/GREATEST, then a
+    cents-contract sum so the clamped mean is accumulation-order
+    independent. At 100 TB swap the exact percentile for
+    percentile_approx at the same seam — the clamp/mean machinery is
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p5"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("p5")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("p5"), 6).alias("p5"),
+            F.round(F.max("p95"), 6).alias("p95"),
+            F.round(
+                F.sum(F.floor(w * 100 + 0.5)) / 100.0 / F.count("*"), 6
+            ).alias("winsorized_mean"),
+            F.round(
+                F.sum(F.floor(F.col("value") * 100 + 0.5)) / 100.0 / F.count("*"),
+                6,
+            ).alias("raw_mean"),
+        )
+    )

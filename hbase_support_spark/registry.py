@@ -184,6 +184,7 @@ GRADING_PRIORITY: list[str] = [
     "agg_mode_deterministic",
     "events_audience_overlap",
     "events_time_to_convert_curve",
+    "agg_winsorized_mean",
 ]
 
 
