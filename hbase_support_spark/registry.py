@@ -43,8 +43,9 @@ def register(name: str, oracle: str | None = None):
 #     family — grading these pushes the union to ~144/210.
 #   round 4 (next 50): TPC-H variants and events analytics (per
 #     VERDICT r02 item 4), then remaining LLM-pipeline ops.
-#   round 5 (last 16): the tail; after it every query has a driver
-#     verdict. Names already green simply drop out of the head via
+#   round 5 (last 16 + the 14 round-3 additions at the list tail):
+#     the remainder; after it every query has a driver verdict.
+#     Names already green simply drop out of the head via
 #     _reorder(), so the schedule self-heals if a round grades more
 #     or fewer than 50.
 GRADING_PRIORITY: list[str] = [
