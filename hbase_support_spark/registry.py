@@ -186,6 +186,7 @@ GRADING_PRIORITY: list[str] = [
     "events_audience_overlap",
     "events_time_to_convert_curve",
     "agg_winsorized_mean",
+    "graph_pagerank_bipartite",
 ]
 
 
@@ -253,6 +254,7 @@ def load_all() -> None:
         streaming_batch,
         udfs,
         tpch,
+        graph,
     )
     from .functions import scalar  # noqa: F401
 
