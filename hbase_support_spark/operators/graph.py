@@ -143,3 +143,84 @@ def graph_pagerank_bipartite(spark, sf_dir):
         .orderBy(F.col("rank_units").desc(), F.col("node_key"), "node_kind")
         .limit(20)
     )
+
+
+@register(
+    "basket_copurchase_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT ok) AS n FROM items),
+    item_cnt AS (SELECT part, COUNT(*) AS cnt FROM items GROUP BY part),
+    pair_cnt AS (
+      SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.ok = b.ok AND a.part < b.part
+      GROUP BY a.part, b.part
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           ROUND(p.support / CAST(ca.cnt AS DOUBLE), 6) AS confidence_ab,
+           ROUND(p.support * CAST(n.n AS DOUBLE) / (ca.cnt * cb.cnt), 6)
+             AS lift
+    FROM pair_cnt p
+    JOIN item_cnt ca ON ca.part = p.part_a
+    JOIN item_cnt cb ON cb.part = p.part_b
+    CROSS JOIN n_orders n
+    ORDER BY p.support DESC, p.part_a, p.part_b
+    LIMIT 20
+    """,
+)
+def basket_copurchase_lift(spark, sf_dir):
+    """Market-basket co-purchase mining: the top-20 part pairs by
+    basket support, with confidence(a→b) and lift — the association-
+    rule core behind 'frequently bought together'. The pair
+    expansion is a self-equi-join on the ORDER key, so the blowup is
+    per-basket (|basket| choose 2 with baskets ~7 lines in this
+    schema), LINEAR in orders — never an item-item cross product;
+    per-item counts and the order total attach by broadcast.
+    Everything derives from integer counts, so the confidence/lift
+    doubles are single deterministic divisions. At 100 TB a hot
+    basket (one order with thousands of items) is the skew hazard —
+    cap basket size at ingest or let AQE skew-split the order-key
+    shuffle (tests/test_aqe.py demonstrates the mechanism)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.agg(F.count_distinct("ok").alias("n"))
+    item_cnt = items.groupBy("part").agg(F.count("*").alias("cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_cnt = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    ca = item_cnt.select(F.col("part").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("part").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair_cnt.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.col("cnt_a").cast("double"), 6).alias(
+                "confidence_ab"
+            ),
+            F.round(
+                F.col("support")
+                * F.col("n").cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )

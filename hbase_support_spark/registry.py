@@ -187,6 +187,7 @@ GRADING_PRIORITY: list[str] = [
     "events_time_to_convert_curve",
     "agg_winsorized_mean",
     "graph_pagerank_bipartite",
+    "basket_copurchase_lift",
 ]
 
 
