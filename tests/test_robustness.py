@@ -111,6 +111,7 @@ def test_queries_survive_empty_fixtures(spark, sf_dir, tmp_path):
         # round-3 additions (full empty sweep re-run clean over them)
         "as_of_join_nearest", "dedup_substring_spans", "join_bucketed_colocated",
         "join_er_fuzzy_string", "events_rfm_segmentation",
+        "graph_pagerank_bipartite", "basket_copurchase_lift",
     ]
     for name in reps:
         QUERIES[name](spark, dst).write.format("noop").mode("overwrite").save()
