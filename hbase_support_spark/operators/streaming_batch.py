@@ -1015,3 +1015,90 @@ def events_time_to_convert_curve(spark, sf_dir):
             6,
         ).alias("conv_rate"),
     )
+
+
+@register(
+    "events_forecast_holt",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY event_type, DATE_TRUNC('day', ts)
+    ),
+    series AS (
+      SELECT event_type, list(cnt ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+      HAVING COUNT(*) >= 2
+    ),
+    withdiffs AS (
+      SELECT event_type, len(vals) AS n_days, vals,
+             list_transform(range(2, len(vals) + 1),
+                            i -> vals[i] - vals[i - 1]) AS diffs
+      FROM series
+    ),
+    fitted AS (
+      SELECT event_type, n_days,
+             list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc) AS level,
+             list_reduce(diffs, (acc, x) -> 0.3 * x + 0.7 * acc) AS trend
+      FROM withdiffs
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(level, 6) AS level,
+           ROUND(trend, 6) AS trend,
+           ROUND(level + 7 * trend, 6) AS forecast_7d
+    FROM fitted
+    """,
+)
+def events_forecast_holt(spark, sf_dir):
+    """Holt-style trend forecast per event type, decoupled into two
+    SCALAR exponential smoothings — an EWMA of the daily counts
+    (level, alpha = 0.5, seeded from day one) and an EWMA of the
+    day-over-day differences (trend, beta = 0.3) — extrapolated 7
+    days out for capacity planning. The recursions run as ARRAY
+    FOLDS inside one row per group (Spark `aggregate` HOF <->
+    DuckDB `list_reduce`): a fixed left-to-right fold, so the float
+    sequence is engine-identical, with no per-iteration shuffle and
+    no driver loop. Scalar folds on purpose: DuckDB's list_reduce
+    evaluates struct-literal fields SEQUENTIALLY against the
+    in-place-updated accumulator (later fields observe earlier
+    fields' new values), so coupled two-field state diverges between
+    engines - decoupling the state into two scalar folds removes the
+    hazard entirely. One daily hash agg + one bounded collect_list
+    per type; series stay short even when keys are billions."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, cnt))), x -> x.cnt)"
+            ).alias("vals")
+        )
+        .filter(F.size("vals") >= 2)
+    )
+    fitted = series.select(
+        "event_type",
+        F.size("vals").cast("bigint").alias("n_days"),
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+            " (acc, x) -> 0.5 * x + 0.5 * acc)"
+        ).alias("level"),
+        F.expr(
+            "aggregate("
+            " slice(zip_with(slice(vals, 2, size(vals) - 1),"
+            "                slice(vals, 1, size(vals) - 1),"
+            "                (a, b) -> a - b), 2, size(vals) - 2),"
+            " vals[1] - vals[0],"
+            " (acc, x) -> 0.3 * x + 0.7 * acc)"
+        ).alias("trend"),
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("level"), 6).alias("level"),
+        F.round(F.col("trend"), 6).alias("trend"),
+        F.round(F.col("level") + 7 * F.col("trend"), 6).alias("forecast_7d"),
+    )

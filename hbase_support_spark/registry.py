@@ -188,6 +188,7 @@ GRADING_PRIORITY: list[str] = [
     "agg_winsorized_mean",
     "graph_pagerank_bipartite",
     "basket_copurchase_lift",
+    "events_forecast_holt",
 ]
 
 
