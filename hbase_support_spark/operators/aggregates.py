@@ -994,3 +994,108 @@ def agg_winsorized_mean(spark, sf_dir):
             ).alias("raw_mean"),
         )
     )
+
+
+from ..hashutil import d_h60 as _d_abh, h60 as _h_abh  # noqa: E402
+
+_ABH = _h_abh("concat('exp1|', cast(user_id AS string))")
+_D_ABH = _d_abh("'exp1|' || CAST(user_id AS VARCHAR)")
+
+
+@register(
+    "events_abtest_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             {H} % 2 AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       > 13 THEN 1 ELSE 0 END AS converted
+      FROM events
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM assign
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           ROUND(z, 6) AS z_score,
+           COALESCE(ABS(z) > 1.96, FALSE) AS significant
+    FROM (
+      SELECT *,
+             CASE WHEN n_a > 0 AND n_b > 0
+                   AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+                  THEN (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                       / SQRT(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                              * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                              * (1.0 / n_a + 1.0 / n_b))
+             END AS z
+      FROM arms
+    )
+    """.replace("{H}", _D_ABH),
+)
+def events_abtest_ztest(spark, sf_dir):
+    """Experimentation readout: two-proportion z-test on purchase
+    conversion between hash-assigned arms — the A/B analysis every
+    growth team runs, in-engine. Assignment is a salted portable
+    hash of the user id (stable across runs/engines — the same user
+    always lands in the same arm, the property assignment systems
+    must guarantee); conversion is a per-user MAX flag, so the whole
+    test reduces to ONE user-keyed agg + a 4-integer global roll-up,
+    and the z statistic is a closed-form expression over exact
+    integer counts (pooled variance, |z| > 1.96 at the 5% level).
+    Scanning 100 TB of events for a significance readout costs one
+    pass + one 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > 13,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        (F.expr(_ABH) % 2).alias("arm"),
+        "converted",
+    )
+    arms = assign.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a") / F.col("n_a").cast("double")
+    rb = F.col("conv_b") / F.col("n_b").cast("double")
+    conv = F.col("conv_a") + F.col("conv_b")
+    tot = F.col("n_a") + F.col("n_b")
+    pool = conv / tot.cast("double")
+    # guard the degenerate arms (empty arm / all-or-none conversion):
+    # the pooled variance is 0 there and ANSI double division raises
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (conv > 0) & (conv < tot),
+        (ra - rb)
+        / F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
+    )

@@ -189,6 +189,7 @@ GRADING_PRIORITY: list[str] = [
     "graph_pagerank_bipartite",
     "basket_copurchase_lift",
     "events_forecast_holt",
+    "events_abtest_ztest",
 ]
 
 
