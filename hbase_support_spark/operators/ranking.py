@@ -118,3 +118,40 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
         .otherwise(extra + F.ceil((rank - cut) / base))
         .cast("int")
     )
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_cols,
+    val_col: str,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """Exact global running sum of ``val_col`` over the total order
+    ``order_cols`` — the sweep-line primitive (concurrency counting,
+    inventory levels, cumulative budgets) — with the same shape as
+    :func:`with_global_rank`: range-shuffle, per-partition running
+    sum, K-row broadcast offsets holding each partition's starting
+    total. An unpartitioned ``SUM() OVER (ORDER BY ...)`` would
+    funnel every boundary event through one task; here every stage
+    is parallel and the only unpartitioned window runs over the
+    K-row per-partition totals."""
+    cols = _as_cols(order_cols)
+    d = (
+        df.repartitionByRange(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = d.groupBy(_PID).agg(F.sum(val_col).alias("_tot"))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        F.col(_PID),
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias(_OFF),
+    )
+    w_loc = Window.partitionBy(_PID).orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, F.sum(val_col).over(w_loc) + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )

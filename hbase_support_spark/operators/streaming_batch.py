@@ -1102,3 +1102,103 @@ def events_forecast_holt(spark, sf_dir):
         F.round(F.col("trend"), 6).alias("trend"),
         F.round(F.col("level") + 7 * F.col("trend"), 6).alias("forecast_7d"),
     )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_no,
+             epoch_us(ts) AS us
+      FROM gaps
+    ),
+    sess AS (
+      SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us
+      FROM numbered GROUP BY user_id, sess_no
+    ),
+    bounds AS (
+      SELECT user_id, start_us AS us, 1 AS delta, start_us AS sid FROM sess
+      UNION ALL
+      SELECT user_id, end_us + 1 AS us, -1 AS delta, start_us AS sid FROM sess
+    ),
+    swept AS (
+      SELECT us,
+             SUM(delta) OVER (ORDER BY us, delta DESC, user_id, sid
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM bounds
+    ),
+    mx AS (SELECT CAST(MAX(c) AS BIGINT) AS peak FROM swept)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+           mx.peak AS peak_concurrency,
+           CAST((SELECT MIN(us) FROM swept WHERE swept.c = mx.peak) AS BIGINT)
+             AS peak_at_us
+    FROM mx
+    """,
+)
+def events_peak_concurrency(spark, sf_dir):
+    """Exact peak concurrent sessions — the capacity number ('how
+    many sessions were open at the worst moment') that hourly
+    active-user counts only bound. Sessions come from the same
+    30-min-gap sessionization the engine grades elsewhere; each
+    emits a +1/−1 boundary event, and the sweep-line running count
+    uses the distributed PREFIX-SUM kernel (operators/ranking.py
+    with_global_prefix_sum — range-shuffle + per-partition cumsum +
+    K-row offsets), so the global ordered sum never concentrates on
+    one task, unlike the textbook single ``SUM() OVER (ORDER BY
+    ts)``. Boundary ordering tie-breaks (+1 before −1 at equal µs,
+    then user/session) make touching sessions count as concurrent
+    and the answer engine-deterministic. Output: session count, the
+    peak, and the first microsecond it was reached."""
+    from .ranking import with_global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "1800000001 microseconds").alias("sw"),
+        )
+        .agg(
+            F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
+            F.max(F.unix_micros(F.col("ts"))).alias("end_us"),
+        )
+        .select("user_id", "start_us", "end_us")
+    )
+    bounds = sess.select(
+        "user_id",
+        F.col("start_us").alias("us"),
+        F.lit(1).alias("delta"),
+        F.col("start_us").alias("sid"),
+    ).unionByName(
+        sess.select(
+            "user_id",
+            (F.col("end_us") + 1).alias("us"),
+            F.lit(-1).alias("delta"),
+            F.col("start_us").alias("sid"),
+        )
+    )
+    swept = with_global_prefix_sum(
+        bounds,
+        ["us", F.col("delta").desc(), "user_id", "sid"],
+        "delta",
+        "c",
+    )
+    peak = swept.agg(F.max("c").cast("bigint").alias("peak_concurrency"))
+    n_sess = sess.agg(F.count("*").alias("n_sessions"))
+    at = (
+        swept.join(F.broadcast(peak), swept.c == F.col("peak_concurrency"))
+        .agg(F.min("us").cast("bigint").alias("peak_at_us"))
+    )
+    return (
+        n_sess.crossJoin(F.broadcast(peak)).crossJoin(F.broadcast(at))
+    )

@@ -190,6 +190,7 @@ GRADING_PRIORITY: list[str] = [
     "basket_copurchase_lift",
     "events_forecast_holt",
     "events_abtest_ztest",
+    "events_peak_concurrency",
 ]
 
 

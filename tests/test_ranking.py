@@ -89,3 +89,34 @@ def test_no_global_window_in_data_path(spark):
             if len(groups) == 2 and "_cnt" not in s:
                 bad.append(s)
     assert not bad, bad
+
+
+@pytest.mark.parametrize(
+    "deltas",
+    [
+        [1, 1, -1, 1, -1, -1],
+        [1] * 9,
+        [5, -3, 2, -2, 7, -9],
+        [1],
+    ],
+)
+def test_global_prefix_sum_matches_native(spark, deltas):
+    from hbase_support_spark.operators.ranking import with_global_prefix_sum
+
+    df = spark.createDataFrame(
+        [Row(id=i, v=float(i % 4), d=d) for i, d in enumerate(deltas)]
+    )
+    native = df.select(
+        "id",
+        F.sum("d")
+        .over(
+            Window.orderBy("v", "id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("c"),
+    )
+    ours = with_global_prefix_sum(df, ["v", "id"], "d", "c").select("id", "c")
+    assert sorted(native.collect()) == sorted(
+        [(r.id, r.c) for r in ours.collect()]
+    )
