@@ -1099,3 +1099,104 @@ def events_abtest_ztest(spark, sf_dir):
         F.round(z, 6).alias("z_score"),
         F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
     )
+
+
+@register(
+    "events_ratio_metric_delta_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x_cents,
+             COUNT(*) AS y_events
+      FROM events GROUP BY user_id
+    ),
+    moments AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x_cents) AS BIGINT) AS sx,
+             CAST(SUM(y_events) AS BIGINT) AS sy,
+             CAST(SUM(x_cents * x_cents) AS BIGINT) AS sxx,
+             CAST(SUM(y_events * y_events) AS BIGINT) AS syy,
+             CAST(SUM(x_cents * y_events) AS BIGINT) AS sxy
+      FROM per_user
+    )
+    SELECT n,
+           ROUND(sx / 100.0, 2) AS total_revenue,
+           sy AS total_events,
+           ROUND(r, 6) AS revenue_per_event,
+           ROUND(se, 6) AS se,
+           ROUND(r - 1.96 * se, 6) AS ci_lo,
+           ROUND(r + 1.96 * se, 6) AS ci_hi
+    FROM (
+      SELECT n, sx, sy,
+             (sx / 100.0) / sy AS r,
+             SQRT(GREATEST(
+               ( (sxx / 10000.0 - (sx / 100.0) * (sx / 100.0) / n)
+                 + ((sx / 100.0) / sy) * ((sx / 100.0) / sy)
+                   * (syy - CAST(sy AS DOUBLE) * sy / n)
+                 - 2 * ((sx / 100.0) / sy)
+                   * (sxy / 100.0 - (sx / 100.0) * sy / n)
+               ) / (n - 1), 0.0))
+             / (sy / CAST(n AS DOUBLE)) / SQRT(CAST(n AS DOUBLE)) AS se
+      FROM moments WHERE n >= 2 AND sy > 0
+    )
+    """,
+)
+def events_ratio_metric_delta_ci(spark, sf_dir):
+    """Delta-method confidence interval for a RATIO metric — revenue
+    per event with users as the randomization unit. Naive per-event
+    variance is wrong when the unit is the user (events within a
+    user correlate), so real experimentation platforms compute
+    Var(X̄/Ȳ) ≈ (Var x + R²·Var y − 2R·Cov(x,y)) / (n·ȳ²) over
+    per-user totals — stated here as one closed-form expression over
+    EXACT integer moments (cents, counts, and their cross products —
+    the num.py discipline extended to second moments), so the CI is
+    identical on any engine or partitioning. Two hash aggs (user
+    roll-up, then a 1-row moment reduce) — scanning 100 TB for a
+    trustworthy CI costs one pass. Degenerate inputs (n<2, no
+    events) yield no row rather than a divide-by-zero."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x_cents"),
+        F.count("*").alias("y_events"),
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x_cents").cast("bigint").alias("sx"),
+        F.sum("y_events").cast("bigint").alias("sy"),
+        F.sum(F.col("x_cents") * F.col("x_cents")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y_events") * F.col("y_events")).cast("bigint").alias("syy"),
+        F.sum(F.col("x_cents") * F.col("y_events")).cast("bigint").alias("sxy"),
+    ).filter((F.col("n") >= 2) & (F.col("sy") > 0))
+    xd = F.col("sx") / 100.0
+    r = xd / F.col("sy")
+    var_x = F.col("sxx") / 10000.0 - xd * xd / F.col("n")
+    var_y = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    cov = F.col("sxy") / 100.0 - xd * F.col("sy") / F.col("n")
+    se = (
+        F.sqrt(
+            F.greatest(
+                (var_x + r * r * var_y - 2 * r * cov) / (F.col("n") - 1),
+                F.lit(0.0),
+            )
+        )
+        / (F.col("sy") / F.col("n").cast("double"))
+        / F.sqrt(F.col("n").cast("double"))
+    )
+    return m.select(
+        "n",
+        F.round(xd, 2).alias("total_revenue"),
+        F.col("sy").alias("total_events"),
+        F.round(r, 6).alias("revenue_per_event"),
+        F.round(se, 6).alias("se"),
+        F.round(r - 1.96 * se, 6).alias("ci_lo"),
+        F.round(r + 1.96 * se, 6).alias("ci_hi"),
+    )

@@ -191,6 +191,7 @@ GRADING_PRIORITY: list[str] = [
     "events_forecast_holt",
     "events_abtest_ztest",
     "events_peak_concurrency",
+    "events_ratio_metric_delta_ci",
 ]
 
 
