@@ -192,6 +192,7 @@ GRADING_PRIORITY: list[str] = [
     "events_abtest_ztest",
     "events_peak_concurrency",
     "events_ratio_metric_delta_ci",
+    "events_cuped_adjustment",
 ]
 
 
