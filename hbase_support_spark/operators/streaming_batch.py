@@ -1202,3 +1202,109 @@ def events_peak_concurrency(spark, sf_dir):
     return (
         n_sess.crossJoin(F.broadcast(peak)).crossJoin(F.broadcast(at))
     )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY event_type, DATE_TRUNC('day', ts)
+    ),
+    series AS (
+      SELECT event_type, list(cnt ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+      HAVING COUNT(*) >= 3
+    ),
+    errs AS (
+      SELECT event_type, len(vals) AS n_days,
+             list_transform(range(2, len(vals) + 1),
+               i -> ABS(vals[i] - list_reduce(list_slice(vals, 1, i - 1),
+                                              (acc, x) -> 0.5 * x + 0.5 * acc)))
+               AS e_ewma,
+             list_transform(range(2, len(vals) + 1),
+               i -> ABS(vals[i] - vals[i - 1])) AS e_naive
+      FROM series
+    ),
+    mae AS (
+      SELECT event_type, n_days,
+             list_reduce(e_ewma, (acc, x) -> acc + x) / (n_days - 1) AS mae_ewma,
+             list_reduce(e_naive, (acc, x) -> acc + x) / (n_days - 1) AS mae_naive
+      FROM errs
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(mae_ewma, 6) AS mae_ewma,
+           ROUND(mae_naive, 6) AS mae_naive,
+           ROUND(CASE WHEN mae_naive > 0 THEN 1 - mae_ewma / mae_naive END, 6)
+             AS skill
+    FROM mae
+    """,
+)
+def events_forecast_backtest(spark, sf_dir):
+    """Walk-forward backtest of the EWMA forecaster — the evaluation
+    half the fitted model (events_forecast_holt) needs before anyone
+    trusts it: for every day i, predict it from days 1..i−1 only
+    (the EWMA prefix fold), score the absolute error, and compare
+    MAE against the lag-1 naive baseline; ``skill`` > 0 means the
+    smoother actually beats 'tomorrow = today'. The per-step
+    predictions are NESTED array folds (a transform over steps, a
+    fold per prefix — O(days²) per key, trivially bounded), and the
+    error means are explicit left folds, so every float op runs in
+    the same fixed order in both engines. Same physical shape as the
+    fit: one daily hash agg + one bounded collect per key — backtest
+    billions of per-key series in one pass, no loop, no state."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, cnt))), x -> x.cnt)"
+            ).alias("vals")
+        )
+        .filter(F.size("vals") >= 3)
+    )
+    errs = series.select(
+        "event_type",
+        F.size("vals").cast("bigint").alias("n_days"),
+        F.expr(
+            "transform(sequence(2, size(vals)),"
+            " i -> abs(element_at(vals, i)"
+            "  - aggregate(slice(vals, 2, i - 2), vals[0],"
+            "              (acc, x) -> 0.5 * x + 0.5 * acc)))"
+        ).alias("e_ewma"),
+        F.expr(
+            "transform(sequence(2, size(vals)),"
+            " i -> abs(element_at(vals, i) - element_at(vals, i - 1)))"
+        ).alias("e_naive"),
+    )
+    fold_sum = (
+        "aggregate(slice({c}, 2, size({c}) - 1), element_at({c}, 1),"
+        " (acc, x) -> acc + x)"
+    )
+    mae = errs.select(
+        "event_type",
+        "n_days",
+        (F.expr(fold_sum.format(c="e_ewma")) / (F.col("n_days") - 1)).alias(
+            "mae_ewma"
+        ),
+        (F.expr(fold_sum.format(c="e_naive")) / (F.col("n_days") - 1)).alias(
+            "mae_naive"
+        ),
+    )
+    return mae.select(
+        "event_type",
+        "n_days",
+        F.round("mae_ewma", 6).alias("mae_ewma"),
+        F.round("mae_naive", 6).alias("mae_naive"),
+        F.round(
+            F.when(
+                F.col("mae_naive") > 0, 1 - F.col("mae_ewma") / F.col("mae_naive")
+            ),
+            6,
+        ).alias("skill"),
+    )

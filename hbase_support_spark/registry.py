@@ -193,6 +193,7 @@ GRADING_PRIORITY: list[str] = [
     "events_peak_concurrency",
     "events_ratio_metric_delta_ci",
     "events_cuped_adjustment",
+    "events_forecast_backtest",
 ]
 
 
