@@ -1308,3 +1308,65 @@ def events_forecast_backtest(spark, sf_dir):
             6,
         ).alias("skill"),
     )
+
+
+@register(
+    "events_session_bounce_rate",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_no
+      FROM gaps
+    ),
+    sess AS (
+      SELECT user_id, sess_no,
+             CAST(DATE_TRUNC('day', MIN(ts)) AS TIMESTAMP) AS day,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, sess_no
+    )
+    SELECT day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bounced,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+    FROM sess GROUP BY day
+    """,
+)
+def events_session_bounce_rate(spark, sf_dir):
+    """Daily bounce rate — the fraction of sessions that end after a
+    single event, bucketed by the day the session started: the
+    canonical engagement-health metric next to DAU and retention.
+    Rides the same native ``session_window`` sessionization the
+    engine grades elsewhere (map-side partial session merging, one
+    user_id shuffle), then a two-level hash agg on the tiny
+    (day) key. Exact integer-µs gap semantics keep session
+    boundaries — and therefore the bounce flag — engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id",
+        F.session_window("ts", "1800000001 microseconds").alias("sw"),
+    ).agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count("*").alias("n_events"),
+    )
+    return sess.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bounced"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+    )

@@ -194,6 +194,7 @@ GRADING_PRIORITY: list[str] = [
     "events_ratio_metric_delta_ci",
     "events_cuped_adjustment",
     "events_forecast_backtest",
+    "events_session_bounce_rate",
 ]
 
 
