@@ -327,3 +327,78 @@ def multimodal_frame_sample(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(sample, _FRAME_SCHEMA)
+
+
+_THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", IntegerType()),
+        StructField("thumb_w", IntegerType()),
+        StructField("thumb_h", IntegerType()),
+        StructField("thumb_digest", LongType()),
+    ]
+)
+
+_THUMB_BYTES = 16  # stub 'thumbnail' = first 16 payload bytes
+
+
+@register(
+    "multimodal_resize_thumb",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS orig_bytes,
+           CAST((OCTET_LENGTH(ENCODE(text)) % 640 + 1 + 3) // 4 AS INT) AS thumb_w,
+           CAST(((OCTET_LENGTH(ENCODE(text)) * 7) % 480 + 1 + 3) // 4 AS INT)
+             AS thumb_h,
+           CAST('0x' || substring(md5(substring(text, 1, {_THUMB_BYTES})), 1, 15)
+                AS BIGINT) AS thumb_digest
+    FROM documents
+    """,
+)
+def multimodal_resize_thumb(spark, sf_dir):
+    """Multimodal TRANSFORM plumbing — the resize/thumbnail step
+    between decode (multimodal_decode_meta) and frame sampling
+    (multimodal_frame_sample): binary in, quarter-size dims + a
+    digest of the derived thumbnail bytes out, per Arrow batch via
+    mapInPandas. The resize itself is the marked stub (no codec libs
+    in this image — a real deployment calls PIL.thumbnail in the
+    same closure); everything gradable about the plumbing IS graded:
+    batch shape, dim arithmetic (ceil-quarter of the decode fake's
+    dims), and the md5-h60 digest of the emitted bytes, which the
+    oracle restates exactly (payloads are ASCII text bytes, so the
+    string-level md5 twin matches — same convention as
+    multimodal_frame_sample). Map-only: no shuffle at any scale."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                w, h = n % 640 + 1, (n * 7) % 480 + 1
+                thumb = bytes(payload[:_THUMB_BYTES])  # STUB resize output
+                rows.append(
+                    (
+                        doc_id,
+                        n,
+                        (w + 3) // 4,
+                        (h + 3) // 4,
+                        int(hashlib.md5(thumb).hexdigest()[:15], 16),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "orig_bytes",
+                    "thumb_w",
+                    "thumb_h",
+                    "thumb_digest",
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(resize, _THUMB_SCHEMA)

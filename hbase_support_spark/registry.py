@@ -195,6 +195,7 @@ GRADING_PRIORITY: list[str] = [
     "events_cuped_adjustment",
     "events_forecast_backtest",
     "events_session_bounce_rate",
+    "multimodal_resize_thumb",
 ]
 
 
