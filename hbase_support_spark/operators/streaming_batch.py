@@ -1370,3 +1370,56 @@ def events_session_bounce_rate(spark, sf_dir):
             6,
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "events_coactivity_topk",
+    oracle="""
+    WITH uh AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('hour', ts) AS hr FROM events
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             COUNT(*) AS shared_hours
+      FROM uh a JOIN uh b
+        ON a.hr = b.hr AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    )
+    SELECT user_a, user_b, shared_hours
+    FROM pairs
+    ORDER BY shared_hours DESC, user_a, user_b
+    LIMIT 20
+    """,
+)
+def events_coactivity_topk(spark, sf_dir):
+    """Top-20 co-active user pairs — 'who is online together' — and
+    the template for KEYLESS interval-overlap joins at scale: two
+    interval sets with no shared join key (here, user activity
+    periods) cannot equi-join directly, so intervals are quantized
+    into time bins (hours), overlap becomes a plain equi-join on the
+    bin, and counting DISTINCT bins per pair absorbs the
+    multi-bin-span double-counting that naive bin joins suffer. The
+    reduction to distinct (user, hour) first bounds the join input
+    by actives-per-hour, not events; the per-bin pair expansion is
+    quadratic only in concurrent actives — the skew hazard is a hot
+    global hour, handled by AQE skew-split (tests/test_aqe.py) or a
+    finer bin. TakeOrdered top-20 with a full pair tie-break."""
+    uh = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .distinct()
+    )
+    a, b = uh.alias("a"), uh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.count("*").alias("shared_hours"))
+        .orderBy(F.desc("shared_hours"), "user_a", "user_b")
+        .limit(20)
+    )

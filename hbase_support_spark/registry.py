@@ -196,6 +196,7 @@ GRADING_PRIORITY: list[str] = [
     "events_forecast_backtest",
     "events_session_bounce_rate",
     "multimodal_resize_thumb",
+    "events_coactivity_topk",
 ]
 
 
