@@ -3684,3 +3684,87 @@ def sample_negative_pairs(spark, sf_dir):
         .filter(F.col("neg_doc_id") != F.col("doc_id"))
         .select("doc_id", "j", "neg_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking (context-window prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32  # tokens per chunk (context-window proxy)
+_CHUNK_S = 24  # stride (overlap = _CHUNK_W - _CHUNK_S = 8 tokens)
+
+
+@register(
+    "pipeline_chunk_sliding",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {D_TOKENS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             GREATEST(1, CAST(CEIL((len(toks) - {_CHUNK_W - _CHUNK_S}) / {_CHUNK_S}.0)
+                              AS BIGINT)) AS nc
+      FROM t),
+    chunks AS (
+      SELECT doc_id, toks, n, CAST(i AS INT) AS chunk_idx,
+             CAST(i * {_CHUNK_S} AS INT) AS tok_start
+      FROM base, range(0, 4096) r(i)
+      WHERE i < nc)
+    SELECT doc_id, chunk_idx, tok_start,
+           CAST(len(list_slice(toks, tok_start + 1,
+                               LEAST(tok_start + {_CHUNK_W}, n))) AS INT) AS n_tok,
+           {_d_h60(f"array_to_string(list_slice(toks, tok_start + 1, LEAST(tok_start + {_CHUNK_W}, n)), ' ')")}
+             AS chunk_digest
+    FROM chunks
+    """,
+)
+def pipeline_chunk_sliding(spark, sf_dir):
+    """Sliding-window chunking — the context-window prep step between
+    cleaning and packing: long documents are cut into 32-token
+    chunks with stride 24 (8-token overlap so no sentence is
+    orphaned at a boundary), the unit RAG indexes and long-context
+    training loaders both consume. Chunk count per doc is the
+    standard ceil((n - overlap) / stride) (min 1), so every token
+    lands in >= 1 chunk and trailing chunks wholly contained in
+    their predecessor are never emitted. Each chunk row carries its
+    token offset, actual length (the tail chunk may be short), and a
+    portable md5-h60 content digest pinning the exact token slice —
+    the oracle restates the identical construction. Complementary to
+    `pipeline_pack_sequences` (many short docs -> one fixed budget;
+    this is one long doc -> many windows). Scale shape: map-only —
+    tokenize, a bounded sequence() explode (fan-out ~ n/stride), a
+    slice+digest projection; zero shuffles at any corpus size, and
+    chunk rows stay co-partitioned with their source doc for free.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKENS).alias("toks")
+    )
+    base = d.select(
+        "doc_id",
+        "toks",
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.size("toks") - F.lit(_CHUNK_W - _CHUNK_S)) / F.lit(float(_CHUNK_S))),
+        )
+        .cast("int")
+        .alias("nc"),
+    )
+    seg = f"slice(toks, tok_start + 1, {_CHUNK_W})"  # Spark slice clamps at the end
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.col("i").cast("int").alias("chunk_idx"),
+            (F.col("i") * _CHUNK_S).cast("int").alias("tok_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "tok_start",
+            F.expr(f"size({seg})").cast("int").alias("n_tok"),
+            F.expr(_h60(f"array_join({seg}, ' ')")).alias("chunk_digest"),
+        )
+    )

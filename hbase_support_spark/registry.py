@@ -197,6 +197,7 @@ GRADING_PRIORITY: list[str] = [
     "events_session_bounce_rate",
     "multimodal_resize_thumb",
     "events_coactivity_topk",
+    "pipeline_chunk_sliding",
 ]
 
 
