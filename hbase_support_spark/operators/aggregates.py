@@ -1291,3 +1291,67 @@ def events_cuped_adjustment(spark, sf_dir):
             "variance_reduction_pct"
         ),
     )
+
+
+@register(
+    "events_lifecycle_states",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id
+      FROM events),
+    st AS (
+      SELECT day,
+             CASE WHEN prev IS NULL THEN 'new'
+                  WHEN prev = day - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM (SELECT day, user_id,
+                   LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+            FROM act))
+    SELECT day,
+           CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resurrected,
+           COUNT(*) AS n_active
+    FROM st
+    GROUP BY day
+    """,
+)
+def events_lifecycle_states(spark, sf_dir):
+    """Growth accounting — the DAU quality report behind every
+    'active users' dashboard: each user-day is classified as NEW
+    (first-ever active day), RETAINED (also active the previous
+    day), or RESURRECTED (returning after a gap), and the daily
+    report counts each state. Complements `events_retention_daily`
+    (one cohort's decay curve) and `events_dau_wau` (volume only) by
+    decomposing WHERE each day's actives came from. Scale shape:
+    per-user-day dedup is a partial-agg-friendly groupBy; the state
+    classification is one lag() over (user_id) — the per-user
+    active-day list is at most days-of-history long, so no partition
+    skew regardless of user count; final daily rollup is a tiny hash
+    agg. Three keyed shuffles, all on bounded keys, no joins.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("day").over(w)
+    st = act.select(
+        "day",
+        F.when(prev.isNull(), "new")
+        .when(F.date_add(prev, 1) == F.col("day"), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    one = lambda s: F.sum(F.when(F.col("state") == s, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return st.groupBy("day").agg(
+        one("new").alias("n_new"),
+        one("retained").alias("n_retained"),
+        one("resurrected").alias("n_resurrected"),
+        F.count("*").alias("n_active"),
+    )

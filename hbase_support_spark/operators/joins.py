@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from ..io import load_table
@@ -611,4 +611,70 @@ def join_bucketed_colocated(spark, sf_dir):
             F.sum("line_cnt").cast("bigint").alias("total_lines"),
             F.round(F.sum("revenue_cents") / 100.0, 2).alias("total_revenue"),
         )
+    )
+
+
+@register(
+    "join_dim_scd2",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             CAST(JSON_EXTRACT(props, '$.k') AS INT) AS segment,
+             epoch_us(ts) AS vf,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS vt
+      FROM events WHERE event_type = 'signup'),
+    fact AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, d.segment
+    FROM fact f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.us >= d.vf
+     AND (d.vt IS NULL OR f.us < d.vt)
+    """,
+)
+def join_dim_scd2(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) point-in-time join — the
+    warehouse staple the as-of family approximates: a dimension
+    change-log (each user's 'signup' events; props.k is the changing
+    segment attribute) is first built into non-overlapping validity
+    intervals [valid_from, valid_to) via lead() over the per-key
+    change sequence, then every fact row (purchases) joins to the
+    ONE dimension version valid at its own timestamp. LEFT join
+    keeps facts that predate the first dimension version (segment
+    NULL) — the classic early-fact edge. Time is exact integer
+    microseconds, ties broken by event_id, so interval bounds are
+    engine-deterministic; same-instant changes produce an empty
+    interval that can never match, not a double match. Scale shape:
+    interval build is one windowed pass over the (small) change log;
+    the join keeps user_id as a hash/merge EQUALITY key with the
+    interval bounds as post-join filters — a SortMergeJoin at any
+    scale, never a nested loop; per-key match work is bounded by
+    that key's version count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    wd = Window.partitionBy("user_id").orderBy("vf", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("segment"),
+            us.alias("vf"),
+        )
+        .select("user_id", "segment", "vf", F.lead("vf").over(wd).alias("vt"))
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("us")
+    )
+    cond = (
+        (fact["user_id"] == dim["user_id"])
+        & (fact["us"] >= dim["vf"])
+        & (dim["vt"].isNull() | (fact["us"] < dim["vt"]))
+    )
+    return fact.join(dim, cond, "left").select(
+        fact["event_id"], fact["user_id"], dim["segment"]
     )

@@ -1423,3 +1423,88 @@ def events_coactivity_topk(spark, sf_dir):
         .orderBy(F.desc("shared_hours"), "user_a", "user_b")
         .limit(20)
     )
+
+
+from ..num import d_money_sum as _d_money_sum  # noqa: E402
+from ..num import money_sum as _money_sum  # noqa: E402
+
+_ATTRIB_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day attribution lookback
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+      FROM events),
+    marked AS (
+      SELECT event_type, value, us,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN us END
+                        IGNORE NULLS) OVER w AS lt_us,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                        IGNORE NULLS) OVER w AS lt_type
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT CASE WHEN lt_us IS NOT NULL AND us - lt_us <= {_ATTRIB_WINDOW_US}
+                THEN lt_type ELSE 'direct' END AS channel,
+           COUNT(*) AS n_purchases,
+           {_d_money_sum('value')} AS revenue
+    FROM marked
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase is credited
+    to the user's most recent click/view touchpoint within a 7-day
+    lookback, else to 'direct' — the standard attribution report.
+    Implemented WITHOUT a purchases-x-touches join: one pass over
+    the per-user event timeline carries the last touch forward via
+    LAST_VALUE(... IGNORE NULLS) over ROWS UNBOUNDED PRECEDING..1
+    PRECEDING (ordered by exact integer microseconds + event_id, so
+    same-timestamp ties are engine-deterministic), then purchases
+    filter + a 3-key hash agg. Revenue sums use the integer-cents
+    contract (num.py) so totals are accumulation-order-independent.
+    Scale shape: ONE shuffle on user_id feeding an in-partition
+    sort; the touch state is O(1) per row (vs the band-join form,
+    which re-scans each user's touch history per purchase) — the
+    same state-machine Structured Streaming would run with
+    transformWithState, minus the state store.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    marked = base.select(
+        "event_type",
+        "value",
+        "us",
+        F.last(F.when(is_touch, F.col("us")), ignorenulls=True).over(w).alias("lt_us"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("lt_type"),
+    ).filter(F.col("event_type") == "purchase")
+    channel = F.when(
+        F.col("lt_us").isNotNull()
+        & (F.col("us") - F.col("lt_us") <= _ATTRIB_WINDOW_US),
+        F.col("lt_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        marked.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            _money_sum("value").alias("revenue"),
+        )
+    )

@@ -198,6 +198,9 @@ GRADING_PRIORITY: list[str] = [
     "multimodal_resize_thumb",
     "events_coactivity_topk",
     "pipeline_chunk_sliding",
+    "events_attribution_last_touch",
+    "events_lifecycle_states",
+    "join_dim_scd2",
 ]
 
 
