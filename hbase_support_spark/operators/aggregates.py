@@ -1355,3 +1355,52 @@ def events_lifecycle_states(spark, sf_dir):
         one("resurrected").alias("n_resurrected"),
         F.count("*").alias("n_active"),
     )
+
+
+@register(
+    "agg_quantile_exact_global",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice AS value,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rank_at,
+             COUNT(*) OVER () AS n
+      FROM lineitem),
+    p AS (SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) AS pct)
+    SELECT p.pct, ranked.value, ranked.rank_at, ranked.n
+    FROM p JOIN ranked ON ranked.rank_at = CAST(CEIL(p.pct * ranked.n) AS BIGINT)
+    """,
+)
+def agg_quantile_exact_global(spark, sf_dir):
+    """EXACT global quantiles (p50/p90/p99) of a fact-table measure —
+    the complement of `agg_percentile_approx`: approximate sketches
+    answer dashboards, but billing cutoffs and SLO thresholds need
+    the exact order statistic. The naive exact form is a global sort
+    (single-partition window) — fatal at 100 TB; this one runs on the
+    distributed rank kernel (operators/ranking.py): range shuffle +
+    per-partition row_number + K-row broadcast offsets give every row
+    its exact global rank in parallel, and the quantile is then just
+    the row whose rank equals ceil(p*n) — selected by a 3-row
+    broadcast join, one pass, no sort of the world. Ties are
+    rank-interchangeable, so the chosen VALUE is deterministic
+    regardless of tie-break order; the oracle restates the identical
+    rank arithmetic over a single-window ROW_NUMBER.
+    """
+    from .ranking import with_global_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("value"), "l_orderkey", "l_linenumber"
+    )
+    ranked = with_global_rank(
+        li, ["value", "l_orderkey", "l_linenumber"], "rank_at", total_col="n"
+    ).select("value", F.col("rank_at").cast("bigint").alias("rank_at"), "n")
+    pcts = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("pct")
+    )
+    return (
+        ranked.join(
+            F.broadcast(pcts),
+            F.col("rank_at") == F.ceil(F.col("pct") * F.col("n")),
+        )
+        .select("pct", "value", "rank_at", "n")
+    )

@@ -3768,3 +3768,60 @@ def pipeline_chunk_sliding(spark, sf_dir):
             F.expr(_h60(f"array_join({seg}, ' ')")).alias("chunk_digest"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# late-interaction (multi-vector) retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_maxsim_multivector",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND(list_sum(list_transform(range(0, 8), i ->
+               list_max(list_transform(range(0, 8), j ->
+                 list_sum(list_transform(range(1, 9), t ->
+                   CAST(e.embedding[j*8 + t] AS DOUBLE) *
+                   CAST(q.qv[i*8 + t] AS DOUBLE)))))))
+             , 6) AS maxsim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0)
+    SELECT vec_id, maxsim FROM scored ORDER BY maxsim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_maxsim_multivector(spark, sf_dir):
+    """Late-interaction retrieval (ColBERT-style MaxSim): instead of
+    one vector per document, each side is a BAG of token vectors —
+    here the fixture's 64-d embedding reinterpreted as 8 sub-vectors
+    of 8 dims (the multi-vector layout a token-level encoder emits) —
+    and relevance is sum over query sub-vectors of the best-matching
+    document sub-vector: score = Σ_i max_j <q_i, d_j>. This ranks
+    differently from single-vector cosine (fine-grained term matches
+    survive pooling) and is the semantics behind modern multi-vector
+    retrievers. Implementation: the query's sub-vectors ride a 1-row
+    broadcast; scoring is ONE map-only projection of nested
+    higher-order folds (sequential, fixed-order double math — the
+    oracle restates the identical fold, so ROUND(6) hash-parity
+    holds); top-k compiles to TakeOrderedAndProject. Scale shape:
+    zero shuffles over the corpus, same as `sim_knn_query`; for
+    genuine per-token bags, the same expression runs over
+    array<array<float>> unchanged, and the IVF route
+    (`sim_knn_ivf*`) prunes candidates first.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = e.filter(F.col("vec_id") != 0)
+    maxsim = F.expr(
+        "round(aggregate(sequence(0, 7), 0D, (acc, i) ->"
+        " acc + array_max(transform(sequence(0, 7), j ->"
+        " aggregate(sequence(1, 8), 0D, (a, t) ->"
+        " a + cast(element_at(embedding, j*8 + t) AS double) *"
+        " cast(element_at(qv, i*8 + t) AS double))))), 6)"
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id", maxsim.alias("maxsim")
+    )
+    return scored.orderBy(F.col("maxsim").desc(), "vec_id").limit(10)

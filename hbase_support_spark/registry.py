@@ -201,6 +201,8 @@ GRADING_PRIORITY: list[str] = [
     "events_attribution_last_touch",
     "events_lifecycle_states",
     "join_dim_scd2",
+    "agg_quantile_exact_global",
+    "sim_maxsim_multivector",
 ]
 
 
