@@ -506,3 +506,84 @@ def layout_zorder_scan(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         money_sum("value").alias("total_value"),
     )
+
+
+@register(
+    "layout_region_merge_plan",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(user_id) AS lo, MAX(user_id) AS hi FROM events
+    ),
+    counts AS (
+      SELECT LEAST(CAST(FLOOR((user_id - lo) * 32 / (hi - lo + 1)) AS BIGINT), 31)
+               AS bucket,
+             COUNT(*) AS n_rows
+      FROM events, bounds
+      GROUP BY 1
+    ),
+    avg_sz AS (SELECT AVG(n_rows) AS avg_rows FROM counts),
+    paired AS (
+      SELECT bucket AS bucket_a,
+             LEAD(bucket) OVER (ORDER BY bucket) AS bucket_b,
+             n_rows AS n_a,
+             LEAD(n_rows) OVER (ORDER BY bucket) AS n_b
+      FROM counts
+    )
+    SELECT bucket_a, bucket_b, n_a, n_b, n_a + n_b AS combined,
+           ROUND(avg_rows, 6) AS avg_rows,
+           (n_a + n_b < avg_rows) AS do_merge
+    FROM paired, avg_sz
+    WHERE bucket_b IS NOT NULL
+    """,
+)
+def layout_region_merge_plan(spark, sf_dir):
+    """Region-merge normalizer — the shrink half of region sizing
+    (layout_split_points grows capacity, this reclaims it): over 32
+    fixed-width rowkey ranges, propose merging each ADJACENT pair
+    whose combined size is below the mean region size — the
+    SimpleRegionNormalizer merge rule HBase operators run after
+    deletes/TTL hollow out ranges. Emits every adjacent pair with
+    both sizes, the combined size, the fleet average, and the
+    merge verdict (on a healthy uniform table every verdict is
+    false — the report proves it). Scale shape: one 32-key partial+final hash agg
+    over the scan; the lead() pairing and the average run over the
+    32-row range-stats frame — metadata, not data (the unpartitioned
+    window sits above an Aggregate, the hygiene-swept safe shape).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+    counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("user_id") - F.col("lo"))
+                    * 32
+                    / (F.col("hi") - F.col("lo") + 1)
+                ),
+                F.lit(31),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    w = Window.orderBy("bucket")
+    avg_rows = F.avg("n_rows").over(Window.partitionBy())
+    paired = counts.select(
+        F.col("bucket").alias("bucket_a"),
+        F.lead("bucket").over(w).alias("bucket_b"),
+        F.col("n_rows").alias("n_a"),
+        F.lead("n_rows").over(w).alias("n_b"),
+        avg_rows.alias("avg_rows"),
+    )
+    return paired.filter(F.col("bucket_b").isNotNull()).select(
+        "bucket_a",
+        "bucket_b",
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).alias("combined"),
+        F.round("avg_rows", 6).alias("avg_rows"),
+        ((F.col("n_a") + F.col("n_b")) < F.col("avg_rows")).alias("do_merge"),
+    )

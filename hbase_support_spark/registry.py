@@ -203,6 +203,7 @@ GRADING_PRIORITY: list[str] = [
     "join_dim_scd2",
     "agg_quantile_exact_global",
     "sim_maxsim_multivector",
+    "layout_region_merge_plan",
 ]
 
 
