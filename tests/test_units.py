@@ -256,3 +256,160 @@ def test_grading_priority_names_resolve():
     missing = [n for n in GRADING_PRIORITY if n not in QUERIES]
     assert not missing, f"GRADING_PRIORITY names not in registry: {missing}"
     assert len(set(GRADING_PRIORITY)) == len(GRADING_PRIORITY), "duplicates"
+
+
+# ---------------------------------------------------------------- round-3 late ops
+
+
+def test_chunk_sliding_covers_every_token(spark, sf_dir):
+    """Every token position of every doc lands in >= 1 chunk, chunk
+    starts advance by the stride, and the chunk count matches
+    ceil((n - overlap) / stride) (min 1)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.operators.llm import (
+        _CHUNK_S,
+        _CHUNK_W,
+        TOKENS,
+        pipeline_chunk_sliding,
+    )
+    from hbase_support_spark.io import load_table
+
+    chunks = pipeline_chunk_sliding(spark, sf_dir).collect()
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(f"size({TOKENS})").alias("n"))
+        .collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(n_tokens)
+    for doc_id, rows in per_doc.items():
+        n = n_tokens[doc_id]
+        rows.sort(key=lambda r: r["chunk_idx"])
+        expect = max(1, math.ceil((n - (_CHUNK_W - _CHUNK_S)) / _CHUNK_S))
+        assert len(rows) == expect
+        covered = set()
+        for r in rows:
+            assert r["tok_start"] == r["chunk_idx"] * _CHUNK_S
+            assert r["n_tok"] == min(_CHUNK_W, n - r["tok_start"])
+            covered.update(range(r["tok_start"], r["tok_start"] + r["n_tok"]))
+        assert covered == set(range(n))
+
+
+def test_attribution_matches_band_join_form(spark, sf_dir):
+    """The single-window carried-state attribution equals the naive
+    purchases-x-touches band join (max touch within lookback)."""
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.operators.streaming_batch import (
+        _ATTRIB_WINDOW_US,
+        events_attribution_last_touch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").toPandas()
+    t = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .toPandas()
+        .sort_values(["user_id", "us", "event_id"])
+    )
+    expected: dict[str, list] = {}
+    for row in p.itertuples():
+        touches = t[
+            (t.user_id == row.user_id)
+            & (
+                (t.us < row.us)
+                | ((t.us == row.us) & (t.event_id < row.event_id))
+            )
+        ]
+        if len(touches) and row.us - touches.iloc[-1].us <= _ATTRIB_WINDOW_US:
+            ch = touches.iloc[-1].event_type
+        else:
+            ch = "direct"
+        expected.setdefault(ch, []).append(row.value)
+    got = {
+        r["channel"]: r for r in events_attribution_last_touch(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for ch, vals in expected.items():
+        assert got[ch]["n_purchases"] == len(vals)
+        cents = sum(int(v * 100 + 0.5) for v in vals)
+        assert abs(got[ch]["revenue"] - cents / 100.0) < 1e-9
+
+
+def test_scd2_join_is_as_of_semantics(spark, sf_dir):
+    """Each purchase joins to exactly one dimension version: the
+    latest signup at-or-before it (ties on event_id) — i.e. SCD2
+    interval join == backward as-of."""
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.operators.joins import join_dim_scd2
+
+    out = join_dim_scd2(spark, sf_dir).toPandas()
+    assert out.event_id.is_unique  # at most one version matched
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.unix_micros("ts").alias("us"),
+    ).toPandas()
+    sign = ev[ev.event_type == "signup"].sort_values(["us", "event_id"])
+    pur = ev[ev.event_type == "purchase"].set_index("event_id")
+    got = out.set_index("event_id").segment
+    for event_id, row in pur.iterrows():
+        cand = sign[(sign.user_id == row.user_id) & (sign.us <= row.us)]
+        want = None if cand.empty else int(cand.iloc[-1].k)
+        g = got.loc[event_id]
+        assert (want is None) == (g != g or g is None) or int(g) == want
+
+
+def test_exact_quantile_matches_sorted_selection(spark, sf_dir):
+    """p-quantile value == sorted values[ceil(p*n)-1] exactly."""
+    import math
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.operators.aggregates import agg_quantile_exact_global
+
+    vals = sorted(
+        r["l_extendedprice"]
+        for r in load_table(spark, sf_dir, "lineitem").select("l_extendedprice").collect()
+    )
+    n = len(vals)
+    got = {r["pct"]: r for r in agg_quantile_exact_global(spark, sf_dir).collect()}
+    for p in (0.5, 0.9, 0.99):
+        r = math.ceil(p * n)
+        assert got[p]["value"] == vals[r - 1]
+        assert got[p]["rank_at"] == r
+        assert got[p]["n"] == n
+
+
+def test_maxsim_matches_numpy_reference(spark, sf_dir):
+    """MaxSim top-10 equals a numpy late-interaction reference."""
+    import numpy as np
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.operators.llm import sim_maxsim_multivector
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[0].reshape(8, 8)
+    scores = {}
+    for vid, v in emb.items():
+        if vid == 0:
+            continue
+        d = v.reshape(8, 8)
+        scores[vid] = round(float((q @ d.T).max(axis=1).sum()), 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["vec_id"], r["maxsim"]) for r in sim_maxsim_multivector(spark, sf_dir).collect()]
+    assert got == want
