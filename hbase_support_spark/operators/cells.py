@@ -557,3 +557,71 @@ def as_of_join_nearest(spark, sf_dir):
         .otherwise(F.col("fwd_us") - F.col("ts_us"))
         .alias("delta_us"),
     )
+
+
+@register(
+    "cells_major_compaction_view",
+    oracle="""
+    WITH live AS (
+      SELECT event_id, user_id, event_type, ts
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-30 00:00:00' - INTERVAL 14 DAY
+        AND event_type <> 'error'
+    ),
+    dels AS (
+      SELECT user_id, MAX(ts) AS del_ts FROM events
+      WHERE event_type = 'error' GROUP BY user_id
+    ),
+    after_tomb AS (
+      SELECT l.* FROM live l
+      LEFT JOIN dels d ON l.user_id = d.user_id
+      WHERE d.del_ts IS NULL OR l.ts > d.del_ts
+    )
+    SELECT event_id, user_id, event_type, ts, CAST(vrank AS INT) AS vrank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS vrank
+      FROM after_tomb
+    ) WHERE vrank <= 3
+    """,
+)
+def cells_major_compaction_view(spark, sf_dir):
+    """MAJOR COMPACTION semantics as one composed plan — what an
+    HBase major compaction leaves on disk, answered as a query:
+    TTL-expired cells dropped (14-day TTL against the fixed fixture
+    'now'), delete tombstones applied (a marker at T suppresses puts
+    with ts <= T — the `tombstone_merge` kernel), and version GC
+    keeping only the 3 newest surviving versions per (rowkey,
+    qualifier). The single ops primitives are graded separately
+    (`ttl_expiry`, `tombstone_merge`, `max_versions_n`); this is
+    their composition IN THE REFERENCE'S ORDER (tombstones and TTL
+    filter first, version counting runs over survivors only — a cell
+    shadowed by a tombstone must not consume a version slot). Scale
+    shape: TTL is a pushed scan predicate; tombstones are an
+    aggregate-then-broadcast-join (one row per rowkey, never an
+    inequality anti-join); version GC is ONE window over (user_id,
+    event_type) — the same single-shuffle shape as max_versions_n.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-30 00:00:00").cast("timestamp") - F.expr("INTERVAL 14 DAYS")
+    live = ev.filter(
+        (F.col("ts") >= cutoff) & (F.col("event_type") != "error")
+    ).select("event_id", "user_id", "event_type", "ts")
+    dels = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("del_ts"))
+    )
+    after_tomb = (
+        live.join(F.broadcast(dels), "user_id", "left")
+        .filter(F.col("del_ts").isNull() | (F.col("ts") > F.col("del_ts")))
+        .drop("del_ts")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        after_tomb.withColumn("vrank", F.row_number().over(w))
+        .filter(F.col("vrank") <= 3)
+        .select("event_id", "user_id", "event_type", "ts", "vrank")
+    )

@@ -204,6 +204,7 @@ GRADING_PRIORITY: list[str] = [
     "agg_quantile_exact_global",
     "sim_maxsim_multivector",
     "layout_region_merge_plan",
+    "cells_major_compaction_view",
 ]
 
 
