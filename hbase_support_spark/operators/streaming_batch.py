@@ -1508,3 +1508,182 @@ def events_attribution_last_touch(spark, sf_dir):
             _money_sum("value").alias("revenue"),
         )
     )
+
+
+@register(
+    "events_feature_pit_join",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+      FROM events),
+    feat AS (
+      SELECT event_id, user_id, event_type, value, us,
+             COUNT(*) OVER w AS n_prior_7d,
+             CAST(COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w, 0)
+                  AS BIGINT) AS cents_7d
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN {7 * 86_400 * 1_000_000} PRECEDING
+                             AND 1 PRECEDING))
+    SELECT event_id, user_id, n_prior_7d, cents_7d / 100.0 AS value_7d,
+           value AS label_value
+    FROM feat
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_feature_pit_join(spark, sf_dir):
+    """Point-in-time-correct feature join — the feature-store
+    primitive that makes ML training data leakage-free: each label
+    row (purchases) is enriched with rolling features (7-day event
+    count and value sum per user) computed STRICTLY BEFORE the label
+    timestamp — never at or after it, so no target leakage. The
+    classic implementation is an as-of join of labels against a
+    feature snapshot table; here features and labels share one
+    event stream, so ONE range-frame window pass computes the
+    feature state every row would have seen ([-7d, current) in exact
+    integer microseconds — the 1-PRECEDING bound excludes same-
+    instant rows entirely, an edge as-of joins routinely get wrong)
+    and the label filter keeps the purchase rows. Feature sums ride
+    the integer-cents contract, so sliding-frame accumulation order
+    cannot flip a cent. Scale shape: one shuffle on user_id + an
+    in-partition sort; the range frame advances monotonically (two
+    pointers), never re-scanning the partition per row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-7 * 86_400 * 1_000_000, -1)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5)
+    feat = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.count("*").over(w).alias("n_prior_7d"),
+        F.coalesce(F.sum(cents).over(w), F.lit(0)).cast("bigint").alias("cents_7d"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "n_prior_7d",
+        (F.col("cents_7d") / 100.0).alias("value_7d"),
+        F.col("value").alias("label_value"),
+    )
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+      FROM events),
+    counted AS (
+      SELECT event_type, value, us,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END)
+                           OVER w, 0) AS BIGINT) AS nc,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+                           OVER w, 0) AS BIGINT) AS nv
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN {7 * 86_400 * 1_000_000} PRECEDING
+                             AND 1 PRECEDING)),
+    split AS (
+      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * 1000000 AS mc,
+             nc, nv,
+             CASE WHEN nc > 0 AND nv > 0
+                  THEN (CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * 1000000 * nc)
+                       // (nc + nv)
+                  WHEN nc > 0 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * 1000000
+                  ELSE 0 END AS click_mc
+      FROM counted
+      WHERE event_type = 'purchase'),
+    chan AS (
+      SELECT 'click' AS channel, click_mc AS mc_attr,
+             CASE WHEN nc > 0 THEN 1 ELSE 0 END AS touched FROM split
+      UNION ALL
+      SELECT 'view', CASE WHEN nc + nv > 0 THEN mc - click_mc ELSE 0 END,
+             CASE WHEN nv > 0 THEN 1 ELSE 0 END FROM split
+      UNION ALL
+      SELECT 'direct', CASE WHEN nc + nv = 0 THEN mc ELSE 0 END,
+             CASE WHEN nc + nv = 0 THEN 1 ELSE 0 END FROM split)
+    SELECT channel,
+           CAST(SUM(touched) AS BIGINT) AS n_purchases,
+           CAST(SUM(mc_attr) AS BIGINT) / 100000000.0 AS attributed_revenue
+    FROM chan
+    GROUP BY channel
+    """,
+)
+def events_attribution_linear(spark, sf_dir):
+    """LINEAR multi-touch attribution — the fair-share counterpart
+    of `events_attribution_last_touch`: each purchase's revenue is
+    split across ALL click/view touchpoints in its 7-day lookback in
+    proportion to their counts (no touches -> 'direct'). Exactness
+    discipline: revenue enters as integer micro-cents and the split
+    uses INTEGER division (click gets floor(mc*nc/(nc+nv)), view the
+    exact remainder) — floating division here would round
+    differently per engine at the 15th digit and the final division
+    by 1e8 is one exact-integer-to-double op, so the graded totals
+    are accumulation-order- and engine-independent with no ROUND
+    crutch. Touch counts come from the same strictly-before range
+    frame as `events_feature_pit_join` (one window pass, no
+    purchases x touches join). Scale: one shuffle on user_id; the
+    3-way channel expansion is per-purchase-row, map-side; int64
+    micro-cents headroom is ~9e15 (documented: at fleet scale the
+    final rollup re-scales to cents before summing shards).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-7 * 86_400 * 1_000_000, -1)
+    )
+    cnt = lambda t: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("event_type") == t, 1)).over(w), F.lit(0)
+    ).cast("bigint")
+    counted = base.select(
+        "event_type",
+        "value",
+        cnt("click").alias("nc"),
+        cnt("view").alias("nv"),
+    ).filter(F.col("event_type") == "purchase")
+    split = counted.select(
+        (F.floor(F.col("value") * 100 + 0.5).cast("bigint") * 1_000_000).alias("mc"),
+        "nc",
+        "nv",
+    ).withColumn(
+        "click_mc",
+        F.when(
+            (F.col("nc") > 0) & (F.col("nv") > 0),
+            F.expr("(mc * nc) div (nc + nv)"),
+        )
+        .when(F.col("nc") > 0, F.col("mc"))
+        .otherwise(F.lit(0).cast("bigint")),
+    )
+    chan = split.selectExpr(
+        "stack(3,"
+        " 'click', click_mc, CASE WHEN nc > 0 THEN 1 ELSE 0 END,"
+        " 'view', CASE WHEN nc + nv > 0 THEN mc - click_mc ELSE CAST(0 AS bigint) END,"
+        "         CASE WHEN nv > 0 THEN 1 ELSE 0 END,"
+        " 'direct', CASE WHEN nc + nv = 0 THEN mc ELSE CAST(0 AS bigint) END,"
+        "           CASE WHEN nc + nv = 0 THEN 1 ELSE 0 END"
+        ") AS (channel, mc_attr, touched)"
+    )
+    return chan.groupBy("channel").agg(
+        F.sum("touched").cast("bigint").alias("n_purchases"),
+        (F.sum("mc_attr").cast("bigint") / 100_000_000.0).alias("attributed_revenue"),
+    )

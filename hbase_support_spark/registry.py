@@ -205,6 +205,8 @@ GRADING_PRIORITY: list[str] = [
     "sim_maxsim_multivector",
     "layout_region_merge_plan",
     "cells_major_compaction_view",
+    "events_feature_pit_join",
+    "events_attribution_linear",
 ]
 
 

@@ -413,3 +413,60 @@ def test_maxsim_matches_numpy_reference(spark, sf_dir):
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got = [(r["vec_id"], r["maxsim"]) for r in sim_maxsim_multivector(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_linear_attribution_conserves_revenue(spark, sf_dir):
+    """Channel splits sum exactly to total purchase revenue (integer
+    micro-cents conservation), and touched counts are consistent."""
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.operators.streaming_batch import (
+        events_attribution_linear,
+    )
+
+    out = events_attribution_linear(spark, sf_dir).collect()
+    total_attr = round(sum(r["attributed_revenue"] for r in out), 2)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5)))
+        .collect()[0][0]
+    )
+    assert total_attr == want / 100.0
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    by = {r["channel"]: r for r in out}
+    assert sum(r["n_purchases"] for r in out) >= n_purchases  # multi-touch overlap
+    assert by["direct"]["n_purchases"] <= n_purchases
+
+
+def test_feature_pit_join_is_leakage_free(spark, sf_dir):
+    """No feature window ever includes the label row itself or any
+    same-or-later event (strictly-before check on a sample)."""
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.operators.streaming_batch import (
+        events_feature_pit_join,
+    )
+
+    out = {r["event_id"]: r for r in events_feature_pit_join(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"), "value")
+        .toPandas()
+    )
+    lookback = 7 * 86_400 * 1_000_000
+    sample = list(out.values())[:40]
+    by_user = dict(tuple(ev.groupby("user_id")))
+    for r in sample:
+        me = ev[ev.event_id == r["event_id"]].iloc[0]
+        grp = by_user[me.user_id]
+        prior = grp[(grp.us < me.us) & (grp.us >= me.us - lookback)]
+        assert r["n_prior_7d"] == len(prior)
+        cents = sum(int(v * 100 + 0.5) for v in prior.value)
+        assert abs(r["value_7d"] - cents / 100.0) < 1e-9
