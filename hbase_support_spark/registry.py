@@ -207,6 +207,7 @@ GRADING_PRIORITY: list[str] = [
     "cells_major_compaction_view",
     "events_feature_pit_join",
     "events_attribution_linear",
+    "graph_triangle_count",
 ]
 
 
