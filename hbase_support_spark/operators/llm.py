@@ -3825,3 +3825,58 @@ def sim_maxsim_multivector(spark, sf_dir):
         "vec_id", maxsim.alias("maxsim")
     )
     return scored.orderBy(F.col("maxsim").desc(), "vec_id").limit(10)
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, n_chars,
+             len({D_TOKENS}) AS n_toks,
+             OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+             md5(lower(trim(text))) AS h
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS token_cnt,
+           CAST(SUM(n_bytes) AS BIGINT) AS byte_cnt,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS dup_docs,
+           ROUND((COUNT(*) - COUNT(DISTINCT h)) * 1.0 / COUNT(*), 6) AS dup_rate,
+           ROUND(MEDIAN(CAST(n_chars AS DOUBLE)), 6) AS p50_chars,
+           ROUND(SUM(n_toks) * 1.0 / COUNT(*), 6) AS avg_tokens
+    FROM d
+    GROUP BY lang
+    """,
+)
+def pipeline_dataset_card(spark, sf_dir):
+    """Dataset-card manifest — the per-language numbers a corpus
+    release publishes (and a training team checks before mixing):
+    document/token/byte counts, the exact-duplicate burden
+    (docs minus distinct normalized-content hashes, and its rate),
+    median document length, and mean tokens per doc. One scan, one
+    partial+final hash agg per language — the same one-pass shape as
+    `pipeline_shard_manifest` but content-derived rather than
+    shard-derived; every count is exact BIGINT, every rate one
+    deterministic division (ROUND 6 only on the derived floats).
+    The exact-dup hash matches `dedup_exact`'s normalization, so
+    dup_docs here equals the rows that operator would drop,
+    per language.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.expr(f"size({TOKENS})").alias("n_toks"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("token_cnt"),
+        F.sum("n_bytes").cast("bigint").alias("byte_cnt"),
+        (F.count("*") - F.countDistinct("h")).cast("bigint").alias("dup_docs"),
+        F.round(
+            (F.count("*") - F.countDistinct("h")) * 1.0 / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.round(F.median(F.col("n_chars").cast("double")), 6).alias("p50_chars"),
+        F.round(F.sum("n_toks") * 1.0 / F.count("*"), 6).alias("avg_tokens"),
+    )

@@ -208,6 +208,7 @@ GRADING_PRIORITY: list[str] = [
     "events_feature_pit_join",
     "events_attribution_linear",
     "graph_triangle_count",
+    "pipeline_dataset_card",
 ]
 
 
