@@ -501,3 +501,119 @@ def run_transform_with_state_demo(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM tws_demo GROUP BY user_id
         """
     )
+
+
+def run_attribution_state_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution as a STREAMING stateful operator — the
+    live twin of the batch `events_attribution_last_touch` kernel:
+    per-user GroupState carries (last touch time/type) plus exact
+    integer per-channel accumulators (purchase counts + cents), so a
+    purchase is credited the moment it arrives. Event-time order is
+    restored per delivered group (rows sorted on (us, event_id)
+    inside the state function; a production deployment pairs this
+    with a watermark-bounded reorder buffer, exactly the state
+    Structured Streaming's stream-stream join keeps). Emitted
+    counters are monotone, so the newest update per user is the
+    final answer under `availableNow` replay — the same convention
+    as run_session_state_demo. tests/test_streaming.py asserts the
+    channel totals equal the batch-graded kernel exactly (cents and
+    counts, not approximately)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    lookback_us = 7 * 86_400 * 1_000_000
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("click_n", LongType()),
+            StructField("click_cents", LongType()),
+            StructField("view_n", LongType()),
+            StructField("view_cents", LongType()),
+            StructField("direct_n", LongType()),
+            StructField("direct_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("lt_us", LongType()),
+            StructField("lt_is_click", LongType()),  # 1 click / 0 view / -1 none
+            StructField("cn", LongType()),
+            StructField("cc", LongType()),
+            StructField("vn", LongType()),
+            StructField("vc", LongType()),
+            StructField("dn", LongType()),
+            StructField("dc", LongType()),
+        ]
+    )
+
+    def attribute(key, pdfs, state: GroupState):
+        lt_us, lt_k, cn, cc, vn, vc, dn, dc = (
+            state.get if state.exists else (-1, -1, 0, 0, 0, 0, 0, 0)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(["us", "event_id"])
+        for r in rows.itertuples():
+            if r.event_type in ("click", "view"):
+                lt_us, lt_k = r.us, 1 if r.event_type == "click" else 0
+            elif r.event_type == "purchase":
+                if lt_k >= 0 and r.us - lt_us <= lookback_us:
+                    if lt_k == 1:
+                        cn, cc = cn + 1, cc + r.cents
+                    else:
+                        vn, vc = vn + 1, vc + r.cents
+                else:
+                    dn, dc = dn + 1, dc + r.cents
+        state.update((lt_us, lt_k, cn, cc, vn, vc, dn, dc))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "click_n": [cn],
+                "click_cents": [cc],
+                "view_n": [vn],
+                "view_cents": [vc],
+                "direct_n": [dn],
+                "direct_cents": [dc],
+            }
+        )
+
+    attributed = ev.groupBy("user_id").applyInPandasWithState(
+        attribute,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        attributed.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("attribution_state_demo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # newest (monotone) update per user, then channel totals
+    return spark.sql(
+        """
+        WITH final AS (
+          SELECT user_id, MAX(click_n) AS cn, MAX(click_cents) AS cc,
+                 MAX(view_n) AS vn, MAX(view_cents) AS vc,
+                 MAX(direct_n) AS dn, MAX(direct_cents) AS dc
+          FROM attribution_state_demo GROUP BY user_id
+        )
+        SELECT channel, SUM(n) AS n_purchases,
+               SUM(cents) / CAST(100 AS DOUBLE) AS revenue
+        FROM (
+          SELECT 'click' AS channel, cn AS n, cc AS cents FROM final
+          UNION ALL SELECT 'view', vn, vc FROM final
+          UNION ALL SELECT 'direct', dn, dc FROM final
+        )
+        GROUP BY channel HAVING SUM(n) > 0
+        """
+    )

@@ -182,3 +182,22 @@ def test_transform_with_state_counter_matches_batch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     want = {r.user_id: r.cnt for r in ev.groupBy("user_id").count().withColumnRenamed("count", "cnt").collect()}
     assert got == want
+
+
+def test_attribution_state_matches_batch(spark, sf_dir):
+    """Streaming last-touch attribution (per-user GroupState) equals
+    the batch-graded kernel exactly — counts and cents."""
+    from hbase_support_spark.operators.streaming_batch import (
+        events_attribution_last_touch,
+    )
+    from hbase_support_spark.streaming.demo import run_attribution_state_demo
+
+    got = {
+        r["channel"]: (r["n_purchases"], r["revenue"])
+        for r in run_attribution_state_demo(spark, sf_dir).collect()
+    }
+    want = {
+        r["channel"]: (r["n_purchases"], r["revenue"])
+        for r in events_attribution_last_touch(spark, sf_dir).collect()
+    }
+    assert got == want
