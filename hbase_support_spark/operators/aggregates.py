@@ -1404,3 +1404,103 @@ def agg_quantile_exact_global(spark, sf_dir):
         )
         .select("pct", "value", "rank_at", "n")
     )
+
+
+@register(
+    "events_kstest_arms",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT {_D_ABH} % 2 AS arm,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0)
+                  AS BIGINT) AS metric
+      FROM events GROUP BY user_id),
+    counts AS (
+      SELECT metric,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM per_user GROUP BY metric),
+    cum AS (
+      SELECT metric,
+             SUM(ca) OVER (ORDER BY metric) AS pa,
+             SUM(cb) OVER (ORDER BY metric) AS pb
+      FROM counts),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM per_user),
+    d AS (
+      SELECT CAST(MAX(ABS(pa * tot.n_b - pb * tot.n_a)) AS BIGINT) AS d_num
+      FROM cum, tot)
+    SELECT tot.n_a, tot.n_b, d.d_num,
+           ROUND(d.d_num * 1.0 / (tot.n_a * tot.n_b), 6) AS d_stat,
+           (d.d_num * 1.0 / (tot.n_a * tot.n_b) >
+            1.358 * SQRT((tot.n_a + tot.n_b) * 1.0 / (tot.n_a * tot.n_b)))
+             AS significant
+    FROM tot, d
+    """,
+)
+def events_kstest_arms(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test between the hash-assigned
+    experiment arms — the distribution-level readout the z-test
+    (`events_abtest_ztest`) can't give: does the WHOLE per-user
+    revenue distribution differ, not just its mean? Exactness
+    discipline: the KS statistic sup|F_a - F_b| is computed entirely
+    in integers — per-user metrics are exact cents, the two
+    empirical CDFs are integer prefix sums over the distinct-value
+    frame (the distributed prefix-sum kernel, operators/ranking.py —
+    no single-partition cumulative window over the value domain),
+    and the D numerator is max|pa*n_b - pb*n_a| (cross-multiplied,
+    BIGINT) so no float enters until the final division and the
+    1.358*sqrt critical-value comparison (both single deterministic
+    expressions over the same integers in both engines). Scale: one
+    user-keyed agg, one distinct-value agg, two chained prefix-sum
+    passes, a 1-row reduce; int64 headroom documented — pa*n_b tops
+    out near 1e18 at ~1e9 users/arm, the re-scaling point.
+    """
+    from .ranking import with_global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("metric")
+        )
+        .select((F.expr(_ABH) % 2).alias("arm"), "metric")
+    )
+    counts = per_user.groupBy("metric").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("cb"),
+    )
+    cum = with_global_prefix_sum(counts, ["metric"], "ca", "pa")
+    cum = with_global_prefix_sum(cum, ["metric"], "cb", "pb")
+    tot = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(F.col("pa") * F.col("n_b") - F.col("pb") * F.col("n_a")).alias("diff")
+        )
+        .agg(F.max("diff").cast("bigint").alias("d_num"))
+    )
+    d_stat = F.col("d_num") * 1.0 / (F.col("n_a") * F.col("n_b"))
+    crit = 1.358 * F.sqrt(
+        (F.col("n_a") + F.col("n_b")) * 1.0 / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        tot.crossJoin(d)
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            F.round(d_stat, 6).alias("d_stat"),
+            (d_stat > crit).alias("significant"),
+        )
+    )

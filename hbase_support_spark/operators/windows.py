@@ -413,3 +413,87 @@ def win_ohlc_bars(spark, sf_dir):
         F.max(F.when(F.col("rn") == F.col("n_bar"), F.col("value"))).alias("close"),
         F.count("*").alias("volume"),
     )
+
+
+@register(
+    "win_max_drawdown",
+    oracle="""
+    WITH flows AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents
+      FROM events WHERE event_type IN ('purchase', 'error')),
+    balance AS (
+      SELECT user_id, us, event_id,
+             CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM flows),
+    curve AS (
+      SELECT user_id, cum,
+             CAST(MAX(cum) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS peak
+      FROM balance)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           MAX(cum) / 100.0 AS peak_value,
+           CAST(MAX(peak - cum) AS BIGINT) / 100.0 AS max_drawdown,
+           CAST(SUM(CASE WHEN peak - cum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_underwater
+    FROM curve
+    GROUP BY user_id
+    """,
+)
+def win_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per entity — the risk metric behind equity
+    curves, inventory floors, and credit exposure: over each user's
+    net-flow series (purchases credit, 'error' events debit — the
+    refund/chargeback stand-in), compute the running balance, its
+    running peak, and the deepest peak-to-trough drop ever suffered,
+    plus time-underwater. Exactness: flows are integer cents, the
+    running sum and running max are integer windows (associative —
+    partition order can't flip a cent), and the only division is the
+    final cents->currency display. Scale: ONE shuffle on user_id
+    feeding both stacked windows (same partitioning and ordering —
+    Spark computes them in a single WindowExec pass); the final
+    per-user reduce reuses the partitioning. The nested
+    max-over-running-sum is the same carried-state shape as
+    `events_attribution_last_touch`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    flows = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "purchase", cents).otherwise(-cents).alias(
+            "cents"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = flows.select(
+        "user_id",
+        "us",
+        "event_id",
+        F.sum("cents").over(w).cast("bigint").alias("cum"),
+    ).select(
+        "user_id",
+        "cum",
+        F.max("cum").over(w).cast("bigint").alias("peak"),
+    )
+    return curve.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_flows"),
+        (F.max("cum") / 100.0).alias("peak_value"),
+        (F.max(F.col("peak") - F.col("cum")).cast("bigint") / 100.0).alias(
+            "max_drawdown"
+        ),
+        F.sum(F.when(F.col("peak") - F.col("cum") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_underwater"),
+    )

@@ -209,6 +209,8 @@ GRADING_PRIORITY: list[str] = [
     "events_attribution_linear",
     "graph_triangle_count",
     "pipeline_dataset_card",
+    "events_kstest_arms",
+    "win_max_drawdown",
 ]
 
 
