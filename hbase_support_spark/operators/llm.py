@@ -3880,3 +3880,109 @@ def pipeline_dataset_card(spark, sf_dir):
         F.round(F.median(F.col("n_chars").cast("double")), 6).alias("p50_chars"),
         F.round(F.sum("n_toks") * 1.0 / F.count("*"), 6).alias("avg_tokens"),
     )
+
+
+@register(
+    "sim_ivf_recall_report",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id = 7),
+    exact AS (
+      SELECT e.vec_id FROM embeddings e, q, range(1, 65) r(i)
+      WHERE e.vec_id <> 7
+      GROUP BY e.vec_id
+      ORDER BY ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) DESC, e.vec_id
+      LIMIT 5
+    ),
+    p1 AS (
+      SELECT e.vec_id FROM embeddings e JOIN q ON e.label = q.qlabel,
+             range(1, 65) r(i)
+      WHERE e.vec_id <> 7
+      GROUP BY e.vec_id
+      ORDER BY ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) DESC, e.vec_id
+      LIMIT 5
+    ),
+    cent AS (
+      SELECT label, r.i AS i, AVG(CAST(embedding[r.i] AS DOUBLE)) AS c
+      FROM embeddings, range(1, 65) r(i) WHERE vec_id <> 7 GROUP BY label, r.i
+    ),
+    cscore AS (
+      SELECT c.label,
+             ROUND(SUM(c.c * CAST(q.qv[c.i] AS DOUBLE)) /
+                   (SQRT(SUM(c.c * c.c)) *
+                    SQRT(SUM(CAST(q.qv[c.i] AS DOUBLE) * CAST(q.qv[c.i] AS DOUBLE)))), 6)
+               AS score
+      FROM cent c, q GROUP BY c.label
+    ),
+    probe AS (SELECT label FROM cscore ORDER BY score DESC, label LIMIT 2),
+    p2 AS (
+      SELECT e.vec_id FROM embeddings e JOIN probe p ON e.label = p.label,
+             q, range(1, 65) r(i)
+      WHERE e.vec_id <> 7
+      GROUP BY e.vec_id
+      ORDER BY ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) DESC, e.vec_id
+      LIMIT 5
+    )
+    SELECT 5 AS k,
+           (SELECT COUNT(*) FROM exact WHERE vec_id IN (SELECT vec_id FROM p1))
+             AS hits_nprobe1,
+           (SELECT COUNT(*) FROM exact WHERE vec_id IN (SELECT vec_id FROM p2))
+             AS hits_nprobe2,
+           ROUND((SELECT COUNT(*) FROM exact
+                  WHERE vec_id IN (SELECT vec_id FROM p1)) / 5.0, 6)
+             AS recall_nprobe1,
+           ROUND((SELECT COUNT(*) FROM exact
+                  WHERE vec_id IN (SELECT vec_id FROM p2)) / 5.0, 6)
+             AS recall_nprobe2
+    """,
+)
+def sim_ivf_recall_report(spark, sf_dir):
+    """ANN index-quality evaluation — recall@5 of the IVF probe
+    paths against exact brute force, the measurement every ANN
+    deployment runs before trusting an index (and the number the
+    nprobe knob is tuned against). Composes the existing kernels
+    UNCHANGED: exact top-5 (map-only brute force), nprobe=1
+    (`sim_knn_ivf`), nprobe=2 multiprobe (`sim_knn_ivf_multiprobe`),
+    then two broadcast semi-joins count the overlap — so the report
+    measures precisely the plans users run, not a reimplementation.
+    Exact counts, one deterministic division each. Scale: the
+    candidate sets are k rows (broadcast); the dominant cost is the
+    exact pass, which is the point of the measurement — run it on a
+    sampled query set offline, the way recall audits are actually
+    scheduled.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    exact = (
+        e.filter(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(5)
+        .select("vec_id")
+    )
+    p1 = sim_knn_ivf(spark, sf_dir).select("vec_id")
+    p2 = sim_knn_ivf_multiprobe(spark, sf_dir).select("vec_id")
+    h1 = exact.join(F.broadcast(p1), "vec_id", "left_semi").agg(
+        F.count("*").alias("hits_nprobe1")
+    )
+    h2 = exact.join(F.broadcast(p2), "vec_id", "left_semi").agg(
+        F.count("*").alias("hits_nprobe2")
+    )
+    return (
+        h1.crossJoin(h2)
+        .select(
+            F.lit(5).alias("k"),
+            "hits_nprobe1",
+            "hits_nprobe2",
+            F.round(F.col("hits_nprobe1") / 5.0, 6).alias("recall_nprobe1"),
+            F.round(F.col("hits_nprobe2") / 5.0, 6).alias("recall_nprobe2"),
+        )
+    )

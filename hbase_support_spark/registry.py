@@ -211,6 +211,7 @@ GRADING_PRIORITY: list[str] = [
     "pipeline_dataset_card",
     "events_kstest_arms",
     "win_max_drawdown",
+    "sim_ivf_recall_report",
 ]
 
 
