@@ -1504,3 +1504,37 @@ def events_kstest_arms(spark, sf_dir):
             (d_stat > crit).alias("significant"),
         )
     )
+
+
+@register(
+    "agg_percentile_exact_groups",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 6) AS p50,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6) AS p95,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 6) AS p99,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_percentile_exact_groups(spark, sf_dir):
+    """EXACT per-group percentiles (p50/p95/p99 with linear
+    interpolation — the textbook continuous quantile both engines
+    implement identically) — the per-group complement of
+    `agg_quantile_exact_global`: group cardinality is bounded (a few
+    flag/status cells), so the per-group sorted aggregation is safe
+    at any fact-table size — the hash shuffle distributes GROUPS,
+    and no single group exceeds one executor's sort budget unless
+    the key itself is degenerate (then the global-rank kernel is the
+    escape hatch). ROUND(6) pins the one float the interpolation
+    produces. One partial+final sort-aggregate, no window, no join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.percentile(price, F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile(price, F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile(price, F.lit(0.99)), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )

@@ -212,6 +212,7 @@ GRADING_PRIORITY: list[str] = [
     "events_kstest_arms",
     "win_max_drawdown",
     "sim_ivf_recall_report",
+    "agg_percentile_exact_groups",
 ]
 
 
