@@ -174,3 +174,88 @@ def test_deletion_neighborhood_finds_all_distance1_pairs(strings):
             index.setdefault(key, []).append(i)
     assert sorted(got) == sorted(want), (strings, sorted(got), sorted(want))
     assert len(got) == len(set(got)), "a pair collided at more than one position"
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_drawdown_invariants(flows):
+    """Pure-python restatement of the win_max_drawdown kernel: the
+    drawdown is non-negative, bounded by peak range, zero for a
+    monotone non-decreasing curve, and equals the classic two-pass
+    definition."""
+    cum, peak, dd = 0, -(10**18), 0
+    curve = []
+    for f in flows:
+        cum += f
+        peak = max(peak, cum)
+        dd = max(dd, peak - cum)
+        curve.append(cum)
+    assert dd >= 0
+    assert dd <= max(curve) - min(curve) + max(0, max(curve) - max(curve))
+    # two-pass reference: max over i<=j of curve[i] - curve[j]
+    best, run_max = 0, -(10**18)
+    for c in curve:
+        run_max = max(run_max, c)
+        best = max(best, run_max - c)
+    assert dd == best
+    if all(f >= 0 for f in flows):
+        assert dd == 0
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_ks_cross_multiplied_d_matches_float_form(a, b):
+    """The integer cross-multiplied KS numerator equals the float
+    sup|F_a - F_b| definition (scipy-style two-sample D) up to exact
+    rational arithmetic."""
+    import fractions
+
+    na, nb = len(a), len(b)
+    values = sorted(set(a) | set(b))
+    d_num = 0
+    d_frac = fractions.Fraction(0)
+    ca = cb = 0
+    for x in values:
+        ca += sum(1 for v in a if v == x)
+        cb += sum(1 for v in b if v == x)
+        d_num = max(d_num, abs(ca * nb - cb * na))
+        d_frac = max(
+            d_frac,
+            abs(
+                fractions.Fraction(ca, na) - fractions.Fraction(cb, nb)
+            ),
+        )
+    assert fractions.Fraction(d_num, na * nb) == d_frac
+
+
+@given(st.integers(min_value=0, max_value=400), st.integers(min_value=1, max_value=64))
+@settings(max_examples=300, deadline=None)
+def test_chunk_count_formula_covers_all_tokens(n, stride):
+    """ceil((n - overlap)/stride) chunks of width stride+overlap
+    starting at i*stride cover [0, n) exactly (overlap fixed at
+    stride//3 to vary geometry)."""
+    import math
+
+    overlap = stride // 3
+    width = stride + overlap
+    nc = max(1, math.ceil((n - overlap) / stride))
+    covered = set()
+    for i in range(nc):
+        s = i * stride
+        covered.update(range(s, min(s + width, n)))
+    assert covered == set(range(n))
+    # no fully-redundant trailing chunk: the last chunk adds tokens
+    # (or the doc fits in one chunk)
+    if nc > 1:
+        last = (nc - 1) * stride
+        assert last < n
