@@ -89,6 +89,63 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def register_semantic_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the HBase-semantic layer as SQL views on top of the
+    raw tables, so plain ``spark.sql`` users get the cell-model verbs
+    without the DataFrame API: ``cells_latest`` (newest cell per
+    rowkey/qualifier — the default Get/Scan read), ``cells_live``
+    (tombstone-merged puts, `tombstone_merge` semantics),
+    ``sessions_30m`` (native session_window sessionization), and
+    ``doc_tokens`` (the exploded token stream every text operator
+    builds on). Views are lazy — predicates and projections written
+    against them push straight through to the parquet scans.
+    Equivalence with the graded kernels is asserted in
+    tests/test_sql_api.py."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW cells_latest AS
+        SELECT user_id, event_type,
+               max_by(value, struct(ts, event_id)) AS latest_value,
+               max(ts) AS latest_ts
+        FROM events GROUP BY user_id, event_type
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW cells_live AS
+        SELECT e.event_id, e.user_id, e.event_type, e.ts, e.value
+        FROM events e
+        LEFT JOIN (SELECT user_id, MAX(ts) AS del_ts FROM events
+                   WHERE event_type = 'error' GROUP BY user_id) d
+          ON e.user_id = d.user_id
+        WHERE e.event_type <> 'error'
+          AND (d.del_ts IS NULL OR e.ts > d.del_ts)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW sessions_30m AS
+        SELECT user_id,
+               session_window(ts, '30 minutes').start AS session_start,
+               session_window(ts, '30 minutes').end AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS session_value
+        FROM events
+        GROUP BY user_id, session_window(ts, '30 minutes')
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW doc_tokens AS
+        SELECT doc_id, lang, source, pos, word
+        FROM documents
+        LATERAL VIEW posexplode(
+          filter(split(lower(text), ' '), w -> w <> '')) t AS pos, word
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # File interchange (Export/ImportTsv analogs — SURVEY.md §2.1)
 # --------------------------------------------------------------------------
