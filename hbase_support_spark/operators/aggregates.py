@@ -1538,3 +1538,85 @@ def agg_percentile_exact_groups(spark, sf_dir):
         F.round(F.percentile(price, F.lit(0.99)), 6).alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "table_expectations_report",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) - COUNT(o_custkey) AS custkey_nulls,
+             COUNT(DISTINCT o_orderkey) AS orderkey_distinct,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nonpositive_price,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                             OR o_orderdate >= TIMESTAMP '1999-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS date_out_of_range,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                       ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority
+      FROM orders)
+    SELECT e.expectation, e.violations, e.violations = 0 AS passed
+    FROM m, LATERAL (VALUES
+      ('o_custkey_not_null', m.custkey_nulls),
+      ('o_orderkey_unique', m.n - m.orderkey_distinct),
+      ('o_totalprice_positive', m.nonpositive_price),
+      ('o_orderdate_in_range', m.date_out_of_range),
+      ('o_orderpriority_in_domain', m.bad_priority)
+    ) AS e(expectation, violations)
+    """,
+)
+def table_expectations_report(spark, sf_dir):
+    """Data-contract gate — the expectations suite an ingest job runs
+    before publishing a table (the pattern tools like Great
+    Expectations/dbt tests ship): not-null, uniqueness, range, and
+    domain checks, each reported as (expectation, violation count,
+    passed). ONE scan computes every check in a single partial+final
+    aggregate (uniqueness = rows minus distinct keys, the only
+    distinct agg); stack() pivots the 1-row measure block into one
+    row per expectation — the same one-pass shape as
+    `table_profile_stats`, but with verdicts instead of stats. At
+    100 TB the gate costs exactly one table scan regardless of how
+    many expectations it carries, and a failing row carries the
+    violation count the on-call needs first.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count("o_custkey")).alias("custkey_nulls"),
+        F.countDistinct("o_orderkey").alias("orderkey_distinct"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nonpositive_price"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("date_out_of_range"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderpriority").isin(
+                    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_priority"),
+    )
+    rep = m.selectExpr(
+        "stack(5,"
+        " 'o_custkey_not_null', custkey_nulls,"
+        " 'o_orderkey_unique', n - orderkey_distinct,"
+        " 'o_totalprice_positive', nonpositive_price,"
+        " 'o_orderdate_in_range', date_out_of_range,"
+        " 'o_orderpriority_in_domain', bad_priority"
+        ") AS (expectation, violations)"
+    )
+    return rep.select(
+        "expectation", "violations", (F.col("violations") == 0).alias("passed")
+    )

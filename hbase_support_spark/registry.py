@@ -213,6 +213,7 @@ GRADING_PRIORITY: list[str] = [
     "win_max_drawdown",
     "sim_ivf_recall_report",
     "agg_percentile_exact_groups",
+    "table_expectations_report",
 ]
 
 
