@@ -402,3 +402,62 @@ def multimodal_resize_thumb(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(resize, _THUMB_SCHEMA)
+
+
+_FEAT_DIM = 8
+
+_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=f"""
+    SELECT doc_id,
+           list_transform(range(0, {_FEAT_DIM}), i ->
+             ROUND(CAST(CAST('0x' || substring(
+                     md5(text || '|' || CAST(i AS VARCHAR)), 1, 8)
+                   AS BIGINT) AS DOUBLE) / 4294967296.0, 6)) AS feature
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark, sf_dir):
+    """Multimodal FEATURE-EXTRACT plumbing — the embed step of the
+    decode -> feature-extract -> resize -> frame-sample verb chain
+    (SURVEY §2.9 mandate): an opaque payload goes in, a typed
+    fixed-width float vector comes out, per Arrow batch via
+    mapInPandas. The extractor is the marked stub (a real deployment
+    calls its vision/audio encoder in this same closure — those
+    models aren't in this container); the stub derives each of the 8
+    dims from an md5 of (payload, dim) so the output is a genuine
+    deterministic array<double> column the downstream similarity
+    operators (`sim_knn_*`, `dedup_embedding_cosine`) consume
+    unchanged, and the oracle restates the identical hash-to-unit-
+    interval arithmetic. Map-only; the Arrow batch bounds worker
+    memory; at scale this is the GPU-batcher seam (batch size =
+    Arrow batch size).
+    """
+    import hashlib
+
+    dim = _FEAT_DIM
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (see multimodal_decode_meta NOTE)
+        def feat(text: str) -> list[float]:
+            out = []
+            for i in range(dim):
+                h = hashlib.md5(f"{text}|{i}".encode("utf-8")).hexdigest()
+                out.append(round(int(h[:8], 16) / 4294967296.0, 6))
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "feature": [feat(t) for t in pdf["text"]]}
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(extract, _FEAT_SCHEMA)

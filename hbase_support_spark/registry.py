@@ -214,6 +214,7 @@ GRADING_PRIORITY: list[str] = [
     "sim_ivf_recall_report",
     "agg_percentile_exact_groups",
     "table_expectations_report",
+    "multimodal_feature_extract",
 ]
 
 
