@@ -215,6 +215,7 @@ GRADING_PRIORITY: list[str] = [
     "agg_percentile_exact_groups",
     "table_expectations_report",
     "multimodal_feature_extract",
+    "merge_into_txlog",
 ]
 
 
