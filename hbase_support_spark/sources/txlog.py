@@ -230,3 +230,50 @@ def txlog_delete(spark: SparkSession, table_dir: str, predicate: str) -> int:
         },
     )
     return new_version
+
+
+def txlog_compact(spark: SparkSession, table_dir: str, target_files: int = 4) -> int:
+    """OPTIMIZE: rewrite the current version's data into
+    ``target_files`` larger files and commit the rewrite as a new
+    version — content-identical by construction (the commit is just a
+    new manifest; readers pinned to older versions are untouched).
+    The small-files problem is the streaming-ingest tax every format
+    pays; this is the scheduled job that pays it back."""
+    versions = txlog_versions(table_dir)
+    parent = versions[-1]
+    cur = spark.read.parquet(*_read_manifest(table_dir, parent)["files"])
+    new_version = parent + 1
+    new_files = _write_data(cur.coalesce(target_files), table_dir, new_version)
+    _commit(
+        table_dir,
+        new_version,
+        {
+            "version": new_version,
+            "parent": parent,
+            "op": "compact",
+            "files": new_files,
+        },
+    )
+    return new_version
+
+
+def txlog_vacuum(table_dir: str, keep_versions: int = 2) -> dict:
+    """GC: delete data files referenced ONLY by manifests older than
+    the ``keep_versions`` most recent, then drop those manifests.
+    Time travel keeps working within the retention window; storage
+    stops growing without bound. Immutability makes this safe: a
+    file still referenced by ANY kept manifest is never touched."""
+    versions = txlog_versions(table_dir)
+    keep = versions[-keep_versions:]
+    drop = [v for v in versions if v not in keep]
+    kept_files = set()
+    for v in keep:
+        kept_files.update(_read_manifest(table_dir, v)["files"])
+    removed = []
+    for v in drop:
+        for f in _read_manifest(table_dir, v)["files"]:
+            if f not in kept_files and os.path.exists(f):
+                os.unlink(f)
+                removed.append(f)
+        os.unlink(_manifest_path(table_dir, v))
+    return {"removed_files": sorted(removed), "dropped_versions": drop}

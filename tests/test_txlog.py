@@ -113,3 +113,39 @@ def test_concurrent_commit_conflict(spark, sf_dir, table):
     # and a merge retried from a FRESH read commits cleanly as v3
     delta = load_table(spark, sf_dir, "orders").limit(1)
     assert txlog_merge(spark, table, delta, "o_orderkey") == 3
+
+
+def test_compact_is_content_identical_and_versioned(spark, sf_dir, table):
+    from hbase_support_spark.sources.txlog import _read_manifest, txlog_compact
+
+    before = txlog_read(spark, table)
+    n, tot = before.count(), before.agg(F.sum("o_totalprice")).collect()[0][0]
+    v2 = txlog_compact(spark, table, target_files=2)
+    assert v2 == 2
+    after = txlog_read(spark, table)
+    assert after.count() == n
+    assert after.agg(F.sum("o_totalprice")).collect()[0][0] == pytest.approx(tot, rel=1e-12)
+    assert len(_read_manifest(table, 2)["files"]) <= 2
+    assert txlog_read(spark, table, version=1).count() == n  # old pin intact
+
+
+def test_vacuum_keeps_recent_drops_old(spark, sf_dir, table):
+    import os
+
+    from hbase_support_spark.sources.txlog import (
+        _read_manifest,
+        txlog_compact,
+        txlog_vacuum,
+    )
+
+    txlog_compact(spark, table, target_files=2)   # v2 (new files)
+    txlog_delete(spark, table, "o_orderkey % 2 = 0")  # v3
+    v1_files = _read_manifest(table, 1)["files"]
+    n_now = txlog_read(spark, table).count()
+    out = txlog_vacuum(table, keep_versions=2)
+    assert out["dropped_versions"] == [1]
+    # v1's files were unreferenced by v2/v3 (compact rewrote them) -> gone
+    assert all(not os.path.exists(f) for f in v1_files)
+    assert txlog_versions(table) == [2, 3]
+    assert txlog_read(spark, table).count() == n_now  # latest unaffected
+    assert txlog_read(spark, table, version=2).count()  # kept pin readable
