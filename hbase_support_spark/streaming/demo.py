@@ -617,3 +617,49 @@ def run_attribution_state_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY channel HAVING SUM(n) > 0
         """
     )
+
+
+def run_stream_txlog_sink_demo(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Streaming sink with TRANSACTIONAL commits: each micro-batch of
+    per-user counters lands as one txlog MERGE (sources/txlog.py) —
+    an atomic manifest commit per batch, so readers concurrent with
+    the stream always see a consistent version, failed batches leave
+    no partial state behind, and the table's version history IS the
+    stream's commit log (time travel = replay audit). This is the
+    manifest-commit upgrade of run_stream_upsert_demo's directory
+    MERGE — the exactly-once sink story table formats exist for.
+    Returns the final table state (latest version)."""
+    import os as _os
+
+    from ..sources.txlog import txlog_init, txlog_merge, txlog_read, txlog_versions
+
+    ensure_confs(spark)
+    target = _os.path.join(work_dir, "user_counters_tx")
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "event_id")
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(F.count("*").alias("event_cnt"))
+        if not txlog_versions(target):
+            txlog_init(delta, target)
+            return
+        existing = txlog_read(ss, target)
+        merged = (
+            delta.alias("d")
+            .join(existing.alias("e"), "user_id", "left")
+            .select(
+                "user_id",
+                (
+                    F.coalesce(F.col("e.event_cnt"), F.lit(0))
+                    + F.col("d.event_cnt")
+                ).alias("event_cnt"),
+            )
+        )
+        txlog_merge(ss, target, merged, "user_id")
+
+    q = ev.writeStream.foreachBatch(commit_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return txlog_read(spark, target)

@@ -201,3 +201,28 @@ def test_attribution_state_matches_batch(spark, sf_dir):
         for r in events_attribution_last_touch(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_txlog_sink_matches_batch(spark, sf_dir, tmp_path):
+    """The transactional streaming sink's final state equals the
+    batch per-user counts, and every micro-batch left a committed
+    version in the log."""
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.sources.txlog import txlog_history
+    from hbase_support_spark.streaming.demo import run_stream_txlog_sink_demo
+
+    out = run_stream_txlog_sink_demo(spark, sf_dir, str(tmp_path))
+    got = {r["user_id"]: r["event_cnt"] for r in out.collect()}
+    want = {
+        r["user_id"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+    hist = txlog_history(str(tmp_path / "user_counters_tx"))
+    assert hist[0]["op"] == "init"
+    assert all(h["op"] in ("init", "merge") for h in hist)
