@@ -36,18 +36,20 @@ def register(name: str, oracle: str | None = None):
 # green rows accumulate across rounds while each round's window is
 # spent only on never-green queries.
 #
-# This list is the COMPLETE schedule for the 116 queries never green
-# after round 2, in three blocks (two-round completion plan):
+# This list is the COMPLETE schedule for every query never green
+# after round 2 (116 then; the round-3 build added ~44 more at the
+# tail), in blocks (three-round completion plan):
 #   round 3 (slots 1-50): the 19 kind-cast fixes + ADVICE-touched +
 #     judge-named high-value rows + one representative per remaining
-#     family — grading these pushes the union to ~144/210.
+#     family — grading these pushes the union to ~144/254.
 #   round 4 (next 50): TPC-H variants and events analytics (per
 #     VERDICT r02 item 4), then remaining LLM-pipeline ops.
-#   round 5 (last 16 + the 14 round-3 additions at the list tail):
-#     the remainder; after it every query has a driver verdict.
-#     Names already green simply drop out of the head via
-#     _reorder(), so the schedule self-heals if a round grades more
-#     or fewer than 50.
+#   rounds 5-6 (remainder): the round-5 block, then the round-3
+#     additions at the list tail (early additions first, the late
+#     ones — attribution/feature-store/txlog/etc. — last); after
+#     them every query has a driver verdict. Names already green
+#     simply drop out of the head via _reorder(), so the schedule
+#     self-heals if a round grades more or fewer than 50.
 GRADING_PRIORITY: list[str] = [
     # ---- round-3 window, slots 1-19: the 19 kind-cast fixes (r02 FAILs first)
     "sim_lsh_hyperplane",
