@@ -277,3 +277,82 @@ def txlog_vacuum(table_dir: str, keep_versions: int = 2) -> dict:
                 removed.append(f)
         os.unlink(_manifest_path(table_dir, v))
     return {"removed_files": sorted(removed), "dropped_versions": drop}
+
+
+def txlog_collect_stats(
+    spark: SparkSession, table_dir: str, key: str
+) -> int:
+    """Attach per-file (min, max) statistics on ``key`` to the
+    CURRENT manifest, committed as a new version (op 'stats') — the
+    data-skipping half of a table format (Delta file stats /
+    HBase's region key-range metadata). One aggregate over
+    input_file_name() computes every file's bounds in a single scan;
+    thereafter `txlog_scan` prunes the file LIST on the driver
+    before Spark ever opens a file."""
+    versions = txlog_versions(table_dir)
+    parent = versions[-1]
+    manifest = _read_manifest(table_dir, parent)
+    files = manifest["files"]
+    rows = (
+        spark.read.parquet(*files)
+        .select(F.col(key), F.input_file_name().alias("_file"))
+        .groupBy("_file")
+        .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+        .collect()
+    )  # one row per file — metadata-scale
+    by_file = {}
+    for r in rows:
+        f = r["_file"].removeprefix("file://")
+        f = f.removeprefix("file:")
+        by_file[f] = [r["lo"], r["hi"]]
+    new_version = parent + 1
+    _commit(
+        table_dir,
+        new_version,
+        {
+            "version": new_version,
+            "parent": parent,
+            "op": "stats",
+            "files": files,
+            "stats_key": key,
+            "stats": {f: by_file.get(f) for f in files},
+        },
+    )
+    return new_version
+
+
+def txlog_scan(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Range scan with manifest-level file skipping: files whose
+    [min, max] on ``key`` cannot intersect [lo, hi) are dropped from
+    the read BEFORE Spark opens anything — the same pruning a sorted
+    HBase table gets from region key ranges, done on the driver from
+    manifest stats. Falls back to all files when stats are absent.
+    Returns (DataFrame, {files_total, files_read}) so callers — and
+    tests — can see the skip rate. The residual filter still applies
+    (stats prune files, not rows)."""
+    versions = txlog_versions(table_dir)
+    v = version if version is not None else versions[-1]
+    manifest = _read_manifest(table_dir, v)
+    files = manifest["files"]
+    stats = manifest.get("stats") if manifest.get("stats_key") == key else None
+    if stats:
+        keep = [
+            f
+            for f in files
+            if stats.get(f) is None or not (stats[f][1] < lo or stats[f][0] >= hi)
+        ]
+    else:
+        keep = files
+    df = (
+        spark.read.parquet(*keep).filter((F.col(key) >= lo) & (F.col(key) < hi))
+        if keep
+        else spark.read.parquet(*files).filter(F.lit(False))
+    )
+    return df, {"files_total": len(files), "files_read": len(keep)}

@@ -149,3 +149,28 @@ def test_vacuum_keeps_recent_drops_old(spark, sf_dir, table):
     assert txlog_versions(table) == [2, 3]
     assert txlog_read(spark, table).count() == n_now  # latest unaffected
     assert txlog_read(spark, table, version=2).count()  # kept pin readable
+
+
+def test_stats_commit_and_file_skipping_scan(spark, sf_dir, table):
+    from hbase_support_spark.sources.txlog import (
+        txlog_collect_stats,
+        txlog_scan,
+    )
+
+    v2 = txlog_collect_stats(spark, table, "o_orderkey")
+    assert v2 == 2
+    full = txlog_read(spark, table)
+    lo_key = full.agg(F.min("o_orderkey")).collect()[0][0]
+    hi = lo_key + 50
+    df, meta = txlog_scan(spark, table, "o_orderkey", lo_key, hi)
+    # the 8 range-partitioned files mean a narrow range hits few files
+    assert meta["files_total"] == 8
+    assert meta["files_read"] < meta["files_total"]
+    want = full.filter(
+        (F.col("o_orderkey") >= lo_key) & (F.col("o_orderkey") < hi)
+    ).count()
+    assert df.count() == want
+    # stats survive pinning: the un-statsed v1 still scans everything
+    df1, meta1 = txlog_scan(spark, table, "o_orderkey", lo_key, hi, version=1)
+    assert meta1["files_read"] == meta1["files_total"]
+    assert df1.count() == want
