@@ -1620,3 +1620,77 @@ def table_expectations_report(spark, sf_dir):
     return rep.select(
         "expectation", "violations", (F.col("violations") == 0).alias("passed")
     )
+
+
+@register(
+    "events_power_analysis_mde",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT {_D_ABH} % 2 AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       > 13 THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_a
+      FROM per_user)
+    SELECT n_a, n_b,
+           ROUND(conv_a * 1.0 / n_a, 6) AS base_rate,
+           ROUND((1.959964 + 0.841621) *
+                 SQRT(2.0 * (conv_a * 1.0 / n_a) * (1 - conv_a * 1.0 / n_a)
+                      / LEAST(n_a, n_b)), 6) AS mde_abs,
+           ROUND((1.959964 + 0.841621) *
+                 SQRT(2.0 * (conv_a * 1.0 / n_a) * (1 - conv_a * 1.0 / n_a)
+                      / LEAST(n_a, n_b)) / (conv_a * 1.0 / n_a), 6) AS mde_rel,
+           CAST(CEIL(POWER(1.959964 + 0.841621, 2) * 2.0
+                     * (conv_a * 1.0 / n_a) * (1 - conv_a * 1.0 / n_a)
+                     / POWER(0.1 * conv_a * 1.0 / n_a, 2)) AS BIGINT)
+             AS n_required_10pct
+    FROM arms
+    """,
+)
+def events_power_analysis_mde(spark, sf_dir):
+    """Experiment POWER analysis — the question asked before the
+    z-test is ever run: with the arms we have, what's the smallest
+    absolute/relative conversion lift this experiment can detect at
+    alpha=0.05 / 80% power, and how many users per arm would a 10%
+    relative lift need? Closed-form two-proportion formulas over the
+    same hash-assigned arms as `events_abtest_ztest` (control rate
+    from arm 0; conservative n = smaller arm). Everything reduces to
+    three exact integers before any float; the z-quantiles are
+    shared literals, every derived float is one deterministic
+    expression, ROUND(6) for display. Completes the experimentation
+    suite: power -> z-test -> KS -> delta-CI -> CUPED. One user-keyed
+    agg + a 1-row reduce — scanning 100 TB for a sizing readout costs
+    one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) > 13, 1
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select((F.expr(_ABH) % 2).alias("arm"), "converted")
+    arms = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+    )
+    z = 1.959964 + 0.841621
+    p = F.col("conv_a") * 1.0 / F.col("n_a")
+    mde_abs = z * F.sqrt(2.0 * p * (1 - p) / F.least("n_a", "n_b"))
+    n_req = F.ceil(
+        F.lit(z) * z * 2.0 * p * (1 - p) / F.pow(0.1 * p, F.lit(2))
+    ).cast("bigint")
+    return arms.select(
+        "n_a",
+        "n_b",
+        F.round(p, 6).alias("base_rate"),
+        F.round(mde_abs, 6).alias("mde_abs"),
+        F.round(mde_abs / p, 6).alias("mde_rel"),
+        n_req.alias("n_required_10pct"),
+    )

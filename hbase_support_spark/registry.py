@@ -218,6 +218,7 @@ GRADING_PRIORITY: list[str] = [
     "table_expectations_report",
     "multimodal_feature_extract",
     "merge_into_txlog",
+    "events_power_analysis_mde",
 ]
 
 
