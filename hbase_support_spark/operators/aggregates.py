@@ -1694,3 +1694,105 @@ def events_power_analysis_mde(spark, sf_dir):
         F.round(mde_abs / p, 6).alias("mde_rel"),
         n_req.alias("n_required_10pct"),
     )
+
+
+_BOOT_B = 128  # resamples
+# Poisson(1) CDF quantized to 1/1000: P(X<=k) ~ .368 .736 .920 .981 .996
+_BOOT_W = "CASE WHEN k < 368 THEN 0 WHEN k < 736 THEN 1 WHEN k < 920 THEN 2 WHEN k < 981 THEN 3 WHEN k < 996 THEN 4 ELSE 5 END"
+
+
+@register(
+    "agg_bootstrap_ci_mean",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0)
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id),
+    pt AS (SELECT SUM(cents) * 1.0 / COUNT(*) AS point_mean FROM per_user),
+    weighted AS (
+      SELECT b.b, {_BOOT_W.replace('k', "({h} % 1000)")} AS w, u.cents
+      FROM per_user u, range(0, {_BOOT_B}) b(b)),
+    means AS (
+      SELECT b, SUM(w * cents) * 1.0 / SUM(w) AS m
+      FROM weighted GROUP BY b HAVING SUM(w) > 0),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r, COUNT(*) OVER () AS nb
+      FROM means)
+    SELECT CAST({_BOOT_B} AS INT) AS b_resamples,
+           ROUND((SELECT point_mean FROM pt) / 100.0, 6) AS point_mean,
+           ROUND(MIN(CASE WHEN r = CAST(CEIL(0.025 * nb) AS BIGINT)
+                          THEN m END) / 100.0, 6) AS ci_lo,
+           ROUND(MIN(CASE WHEN r = CAST(CEIL(0.975 * nb) AS BIGINT)
+                          THEN m END) / 100.0, 6) AS ci_hi
+    FROM ranked
+    """.replace(
+        "{h}",
+        "CAST('0x' || substring(md5('boot|' || CAST(b.b AS VARCHAR) || '|' "
+        "|| CAST(u.user_id AS VARCHAR)), 1, 15) AS BIGINT)",
+    ),
+)
+def agg_bootstrap_ci_mean(spark, sf_dir):
+    """Bootstrap confidence interval for mean revenue per user —
+    WITHOUT randomness: the Poisson bootstrap (the standard
+    big-data resampling scheme — each unit's per-resample weight is
+    Poisson(1), so no resample ever needs a global shuffle), with
+    the Poisson draw replaced by a portable-hash quantile lookup
+    (md5-h60 of (resample, user) against the quantized Poisson CDF).
+    Same draws on every engine/run/partitioning — a bootstrap that
+    hash-grades. Exactness: weighted sums are BIGINT cents, each
+    resample mean is one division, and the percentile CI is exact
+    rank selection over the B=128-row means frame (the unpartitioned
+    window sits above an Aggregate — metadata-scale). Scale shape:
+    one user-keyed agg, a B-way explode feeding a partial+final agg
+    on b (the explode multiplies the USER frame, not raw events;
+    at extreme user counts sub-sample users first or fold b into
+    the per-user projection as B weight columns)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0))
+        .cast("bigint")
+        .alias("cents")
+    )
+    pt = per_user.agg(
+        (F.sum("cents") * 1.0 / F.count("*")).alias("point_mean")
+    )
+    h = _h_abh("concat('boot|', cast(b AS string), '|', cast(user_id AS string))")
+    weighted = per_user.select(
+        "user_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).selectExpr("b", "cents", f"{_BOOT_W.replace('k', f'(({h}) % 1000)')} AS w")
+    from pyspark.sql import Window
+
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("sw"),
+            F.sum("w").alias("tw"),
+        )
+        .filter(F.col("tw") > 0)
+        .select((F.col("sw") * 1.0 / F.col("tw")).alias("m"))
+    )
+    w_all = Window.partitionBy()
+    ranked = means.select(
+        "m",
+        F.row_number().over(Window.orderBy("m")).alias("r"),
+        F.count("*").over(w_all).alias("nb"),
+    )
+    sel = ranked.agg(
+        F.min(
+            F.when(F.col("r") == F.ceil(0.025 * F.col("nb")).cast("int"), F.col("m"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("r") == F.ceil(0.975 * F.col("nb")).cast("int"), F.col("m"))
+        ).alias("hi"),
+    )
+    return sel.crossJoin(F.broadcast(pt)).select(
+        F.lit(_BOOT_B).alias("b_resamples"),
+        F.round(F.col("point_mean") / 100.0, 6).alias("point_mean"),
+        F.round(F.col("lo") / 100.0, 6).alias("ci_lo"),
+        F.round(F.col("hi") / 100.0, 6).alias("ci_hi"),
+    )

@@ -219,6 +219,7 @@ GRADING_PRIORITY: list[str] = [
     "multimodal_feature_extract",
     "merge_into_txlog",
     "events_power_analysis_mde",
+    "agg_bootstrap_ci_mean",
 ]
 
 
