@@ -112,10 +112,12 @@ def test_queries_survive_empty_fixtures(spark, sf_dir, tmp_path):
         "as_of_join_nearest", "dedup_substring_spans", "join_bucketed_colocated",
         "join_er_fuzzy_string", "events_rfm_segmentation",
         "graph_pagerank_bipartite", "basket_copurchase_lift",
-        # late round-3 additions (all 12 re-swept clean over empties)
+        # late round-3 additions (all 21 re-swept clean over empties)
         "pipeline_chunk_sliding", "events_attribution_linear",
         "agg_quantile_exact_global", "graph_triangle_count",
         "events_feature_pit_join", "pipeline_dataset_card",
+        "events_kstest_arms", "win_max_drawdown",
+        "merge_into_txlog", "agg_bootstrap_ci_mean",
     ]
     for name in reps:
         QUERIES[name](spark, dst).write.format("noop").mode("overwrite").save()
