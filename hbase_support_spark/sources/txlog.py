@@ -125,7 +125,11 @@ def txlog_read(
     if not versions:
         raise FileNotFoundError(f"no txlog at {table_dir}")
     v = version if version is not None else versions[-1]
-    return spark.read.parquet(*_read_manifest(table_dir, v)["files"])
+    # mergeSchema: commits may widen the schema (see txlog_merge);
+    # files written before the widening lack the new columns
+    return spark.read.option("mergeSchema", "true").parquet(
+        *_read_manifest(table_dir, v)["files"]
+    )
 
 
 def txlog_history(table_dir: str) -> list[dict]:
@@ -178,7 +182,12 @@ def txlog_merge(
         if touched
         else None
     )
-    out = src if survivors is None else survivors.unionByName(src)
+    out = (
+        src
+        if survivors is None
+        else survivors.unionByName(src, allowMissingColumns=True)
+    )  # schema evolution: a source with NEW columns widens the table
+       # (survivors get nulls); a source missing columns inserts nulls
     new_version = parent + 1
     new_files = _write_data(out, table_dir, new_version)
     _commit(

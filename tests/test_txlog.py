@@ -174,3 +174,33 @@ def test_stats_commit_and_file_skipping_scan(spark, sf_dir, table):
     df1, meta1 = txlog_scan(spark, table, "o_orderkey", lo_key, hi, version=1)
     assert meta1["files_read"] == meta1["files_total"]
     assert df1.count() == want
+
+
+def test_merge_schema_evolution_widens_table(spark, sf_dir, table):
+    """A merge whose source carries a NEW column widens the table:
+    old rows read as null, the pinned v1 is untouched, and a later
+    plain merge keeps the widened schema."""
+    orders = load_table(spark, sf_dir, "orders")
+    delta = (
+        orders.limit(4)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("discount", F.lit(0.15))
+    )
+    # project table columns + new one (source defines the widening)
+    src = delta.join(
+        orders.drop("o_totalprice"), "o_orderkey"
+    ).select(*orders.columns, "discount")
+    txlog_merge(spark, table, src, "o_orderkey")
+    cur = txlog_read(spark, table)
+    assert "discount" in cur.columns
+    assert cur.filter(F.col("discount").isNotNull()).count() == 4
+    assert cur.count() == orders.count()
+    assert "discount" not in txlog_read(spark, table, version=1).columns
+    # plain (un-widened) merge afterwards still works
+    more = orders.limit(1).withColumn(
+        "o_orderkey", F.lit(77_000_000).cast("long")
+    )
+    txlog_merge(spark, table, more, "o_orderkey")
+    final = txlog_read(spark, table)
+    assert final.count() == orders.count() + 1
+    assert "discount" in final.columns
