@@ -3986,3 +3986,85 @@ def sim_ivf_recall_report(spark, sf_dir):
             F.round(F.col("hits_nprobe2") / 5.0, 6).alias("recall_nprobe2"),
         )
     )
+
+
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "sim_users_behavioral",
+    oracle=f"""
+    WITH prof AS (
+      SELECT user_id,
+             {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{t}" for t in _ETYPES)},
+             COUNT(*) AS n
+      FROM events GROUP BY user_id),
+    vec AS (
+      SELECT user_id,
+             {", ".join(f"c_{t} * 1.0 / n AS p_{t}" for t in _ETYPES)},
+             CASE {" ".join(f"WHEN c_{t} >= GREATEST({', '.join('c_' + u for u in _ETYPES)}) THEN '{t}'" for t in _ETYPES)} END AS block
+      FROM prof),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             ROUND(({" + ".join(f"a.p_{t} * b.p_{t}" for t in _ETYPES)}) /
+                   (SQRT({" + ".join(f"a.p_{t} * a.p_{t}" for t in _ETYPES)}) *
+                    SQRT({" + ".join(f"b.p_{t} * b.p_{t}" for t in _ETYPES)})), 6)
+               AS cos_sim
+      FROM vec a JOIN vec b
+        ON a.block = b.block AND a.user_id < b.user_id)
+    SELECT user_a, user_b, cos_sim
+    FROM pairs ORDER BY cos_sim DESC, user_a, user_b LIMIT 10
+    """,
+)
+def sim_users_behavioral(spark, sf_dir):
+    """User-to-user behavioral similarity — lookalike retrieval
+    WITHOUT a learned embedding: each user's event-type mix becomes
+    a 5-dim proportion vector (exact integer counts, one division
+    per dim), candidate pairs are BLOCKED on the dominant event type
+    (deterministic argmax, first-in-enum tie-break) so the pair join
+    is O(sum block^2) — the same never-all-pairs discipline as every
+    similarity op here — and cosine ranks the top lookalikes. The
+    feature-engineering twin of the embedding sims: same blocking,
+    same ROUND(6)+tie-break grading contract, features derived
+    in-engine from raw events. Scale: one user-keyed agg, a 5-block
+    self-equi-join (AQE skew-splits a dominant block), TakeOrdered.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{t}")
+            for t in _ETYPES
+        ],
+        F.count("*").alias("n"),
+    )
+    mx = F.greatest(*[F.col(f"c_{t}") for t in _ETYPES])
+    # build innermost-last so the FIRST enum entry is checked first —
+    # first-in-enum tie-break, matching the oracle's CASE order
+    block = F.lit(_ETYPES[-1])
+    for t in reversed(_ETYPES):
+        block = F.when(F.col(f"c_{t}") >= mx, t).otherwise(block)
+    vec = prof.select(
+        "user_id",
+        *[(F.col(f"c_{t}") * 1.0 / F.col("n")).alias(f"p_{t}") for t in _ETYPES],
+        block.alias("block"),
+    )
+    a, b = vec.alias("a"), vec.alias("b")
+    dot = sum(
+        (F.col(f"a.p_{t}") * F.col(f"b.p_{t}") for t in _ETYPES), F.lit(0.0)
+    )
+    na = F.sqrt(sum((F.col(f"a.p_{t}") * F.col(f"a.p_{t}") for t in _ETYPES), F.lit(0.0)))
+    nb = F.sqrt(sum((F.col(f"b.p_{t}") * F.col(f"b.p_{t}") for t in _ETYPES), F.lit(0.0)))
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.user_id") < F.col("b.user_id")),
+    ).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        F.round(dot / (na * nb), 6).alias("cos_sim"),
+    )
+    return pairs.orderBy(
+        F.col("cos_sim").desc(), "user_a", "user_b"
+    ).limit(10)

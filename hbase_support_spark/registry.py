@@ -220,6 +220,7 @@ GRADING_PRIORITY: list[str] = [
     "merge_into_txlog",
     "events_power_analysis_mde",
     "agg_bootstrap_ci_mean",
+    "sim_users_behavioral",
 ]
 
 
