@@ -587,3 +587,40 @@ def layout_region_merge_plan(spark, sf_dir):
         F.round("avg_rows", 6).alias("avg_rows"),
         ((F.col("n_a") + F.col("n_b")) < F.col("avg_rows")).alias("do_merge"),
     )
+
+
+@register(
+    "layout_bloom_point_lookup",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE user_id = 7
+    """,
+)
+def layout_bloom_point_lookup(spark, sf_dir):
+    """Parquet BLOOM FILTER layout — the HFile-bloom analog as a
+    graded roundtrip (until now this knob was only documented in
+    SCALE.md): events are rewritten with a bloom filter on user_id
+    (`parquet.bloom.filter.enabled#user_id`), then a point lookup
+    reads the bloomed layout. The oracle is the plain filter on the
+    original table — proving the layout change is result-invisible
+    while giving the scan row-group-level membership pruning that
+    min/max stats can't (user_id is uniformly spread, so every
+    row group's [min,max] contains every key; only a bloom says
+    'definitely not here'). At 100 TB this is the difference between
+    a point-Get touching every row group of every file and touching
+    ~the groups that actually hold the key — exactly why HBase
+    attaches blooms to HFiles. Write once at ingest; every later
+    point lookup benefits.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bloom_dir = os.path.join(_SCRATCH, "events_bloom")
+    (
+        ev.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "200000")
+        .parquet(bloom_dir)
+    )
+    back = spark.read.schema(ev.schema).parquet(bloom_dir)
+    return back.filter(F.col("user_id") == 7).select(
+        "event_id", "user_id", "event_type"
+    )

@@ -497,3 +497,61 @@ def win_max_drawdown(spark, sf_dir):
         .cast("bigint")
         .alias("n_underwater"),
     )
+
+
+@register(
+    "win_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) AS us
+      FROM events WHERE event_type = 'view'),
+    seg AS (
+      SELECT user_id, cents,
+             (LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us)
+               // 1000000 AS dur_s
+      FROM s)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur_s) AS BIGINT) AS total_s,
+           ROUND(SUM(cents * dur_s) * 1.0 / SUM(dur_s) / 100.0, 6) AS twap
+    FROM seg
+    WHERE dur_s IS NOT NULL AND dur_s > 0
+    GROUP BY user_id
+    """,
+)
+def win_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (TWAP) — the correct mean for
+    irregularly-sampled state (sensor readings, prices, gauge
+    metrics): each observation's value is weighted by how long it
+    REMAINED current (gap to the next observation), so a burst of
+    samples can't drag the average the way a plain AVG does. All
+    arithmetic exact: values are integer cents, durations integer
+    whole seconds from the lead() gap (integer division of exact µs
+    — also the int64 headroom choice: cents x seconds stays ~1e11
+    per segment), one float division at the end. Zero-length
+    segments (same-second bursts) drop out; the last (open) segment
+    per user is excluded — standard TWAP windowing. One shuffle on
+    user_id feeding lead() and the per-user reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    seg = s.select(
+        "user_id",
+        "cents",
+        F.expr("(lead(us) over (partition by user_id order by us, event_id) - us)"
+               " div 1000000").alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    return seg.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum("dur_s").cast("bigint").alias("total_s"),
+        F.round(
+            F.sum(F.col("cents") * F.col("dur_s")) * 1.0 / F.sum("dur_s") / 100.0, 6
+        ).alias("twap"),
+    )

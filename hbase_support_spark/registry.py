@@ -221,6 +221,8 @@ GRADING_PRIORITY: list[str] = [
     "events_power_analysis_mde",
     "agg_bootstrap_ci_mean",
     "sim_users_behavioral",
+    "win_time_weighted_avg",
+    "layout_bloom_point_lookup",
 ]
 
 
