@@ -1796,3 +1796,109 @@ def agg_bootstrap_ci_mean(spark, sf_dir):
         F.round(F.col("lo") / 100.0, 6).alias("ci_lo"),
         F.round(F.col("hi") / 100.0, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "events_mannwhitney_arms",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT {_D_ABH} % 2 AS arm,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0)
+                  AS BIGINT) AS metric
+      FROM events GROUP BY user_id),
+    counts AS (
+      SELECT metric,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM per_user GROUP BY metric),
+    pre AS (
+      SELECT metric, ca, cb,
+             CAST(COALESCE(SUM(ca + cb) OVER (ORDER BY metric
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below
+      FROM counts),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM counts),
+    acc AS (
+      SELECT CAST(SUM(ca * (2 * below + (ca + cb) + 1)) AS BIGINT) AS r2_a,
+             CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
+               AS tie_sum
+      FROM pre)
+    SELECT tot.n_a, tot.n_b,
+           CAST(acc.r2_a - tot.n_a * (tot.n_a + 1) AS BIGINT) AS u2_a,
+           ROUND((acc.r2_a - tot.n_a * (tot.n_a + 1) - tot.n_a * tot.n_b) /
+                 (2 * SQRT(tot.n_a * tot.n_b / 12.0 *
+                           ((tot.n_a + tot.n_b + 1) - acc.tie_sum * 1.0 /
+                            ((tot.n_a + tot.n_b) * (tot.n_a + tot.n_b - 1.0))))),
+                 6) AS z,
+           (ABS((acc.r2_a - tot.n_a * (tot.n_a + 1) - tot.n_a * tot.n_b) /
+                (2 * SQRT(tot.n_a * tot.n_b / 12.0 *
+                          ((tot.n_a + tot.n_b + 1) - acc.tie_sum * 1.0 /
+                           ((tot.n_a + tot.n_b) * (tot.n_a + tot.n_b - 1.0))))))
+            > 1.959964) AS significant
+    FROM tot, acc
+    """,
+)
+def events_mannwhitney_arms(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) between the experiment
+    arms — the NONPARAMETRIC significance test a skewed revenue
+    metric actually calls for (the t/z-test assumes a mean that
+    heavy tails distort; rank tests don't). Exactness discipline:
+    tied observations get average ranks, and 2x-scaling keeps the
+    whole rank sum in integers — per distinct metric value the tied
+    group contributes ca*(2*below + t + 1) to 2*R_a (below/t are
+    exact BIGINT prefix/group counts from the same distinct-value
+    frame as the KS test, cumulated on the prefix-sum kernel) — so
+    U, its null mean, and the tie-correction sum Σ(t³-t) are all
+    integers; the normal-approximation z is ONE deterministic float
+    expression over them. Completes the experimentation suite's
+    robustness axis: z-test (means) → KS (distribution) → U (ranks)
+    → bootstrap (CI) → power (sizing). Same scale shape as the KS
+    test: user agg, distinct-value agg, prefix sum, 1-row reduce.
+    """
+    from .ranking import with_global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("metric")
+        )
+        .select((F.expr(_ABH) % 2).alias("arm"), "metric")
+    )
+    counts = per_user.groupBy("metric").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("cb"),
+    ).withColumn("t", F.col("ca") + F.col("cb"))
+    pre = with_global_prefix_sum(counts, ["metric"], "t", "cum").withColumn(
+        "below", F.col("cum") - F.col("t")
+    )
+    acc = pre.agg(
+        F.sum(F.col("ca") * (2 * F.col("below") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_sum"),
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u2 = F.col("r2_a") - na * (na + 1)
+    var = na * nb / 12.0 * ((n + 1) - F.col("tie_sum") * 1.0 / (n * (n - 1.0)))
+    z = (u2 - na * nb) / (2 * F.sqrt(var))
+    return acc.select(
+        "n_a",
+        "n_b",
+        u2.cast("bigint").alias("u2_a"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.959964).alias("significant"),
+    )

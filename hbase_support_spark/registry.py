@@ -223,6 +223,7 @@ GRADING_PRIORITY: list[str] = [
     "sim_users_behavioral",
     "win_time_weighted_avg",
     "layout_bloom_point_lookup",
+    "events_mannwhitney_arms",
 ]
 
 

@@ -470,3 +470,48 @@ def test_feature_pit_join_is_leakage_free(spark, sf_dir):
         assert r["n_prior_7d"] == len(prior)
         cents = sum(int(v * 100 + 0.5) for v in prior.value)
         assert abs(r["value_7d"] - cents / 100.0) < 1e-9
+
+
+def test_mannwhitney_matches_reference(spark, sf_dir):
+    """The integer-rank U/z equals a direct average-rank reference
+    implementation over the same per-user metrics."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.hashutil import py_h60
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.operators.aggregates import events_mannwhitney_arms
+
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    cents = (ev.value * 100 + 0.5).apply(int)
+    ev = ev.assign(cents=cents)
+    per_user = {}
+    for uid, grp in ev.groupby("user_id"):
+        m = int(grp.loc[grp.event_type == "purchase", "cents"].sum())
+        per_user[uid] = (py_h60(f"exp1|{uid}") % 2, m)
+    vals = sorted(v for _, v in per_user.values())
+    # average rank per value (1-based)
+    ranks = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        for k in range(i, j):
+            ranks.setdefault(vals[i], (i + j + 1) / 2)
+        i = j
+    n_a = sum(1 for a, _ in per_user.values() if a == 0)
+    n_b = len(per_user) - n_a
+    r_a = sum(ranks[m] for a, m in per_user.values() if a == 0)
+    u_a = r_a - n_a * (n_a + 1) / 2
+    n = n_a + n_b
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(vals).values())
+    var = n_a * n_b / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z_ref = (u_a - n_a * n_b / 2) / math.sqrt(var)
+    row = events_mannwhitney_arms(spark, sf_dir).collect()[0]
+    assert row["n_a"] == n_a and row["n_b"] == n_b
+    assert row["u2_a"] == int(2 * u_a)
+    assert abs(row["z"] - round(z_ref, 6)) < 2e-6
