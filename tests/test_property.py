@@ -259,3 +259,99 @@ def test_chunk_count_formula_covers_all_tokens(n, stride):
     if nc > 1:
         last = (nc - 1) * stride
         assert last < n
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),     # weight (Poisson-ish)
+            st.integers(min_value=0, max_value=10_000)  # cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bootstrap_weighted_mean_bounds(pairs):
+    """A Poisson-bootstrap resample mean is always within the sample
+    min/max (weights only reweight, never extrapolate), and an
+    all-ones weighting reproduces the plain mean exactly."""
+    w = [p[0] for p in pairs]
+    v = [p[1] for p in pairs]
+    if sum(w) > 0:
+        m = sum(a * b for a, b in zip(w, v)) / sum(w)
+        assert min(v) <= m <= max(v)
+    m1 = sum(1 * b for b in v) / len(v)
+    assert m1 == sum(v) / len(v)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1_000_000),  # us
+            st.integers(min_value=1, max_value=10_000),     # cents
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_twap_is_weighted_mean_within_bounds(samples):
+    """TWAP lies within [min, max] of the observed values and equals
+    the plain mean when gaps are uniform."""
+    samples = sorted(samples)
+    segs = [
+        (c, (samples[i + 1][0] - samples[i][0]))
+        for i, (_, c) in enumerate(samples[:-1])
+    ]
+    segs = [(c, d) for c, d in segs if d > 0]
+    if segs:
+        tw = sum(c * d for c, d in segs) / sum(d for _, d in segs)
+        vals = [c for c, _ in segs]
+        assert min(vals) <= tw <= max(vals)
+    # uniform gaps -> plain mean of the closed segments
+    uniform = [(i * 10, c) for i, (_, c) in enumerate(samples)]
+    usegs = [c for (_, c) in uniform[:-1]]
+    tw_u = sum(c * 10 for c in usegs) / (10 * len(usegs))
+    assert abs(tw_u - sum(usegs) / len(usegs)) < 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=0,
+        max_size=120,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_triangle_orientation_counts_each_once(edges):
+    """Degree-orientation wedge closure counts every triangle of the
+    undirected graph exactly once (reference: brute-force over all
+    vertex triples)."""
+    und = {tuple(sorted(e)) for e in edges}
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    key = lambda x: (deg[x], x)  # noqa: E731
+    oriented = {(u, v) if key(u) < key(v) else (v, u) for u, v in und}
+    wedge_closed = sum(
+        1
+        for (a, b) in oriented
+        for (b2, c) in oriented
+        if b2 == b and (a, c) in oriented
+    )
+    verts = sorted({x for e in und for x in e})
+    brute = sum(
+        1
+        for i, a in enumerate(verts)
+        for b in verts[i + 1:]
+        for c in verts[verts.index(b) + 1:]
+        if tuple(sorted((a, b))) in und
+        and tuple(sorted((b, c))) in und
+        and tuple(sorted((a, c))) in und
+    )
+    assert wedge_closed == brute
