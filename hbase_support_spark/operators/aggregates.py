@@ -1902,3 +1902,67 @@ def events_mannwhitney_arms(spark, sf_dir):
         F.round(z, 6).alias("z"),
         (F.abs(z) > 1.959964).alias("significant"),
     )
+
+
+@register(
+    "agg_chisq_independence",
+    oracle=f"""
+    WITH cells AS (
+      SELECT {_D_ABH} % 2 AS arm, event_type,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2),
+    margins AS (
+      SELECT c.arm, c.event_type, c.o,
+             SUM(c.o) OVER (PARTITION BY c.arm) AS row_tot,
+             SUM(c.o) OVER (PARTITION BY c.event_type) AS col_tot,
+             SUM(c.o) OVER () AS n
+      FROM cells c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MIN(n) AS BIGINT) AS n_events,
+           ROUND(SUM(POWER(o - row_tot * col_tot * 1.0 / n, 2)
+                     / (row_tot * col_tot * 1.0 / n)), 6) AS chi2,
+           CAST((COUNT(DISTINCT arm) - 1) * (COUNT(DISTINCT event_type) - 1)
+                AS BIGINT) AS dof,
+           (SUM(POWER(o - row_tot * col_tot * 1.0 / n, 2)
+                / (row_tot * col_tot * 1.0 / n)) > 9.488) AS significant
+    FROM margins
+    """,
+)
+def agg_chisq_independence(spark, sf_dir):
+    """Chi-square test of independence over the (experiment arm x
+    event type) contingency table — does the treatment change WHAT
+    users do, not just how much? The categorical complement of the
+    mean/distribution/rank tests: observed cell counts and both
+    margins are exact integers (the margins ride three windows over
+    the 10-row aggregated contingency frame — metadata, not data),
+    expected counts and the chi2 sum are one deterministic float
+    expression, and the 5%-level verdict compares against the
+    chi2(dof=4) critical value 9.488 as a shared literal. Scale: one
+    partial+final hash agg over the scan collapses 100 TB of events
+    into the tiny contingency frame; everything after is free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    cells = ev.groupBy(
+        (F.expr(_ABH) % 2).alias("arm"), "event_type"
+    ).agg(F.count("*").alias("o"))
+    m = cells.select(
+        "arm",
+        "event_type",
+        "o",
+        F.sum("o").over(Window.partitionBy("arm")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("event_type")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    chi2 = F.sum(F.pow(F.col("o") - e, F.lit(2)) / e)
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.min("n").cast("bigint").alias("n_events"),
+        F.round(chi2, 6).alias("chi2"),
+        ((F.countDistinct("arm") - 1) * (F.countDistinct("event_type") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        (chi2 > 9.488).alias("significant"),
+    )

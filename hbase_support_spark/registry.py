@@ -224,6 +224,7 @@ GRADING_PRIORITY: list[str] = [
     "win_time_weighted_avg",
     "layout_bloom_point_lookup",
     "events_mannwhitney_arms",
+    "agg_chisq_independence",
 ]
 
 
