@@ -4068,3 +4068,83 @@ def sim_users_behavioral(spark, sf_dir):
     return pairs.orderBy(
         F.col("cos_sim").desc(), "user_a", "user_b"
     ).limit(10)
+
+
+@register(
+    "pipeline_preference_pairs",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             ROUND(0.5 * (len(list_distinct({D_TOKENS})) * 1.0 / len({D_TOKENS}))
+                   + 0.5 * (1 - len(list_filter({D_TOKENS},
+                         w -> w IN ('a', 'the', 'of', 'and', 'to', 'in')))
+                       * 1.0 / len({D_TOKENS})), 6) AS quality
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, quality,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY quality, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM q)
+    SELECT a.lang,
+           b.doc_id AS chosen_doc_id,
+           a.doc_id AS rejected_doc_id,
+           ROUND(b.quality - a.quality, 6) AS margin
+    FROM ranked a
+    JOIN ranked b ON a.lang = b.lang AND b.r = a.n + 1 - a.r
+    WHERE a.r <= a.n / 2
+    """,
+)
+def pipeline_preference_pairs(spark, sf_dir):
+    """Preference-pair construction — the data-prep step behind
+    RLHF/DPO training: within each language block, documents are
+    ranked by the C4-style quality heuristic (`text_quality_score`'s
+    exact expression) and the best is paired against the worst,
+    second-best against second-worst, and so on — the standard
+    max-margin pairing that gives a preference dataset its spread —
+    emitting (chosen, rejected, quality margin) rows. Determinism:
+    quality is ROUND(6)ed per row before ranking and doc_id breaks
+    ties, so the rank — and therefore every pair — is
+    engine/partition-stable. Scale: one map pass for scores, one
+    shuffle on lang for the per-block rank windows, ONE equi-join on
+    (lang, mirrored rank) — no pairwise scoring, pairs fall out of
+    rank arithmetic. Odd blocks leave their median doc unpaired,
+    as the pairing should."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.expr(TOKENS).alias("toks"))
+    n_t = F.size("toks").cast("double")
+    uniq = F.size(F.array_distinct("toks")).cast("double") / n_t
+    stop = (
+        F.size(F.expr(f"filter(toks, w -> w IN {_STOPWORDS})")).cast("double") / n_t
+    )
+    from pyspark.sql import Window
+
+    q = t.select(
+        "doc_id",
+        "lang",
+        F.round(0.5 * uniq + 0.5 * (1 - stop), 6).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    ranked = q.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    return (
+        a.filter(F.col("a.r") <= F.col("a.n") / 2)
+        .join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("b.r") == F.col("a.n") + 1 - F.col("a.r")),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("b.doc_id").alias("chosen_doc_id"),
+            F.col("a.doc_id").alias("rejected_doc_id"),
+            F.round(F.col("b.quality") - F.col("a.quality"), 6).alias("margin"),
+        )
+    )

@@ -225,6 +225,7 @@ GRADING_PRIORITY: list[str] = [
     "layout_bloom_point_lookup",
     "events_mannwhitney_arms",
     "agg_chisq_independence",
+    "pipeline_preference_pairs",
 ]
 
 
