@@ -515,3 +515,54 @@ def test_mannwhitney_matches_reference(spark, sf_dir):
     assert row["n_a"] == n_a and row["n_b"] == n_b
     assert row["u2_a"] == int(2 * u_a)
     assert abs(row["z"] - round(z_ref, 6)) < 2e-6
+
+
+def test_chisq_matches_reference(spark, sf_dir):
+    """Chi-square over the arm x type contingency equals a direct
+    python computation from the same hash assignment."""
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.hashutil import py_h60
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.operators.aggregates import agg_chisq_independence
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").toPandas()
+    ev["arm"] = ev.user_id.map(lambda u: py_h60(f"exp1|{u}") % 2)
+    obs = ev.groupby(["arm", "event_type"]).size()
+    row_t = ev.groupby("arm").size()
+    col_t = ev.groupby("event_type").size()
+    n = len(ev)
+    chi2 = sum(
+        (o - row_t[a] * col_t[t] / n) ** 2 / (row_t[a] * col_t[t] / n)
+        for (a, t), o in obs.items()
+    )
+    got = agg_chisq_independence(spark, sf_dir).collect()[0]
+    assert got["n_events"] == n
+    assert got["n_cells"] == len(obs)
+    assert got["dof"] == (len(row_t) - 1) * (len(col_t) - 1)
+    assert abs(got["chi2"] - round(chi2, 6)) < 2e-6
+
+
+def test_preference_pairs_structure(spark, sf_dir):
+    """Max-margin pairing invariants: chosen quality >= rejected in
+    every pair (margin >= 0), each doc appears in at most one pair,
+    and per-language pair count is floor(n/2)."""
+    from pyspark.sql import functions as F
+
+    from hbase_support_spark.io import load_table
+    from hbase_support_spark.operators.llm import pipeline_preference_pairs
+
+    pairs = pipeline_preference_pairs(spark, sf_dir).toPandas()
+    assert (pairs.margin >= 0).all()
+    used = list(pairs.chosen_doc_id) + list(pairs.rejected_doc_id)
+    assert len(used) == len(set(used))
+    per_lang = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+    )
+    got = pairs.groupby("lang").size()
+    for lang, n in per_lang.items():
+        assert got.get(lang, 0) == n // 2
