@@ -226,6 +226,7 @@ GRADING_PRIORITY: list[str] = [
     "events_mannwhitney_arms",
     "agg_chisq_independence",
     "pipeline_preference_pairs",
+    "text_winnow_fingerprint",
 ]
 
 
