@@ -4154,7 +4154,7 @@ def pipeline_preference_pairs(spark, sf_dir):
 # winnowing fingerprint (rolling-hash document fingerprinting)
 # ---------------------------------------------------------------------------
 
-_WIN_K = 8       # k-gram length (chars)
+_WIN_K = 16      # k-gram length (chars, ~2.5 words: span-scale matches)
 _WIN_W = 4       # winnowing window (hashes)
 _WIN_B = 257     # rolling-hash base
 _WIN_M = 2147483647  # modulus (2^31 - 1)
@@ -4212,7 +4212,7 @@ def _rk_hash(codes: str, pos: str, spark_side: bool = True) -> str:
 def text_winnow_fingerprint(spark, sf_dir):
     """WINNOWING document fingerprint (Schleimer/Wilkerson/Aiken,
     SIGMOD 2003 — the MOSS algorithm): a Rabin-Karp rolling hash
-    over all character 8-grams, then each 4-hash window contributes
+    over all character 16-grams, then each 4-hash window contributes
     its minimum — the selection that guarantees any sufficiently
     long match between two documents shares a fingerprint, with
     density 2/(w+1) instead of keeping every gram. This is the
@@ -4292,3 +4292,115 @@ def text_winnow_fingerprint(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(winnow, schema)
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS s, length(text) AS n FROM documents
+    ),
+    cs AS (
+      SELECT doc_id, n,
+             list_transform(range(1, n + 1), i -> ascii(substring(s, i, 1)))
+               AS codes
+      FROM t WHERE n >= {_WIN_K}
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(range(1, n - {_WIN_K} + 2),
+                            i -> {_rk_hash('codes', 'i', False)}) AS hashes
+      FROM cs
+    ),
+    picks AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               range(1, len(hashes) - {_WIN_W} + 2),
+               w -> list_min(hashes[w:w + {_WIN_W} - 1])))) AS fp
+      FROM hs WHERE len(hashes) >= {_WIN_W}
+    ),
+    buckets AS (
+      SELECT fp, COUNT(*) AS sz FROM picks GROUP BY fp
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM picks a
+      JOIN picks b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN buckets s ON s.fp = a.fp AND s.sz BETWEEN 2 AND 16
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_fps
+    FROM pairs WHERE shared >= 4
+    """,
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """MOSS-style near-dup detection over the winnowing fingerprints
+    — what the fingerprint exists FOR: two documents sharing >= 4
+    selected fingerprints share (with winnowing's guarantee) matching
+    character runs, so the candidate join is a groupBy on fingerprint
+    values — never all-pairs — with the same bucket-size cap (16) the
+    MinHash/SimHash banding uses against degenerate boilerplate
+    fingerprints. Completes the dedup family's sixth modality:
+    exact hash, MinHash-Jaccard, SimHash-Hamming, n-gram Jaccard,
+    embedding cosine, and now raw character-run overlap — the one
+    that catches plagiarized SPANS regardless of tokenization.
+    Fingerprints come from the identical numpy rolling-hash kernel
+    as `text_winnow_fingerprint` (emitting pick ROWS here); the
+    oracle restates the full pipeline relationally. One shuffle on
+    fingerprint value + one pair agg, both equality-keyed.
+    """
+    import hashlib  # noqa: F401  (parity with sibling kernel imports)
+
+    import numpy as np
+
+    k, w, b, m = _WIN_K, _WIN_W, _WIN_B, _WIN_M
+
+    from pyspark.sql.types import LongType, StructField as _SF, StructType as _ST
+
+    schema = _ST([_SF("doc_id", LongType()), _SF("fp", LongType())])
+
+    def emit_picks(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sl = text.lower()
+                n = len(sl)
+                if n < k:
+                    continue
+                codes = np.fromiter((ord(c) for c in sl), dtype=np.int64, count=n)
+                h = np.zeros(n - k + 1, dtype=np.int64)
+                for j in range(k):
+                    h = (h * b + codes[j : n - k + 1 + j]) % m
+                if len(h) < w:
+                    continue
+                mins = h[: len(h) - w + 1].copy()
+                for j in range(1, w):
+                    np.minimum(mins, h[j : len(h) - w + 1 + j], out=mins)
+                for x in np.unique(mins):
+                    ids.append(doc_id)
+                    fps.append(int(x))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps}).astype(
+                {"doc_id": "int64", "fp": "int64"}
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the picks frame feeds three consumers (bucket sizes + both pair
+    # sides); pin it so the Arrow kernel runs once, not per consumer
+    # (the graph_triangle_count ReuseExchange lesson)
+    picks = d.mapInPandas(emit_picks, schema).localCheckpoint(eager=False)
+    buckets = picks.groupBy("fp").agg(F.count("*").alias("sz"))
+    ok_fps = buckets.filter((F.col("sz") >= 2) & (F.col("sz") <= 16)).select("fp")
+    p = picks.join(F.broadcast(ok_fps), "fp")
+    a, bb = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 4)
+    )
+    return pairs

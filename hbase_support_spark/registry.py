@@ -227,6 +227,7 @@ GRADING_PRIORITY: list[str] = [
     "agg_chisq_independence",
     "pipeline_preference_pairs",
     "text_winnow_fingerprint",
+    "dedup_winnow_pairs",
 ]
 
 
