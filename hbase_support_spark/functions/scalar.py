@@ -114,7 +114,7 @@ def fn_date(spark, sf_dir):
            GREATEST(l_discount, l_tax)                          AS max_rate,
            LEAST(l_discount, l_tax)                             AS min_rate,
            ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7           AS key_pmod7,
-           CAST(SIGN(l_discount - 0.05) AS DOUBLE)              AS disc_sign,
+           (CAST(SIGN(l_discount - 0.05) AS DOUBLE) + 0.0)      AS disc_sign,
            CAST(LEAST(GREATEST(FLOOR((l_quantity - 1) / 49.0 * 5), 0), 4) + 1 AS BIGINT)
                                                                 AS qty_bucket
     FROM lineitem WHERE l_orderkey <= 200
@@ -139,7 +139,9 @@ def fn_math(spark, sf_dir):
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),
         F.pmod("l_orderkey", F.lit(7)).alias("key_pmod7"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        # + 0.0: Java signum(-0.0) is -0.0 while DuckDB sign() is 0 —
+        # sign-of-zero guard (num.round_z rationale)
+        (F.signum(F.col("l_discount") - 0.05) + F.lit(0.0)).alias("disc_sign"),
         # width_bucket(q, 1, 50, 5) emulated portably (absent in DuckDB 1.0)
         (F.least(F.greatest(F.floor((q - 1) / 49.0 * 5), F.lit(0)), F.lit(4)) + 1).alias(
             "qty_bucket"

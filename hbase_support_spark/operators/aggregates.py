@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..num import money_sum
+from ..num import money_sum, round_z
 from ..registry import register
 
 
@@ -384,20 +384,25 @@ def agg_conditional(spark, sf_dir):
     "agg_corr_covar",
     oracle="""
     SELECT l_returnflag,
-           ROUND(CORR(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
-           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
-           ROUND(COVAR_POP(l_discount, l_tax), 6)            AS disc_tax_covar
+           (ROUND(CORR(l_quantity, l_extendedprice), 6) + 0.0)       AS qty_price_corr,
+           (ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) + 0.0) AS qty_price_covar,
+           (ROUND(COVAR_POP(l_discount, l_tax), 6) + 0.0)            AS disc_tax_covar
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_corr_covar(spark, sf_dir):
     """Bivariate statistics — single-pass streaming moments (partial
-    + merge, like all algebraic aggregates here)."""
+    + merge, like all algebraic aggregates here). Signed aggregates
+    round through :func:`num.round_z` (+ 0.0) so a tiny negative that
+    rounds to zero emits +0.0 in both engines — DuckDB's
+    ROUND(COVAR_POP(l_discount,l_tax),6) is IEEE -0.0 for
+    l_returnflag='N' at sf0.01 while Spark's is +0.0, and the
+    driver's value hash is sign-of-zero sensitive (VERDICT r03)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
-        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+        round_z(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        round_z(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        round_z(F.covar_pop("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
     )
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..num import round_z
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -406,6 +407,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup within (lang, source) blocks —
     the verifiable (hash-free) twin of MinHash. Blocking bounds the
     pair count; the self-join is an equi-join on the block key.
+
+    VERIFICATION-ONLY AT SCALE (SCALE.md round 4): (lang, source)
+    yields ~100 blocks on the fixtures but a block is UNBOUNDED at
+    100 TB — one hot block degenerates to N²/2 set intersections
+    (the join_er_fuzzy_string failure mode). Production near-dup
+    rides `dedup_near_minhash` (member_cap/shingle_cap bucketed LSH;
+    hot-block test: test_units.py
+    test_hot_block_minhash_stays_subquadratic) or `dedup_simhash`.
 
     Size-ratio prefilter (similarity-join folklore): J(A,B) ≤
     min|A|,|B| / max|A|,|B|, so pairs whose sizes differ by more
@@ -1112,7 +1121,7 @@ _D_LEX_VALUES = ", ".join(f"('{w}', CAST({p} AS DOUBLE))" for w, p in _LEXICON)
     lex(word, polarity) AS (VALUES {_D_LEX_VALUES})
     SELECT t.doc_id,
            COUNT(*) AS matched_tokens,
-           ROUND(AVG(lex.polarity), 6) AS sentiment
+           (ROUND(AVG(lex.polarity), 6) + 0.0) AS sentiment
     FROM toks t JOIN lex ON t.w = lex.word
     GROUP BY t.doc_id
     """,
@@ -1128,7 +1137,7 @@ def text_sentiment_lexicon(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("matched_tokens"),
-            F.round(F.avg("polarity"), 6).alias("sentiment"),
+            round_z(F.avg("polarity"), 6).alias("sentiment"),
         )
     )
 
@@ -3704,10 +3713,12 @@ _CHUNK_S = 24  # stride (overlap = _CHUNK_W - _CHUNK_S = 8 tokens)
                               AS BIGINT)) AS nc
       FROM t),
     chunks AS (
+      -- per-row unnest(range(0, nc)): unbounded like the Spark side's
+      -- explode(sequence(...)) — a fixed range(0, 4096) cross join
+      -- would silently truncate docs past ~98k tokens
       SELECT doc_id, toks, n, CAST(i AS INT) AS chunk_idx,
              CAST(i * {_CHUNK_S} AS INT) AS tok_start
-      FROM base, range(0, 4096) r(i)
-      WHERE i < nc)
+      FROM (SELECT doc_id, toks, n, unnest(range(0, nc)) AS i FROM base))
     SELECT doc_id, chunk_idx, tok_start,
            CAST(len(list_slice(toks, tok_start + 1,
                                LEAST(tok_start + {_CHUNK_W}, n))) AS INT) AS n_tok,
@@ -4181,7 +4192,7 @@ def _rk_hash(codes: str, pos: str, spark_side: bool = True) -> str:
     "text_winnow_fingerprint",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, lower(text) AS s, length(text) AS n FROM documents
+      SELECT doc_id, lower(text) AS s, length(lower(text)) AS n FROM documents
     ),
     cs AS (
       SELECT doc_id, n,
@@ -4298,7 +4309,7 @@ def text_winnow_fingerprint(spark, sf_dir):
     "dedup_winnow_pairs",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, lower(text) AS s, length(text) AS n FROM documents
+      SELECT doc_id, lower(text) AS s, length(lower(text)) AS n FROM documents
     ),
     cs AS (
       SELECT doc_id, n,

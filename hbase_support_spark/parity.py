@@ -5,9 +5,11 @@ are caught before the per-round verify: run the Spark query and the
 DuckDB oracle SQL on the same sf dir, normalize, and compare
 order-insensitively.
 
-Normalization: columns sorted by name, floats rounded to 6 (queries
-additionally ROUND themselves — this is belt-and-braces), timestamps
-to ISO-µs strings, rows sorted lexicographically.
+Normalization: columns sorted by name, floats encoded as their raw
+IEEE-754 bit pattern (the driver's hash is bit-exact — it
+distinguishes -0.0 from +0.0 and last-ulp drift, so queries must
+ROUND/canonicalize on BOTH sides; see num.round_z), timestamps to
+ISO-µs strings, rows sorted lexicographically.
 
 Round-2 lesson (VERDICT r02): the driver's value-hash is numeric-KIND
 sensitive — DuckDB ``SUM(int)``→HUGEINT vs Spark BIGINT, ``epoch()``→
@@ -25,6 +27,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import struct as _struct
 
 import duckdb
 
@@ -138,12 +141,16 @@ def _norm_cell(v):
     if isinstance(v, decimal.Decimal):
         v = float(v)
     if isinstance(v, float):
+        # Round-3 lesson (VERDICT r03): the driver's value hash sees the
+        # raw IEEE bit pattern — it distinguishes -0.0 from +0.0 (and any
+        # last-ulp divergence), while Python == does not. Encode floats
+        # as their little-endian float64 bits so the local harness is
+        # exactly as strict as the driver: any representation nuance
+        # (sign of zero, ROUND-boundary flip, ulp drift) fails HERE
+        # first. NaN canonicalized (one bit pattern per engine quirk).
         if math.isnan(v):
             return "NaN"
-        r = round(v, 6)
-        if r == int(r):
-            return str(int(r))
-        return repr(r)
+        return "f" + _struct.pack("<d", v).hex()
     if isinstance(v, datetime.datetime):
         return v.isoformat(timespec="microseconds")
     if isinstance(v, datetime.date):
@@ -184,6 +191,23 @@ def compare(spark_df, oracle_sql: str, con: duckdb.DuckDBPyConnection) -> tuple[
     sn = _normalize(s_cols, [tuple(r) for r in s_rows])
     dn = _normalize(d_cols, d_rows)
     if sn != dn:
-        diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+        diffs = [
+            (_decode_row(a), _decode_row(b)) for a, b in zip(sn, dn) if a != b
+        ][:3]
         return False, f"value mismatch; first diffs (spark vs duckdb): {diffs}"
     return True, f"ok ({len(s_rows)} rows)"
+
+
+def _decode_row(row: tuple) -> tuple:
+    """Render a normalized row for humans: float bit-encodings back to
+    repr (which is sign-of-zero faithful: repr(-0.0) == '-0.0')."""
+
+    def dec(c):
+        if isinstance(c, str) and len(c) == 17 and c[0] == "f":
+            try:
+                return repr(_struct.unpack("<d", bytes.fromhex(c[1:]))[0])
+            except ValueError:
+                return c
+        return c
+
+    return tuple(dec(c) for c in row)

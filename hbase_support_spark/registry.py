@@ -157,7 +157,12 @@ GRADING_PRIORITY: list[str] = [
     "pipeline_epoch_order",
     "dedup_incremental_vs_corpus",
     "sim_knn_self_join",
-    # ---- round-5 remainder (16): completes never-green coverage
+    # ---- round-5 block: remainder + the mandated-extension
+    #      showpieces pulled forward from the round-3 tail (VERDICT
+    #      r03 item 3: multimodal_*, winnow/substring dedup,
+    #      merge_into_txlog are the brief's named LLM-pipeline
+    #      deliverables — they must get a driver hash in round 5,
+    #      not round 6)
     "text_boilerplate_phrases",
     "text_quality_logit",
     "sim_knn_self_join_blas",
@@ -174,11 +179,16 @@ GRADING_PRIORITY: list[str] = [
     "sample_k_per_group",
     "corpus_drift_psi",
     "multimodal_frame_sample",
-    # ---- round-3 additions (graded after the blocks above)
+    "dedup_substring_spans",
+    "multimodal_resize_thumb",
+    "multimodal_feature_extract",
+    "merge_into_txlog",
+    "text_winnow_fingerprint",
+    "dedup_winnow_pairs",
+    # ---- round-6 tail: remaining round-3 additions
     "events_path_topk",
     "stream_late_events_audit",
     "as_of_join_nearest",
-    "dedup_substring_spans",
     "join_bucketed_colocated",
     "pipeline_shard_manifest",
     "sample_negative_pairs",
@@ -197,7 +207,6 @@ GRADING_PRIORITY: list[str] = [
     "events_cuped_adjustment",
     "events_forecast_backtest",
     "events_session_bounce_rate",
-    "multimodal_resize_thumb",
     "events_coactivity_topk",
     "pipeline_chunk_sliding",
     "events_attribution_last_touch",
@@ -216,8 +225,6 @@ GRADING_PRIORITY: list[str] = [
     "sim_ivf_recall_report",
     "agg_percentile_exact_groups",
     "table_expectations_report",
-    "multimodal_feature_extract",
-    "merge_into_txlog",
     "events_power_analysis_mde",
     "agg_bootstrap_ci_mean",
     "sim_users_behavioral",
@@ -226,8 +233,6 @@ GRADING_PRIORITY: list[str] = [
     "events_mannwhitney_arms",
     "agg_chisq_independence",
     "pipeline_preference_pairs",
-    "text_winnow_fingerprint",
-    "dedup_winnow_pairs",
 ]
 
 

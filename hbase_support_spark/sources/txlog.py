@@ -5,7 +5,7 @@ merge.py's partition-overwrite MERGE is honest but directory-swap
 atomic at best; production engines sit on a table format whose unit
 of commit is a MANIFEST, not a directory. This module is that design
 in miniature (the Delta/Iceberg core loop, built only on immutable
-Parquet + atomic rename — both available on any storage):
+Parquet + an atomic-exclusive publish — both available on any storage):
 
   table_dir/
     files/v000001/part-*.parquet   immutable data, one dir per commit
@@ -15,16 +15,16 @@ Parquet + atomic rename — both available on any storage):
     travel) and scan exactly its file list; a concurrent writer can
     never make a reader see a half-commit, because data files are
     written BEFORE the manifest and the manifest appears atomically
-    (os.rename of a temp file).
+    (os.link of a temp file — fails EEXIST on a commit race).
   * MERGE rewrites only the files that actually contain matched keys
     (file-level COW): the touched-file set comes from one pruned
     input_file_name() scan semi-joined against the source keys;
     untouched files are carried into the new manifest by reference —
     a 1 GB delta against a 100 TB table rewrites ~the delta's files.
   * Commits are optimistic: a writer computes against parent version
-    N and commits N+1; if another writer got there first the atomic
-    rename fails the exists-check and raises ConcurrentWriteError —
-    retry-from-fresh-read semantics, no locks.
+    N and commits N+1; if another writer got there first the
+    exclusive os.link fails with EEXIST and raises
+    ConcurrentWriteError — retry-from-fresh-read semantics, no locks.
 
 `snapshot_*` (snapshots.py) pins a moment of a LIVE directory from
 the outside; the txlog makes versioning the table's native write
@@ -80,30 +80,37 @@ def _write_data(df: DataFrame, table_dir: str, version: int) -> list[str]:
 
 
 def _commit(table_dir: str, version: int, manifest: dict) -> None:
-    """Atomic manifest publish: temp write + rename; the exists-check
-    plus rename is the whole optimistic-concurrency protocol."""
+    """Atomic manifest publish: temp write + exclusive os.link; the
+    EEXIST failure is the whole optimistic-concurrency protocol."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     final = _manifest_path(table_dir, version)
-    if os.path.exists(final):
-        raise ConcurrentWriteError(
-            f"version {version} already committed by another writer"
-        )
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2)
     try:
-        # os.link + unlink would be strictly atomic-exclusive on POSIX;
-        # rename-after-exists-check is sufficient for the single-host
-        # sandbox and documents the seam a real object store fills with
-        # a conditional PUT.
-        if os.path.exists(final):
-            raise ConcurrentWriteError(
-                f"version {version} already committed by another writer"
-            )
-        os.rename(tmp, final)
+        # os.link fails with EEXIST if final already exists — a
+        # genuinely atomic-exclusive single-host commit (os.rename
+        # silently overwrites on POSIX, so exists-check + rename has a
+        # TOCTOU window where two same-version writers both "succeed").
+        # A real object store fills this seam with a conditional PUT.
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"version {version} already committed by another writer"
+        ) from None
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def _read_files(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Read a manifest's file list with mergeSchema — after a
+    schema-widening merge the list mixes pre- and post-widening files,
+    and a plain read would take an arbitrary file's schema and silently
+    drop the widened column. EVERY internal read over manifest file
+    lists (merge survivors, delete rewrite, compact, touched-file scan,
+    stats) must come through here, matching txlog_read."""
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def txlog_init(df: DataFrame, table_dir: str) -> int:
@@ -150,7 +157,7 @@ def _touched_files(
     """Files that contain at least one matched key — one pruned scan
     of only the key column + input_file_name(), semi-joined against
     the (broadcast) source keys."""
-    cur = spark.read.parquet(*files).select(
+    cur = _read_files(spark, files).select(
         F.col(key), F.input_file_name().alias("_file")
     )
     rows = (
@@ -178,7 +185,7 @@ def txlog_merge(
     touched = _touched_files(spark, files, keys, key)
     untouched = [f for f in files if f not in set(touched)]
     survivors = (
-        spark.read.parquet(*touched).join(F.broadcast(keys), key, "left_anti")
+        _read_files(spark, touched).join(F.broadcast(keys), key, "left_anti")
         if touched
         else None
     )
@@ -208,7 +215,7 @@ def txlog_delete(spark: SparkSession, table_dir: str, predicate: str) -> int:
     versions = txlog_versions(table_dir)
     parent = versions[-1]
     files = _read_manifest(table_dir, parent)["files"]
-    cur = spark.read.parquet(*files)
+    cur = _read_files(spark, files)
     hit = (
         cur.filter(predicate)
         .select(F.input_file_name().alias("_file"))
@@ -221,7 +228,7 @@ def txlog_delete(spark: SparkSession, table_dir: str, predicate: str) -> int:
     new_version = parent + 1
     new_files = (
         _write_data(
-            spark.read.parquet(*touched).filter(f"NOT ({predicate})"),
+            _read_files(spark, touched).filter(f"NOT ({predicate})"),
             table_dir,
             new_version,
         )
@@ -250,7 +257,7 @@ def txlog_compact(spark: SparkSession, table_dir: str, target_files: int = 4) ->
     pays; this is the scheduled job that pays it back."""
     versions = txlog_versions(table_dir)
     parent = versions[-1]
-    cur = spark.read.parquet(*_read_manifest(table_dir, parent)["files"])
+    cur = _read_files(spark, _read_manifest(table_dir, parent)["files"])
     new_version = parent + 1
     new_files = _write_data(cur.coalesce(target_files), table_dir, new_version)
     _commit(
@@ -303,7 +310,7 @@ def txlog_collect_stats(
     manifest = _read_manifest(table_dir, parent)
     files = manifest["files"]
     rows = (
-        spark.read.parquet(*files)
+        _read_files(spark, files)
         .select(F.col(key), F.input_file_name().alias("_file"))
         .groupBy("_file")
         .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
@@ -360,8 +367,8 @@ def txlog_scan(
     else:
         keep = files
     df = (
-        spark.read.parquet(*keep).filter((F.col(key) >= lo) & (F.col(key) < hi))
+        _read_files(spark, keep).filter((F.col(key) >= lo) & (F.col(key) < hi))
         if keep
-        else spark.read.parquet(*files).filter(F.lit(False))
+        else _read_files(spark, files).filter(F.lit(False))
     )
     return df, {"files_total": len(files), "files_read": len(keep)}

@@ -204,3 +204,54 @@ def test_merge_schema_evolution_widens_table(spark, sf_dir, table):
     final = txlog_read(spark, table)
     assert final.count() == orders.count() + 1
     assert "discount" in final.columns
+
+
+def test_mixed_schema_write_paths_keep_widened_values(spark, sf_dir, table):
+    """Regression (ADVICE r03): after a schema-widening merge leaves a
+    MIX of pre- and post-widening data files, every internal write-path
+    read (merge survivors, delete rewrite, compact) must mergeSchema —
+    a plain read takes an arbitrary file's schema and silently drops
+    the widened column's VALUES while still claiming success."""
+    from hbase_support_spark.sources.txlog import txlog_compact
+
+    orders = load_table(spark, sf_dir, "orders")
+    # widen via 4 updated keys carrying a new column
+    some = [r[0] for r in orders.select("o_orderkey").limit(4).collect()]
+    src = (
+        orders.filter(F.col("o_orderkey").isin(some))
+        .withColumn("discount", F.lit(0.15))
+    )
+    txlog_merge(spark, table, src, "o_orderkey")
+    widened = txlog_read(spark, table)
+    assert widened.filter(F.col("discount").isNotNull()).count() == 4
+
+    # compact rewrites the FULL mixed-schema file list — values must survive
+    txlog_compact(spark, table, target_files=2)
+    after_compact = txlog_read(spark, table)
+    assert after_compact.filter(F.col("discount").isNotNull()).count() == 4
+    assert after_compact.count() == orders.count()
+
+    # delete touching an old-schema file must not strip the column either
+    victim = [
+        r[0]
+        for r in orders.filter(~F.col("o_orderkey").isin(some))
+        .select("o_orderkey")
+        .limit(1)
+        .collect()
+    ][0]
+    txlog_delete(spark, table, f"o_orderkey = {victim}")
+    after_delete = txlog_read(spark, table)
+    assert after_delete.filter(F.col("discount").isNotNull()).count() == 4
+    assert after_delete.count() == orders.count() - 1
+
+    # a second merge whose touched set mixes schemas keeps values too
+    more = (
+        orders.filter(F.col("o_orderkey").isin(some[:2]))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    txlog_merge(spark, table, more, "o_orderkey")
+    final = txlog_read(spark, table)
+    # the 2 re-merged keys came from a source WITHOUT discount (null),
+    # the other 2 widened keys must still carry 0.15
+    assert final.filter(F.col("discount").isNotNull()).count() == 2
+    assert final.count() == orders.count() - 1

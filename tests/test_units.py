@@ -156,6 +156,41 @@ def test_minhash_bucket_volume_guard(spark):
     assert member_capped == 0
 
 
+def test_hot_block_minhash_stays_subquadratic(spark):
+    """Hot-block guard (VERDICT r03 item 4): one (lang, source) block
+    holding 10^4 documents is the failure mode that killed the first
+    join_er_fuzzy_string (a single N^2/2 bucket). The PRODUCTION
+    near-dup route (minhash_pairs) must stay sub-quadratic on such a
+    block: distinct docs scatter across 16x2^64 LSH buckets, so
+    candidate volume ~ bucket collisions, not C(10^4, 2) = 5*10^7
+    pairwise Jaccards. The (lang, source)-blocked expression twin
+    dedup_ngram_jaccard is verification-only at scale (SCALE.md) —
+    THIS is the path a hot block rides."""
+    import time
+
+    from hbase_support_spark.operators.llm import minhash_pairs
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # 12 distinct-ish tokens per doc: shingle sets are unique per
+        # doc, so no two docs are near-dups — worst case for blocking,
+        # trivial for LSH
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"w{j}_"), (F.col("id") * (j + 7)) % 99991) for j in range(12)],
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    cnt = minhash_pairs(docs).count()
+    dt = time.perf_counter() - t0
+    # pairwise set-intersection over 5*10^7 pairs takes minutes; the
+    # bucketed path is seconds. Generous CI bound, still far below
+    # any quadratic blow-up.
+    assert dt < 120, f"hot block took {dt:.1f}s - quadratic blow-up?"
+    assert cnt < n  # no mass false-positive pile-up either
+
+
 def test_registry_orders_ungraded_before_green():
     """The registry is a grading schedule: under a bounded grading
     window, every query WITHOUT a green CORRECTNESS row must register

@@ -22,13 +22,17 @@ from pyspark.sql import functions as F
 from hbase_support_spark import QUERIES, get_spark, load_all
 from hbase_support_spark.io import TABLES, load_table
 
-# per-table key columns to shift per replica (facts); absent = copy
+# per-table key columns to shift per replica (facts); absent = copy.
+# The shift step is computed from the ACTUAL per-column max (+1) at
+# build time — a hard-coded step smaller than the real id range would
+# collide replicas on that key, so the dimension stops growing and
+# per-key timelines interleave across replicas (ADVICE r03).
 SHIFT = {
-    "lineitem": {"l_orderkey": 10_000_000},
-    "orders": {"o_orderkey": 10_000_000},
-    "events": {"event_id": 10_000_000, "user_id": 10_000},
-    "documents": {"doc_id": 10_000_000},
-    "embeddings": {"vec_id": 10_000_000},
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 
 DEFAULT_QUERIES = [
@@ -48,11 +52,16 @@ def build(spark, src: str, dst: str, r: int) -> None:
     for t in TABLES:
         base = load_table(spark, src, t)
         if t in SHIFT:
+            cols = SHIFT[t]
+            maxes = base.agg(
+                *[F.max(c).alias(c) for c in cols]
+            ).first()  # one metadata-scale row per table
+            steps = {c: int(maxes[c]) + 1 for c in cols}
             parts = []
             for i in range(r):
                 d = base
-                for col, step in SHIFT[t].items():
-                    d = d.withColumn(col, F.col(col) + F.lit(i * step))
+                for col in cols:
+                    d = d.withColumn(col, F.col(col) + F.lit(i * steps[col]))
                 parts.append(d)
             out = parts[0]
             for p in parts[1:]:
