@@ -1971,3 +1971,144 @@ def agg_chisq_independence(spark, sf_dir):
         .alias("dof"),
         (chi2 > 9.488).alias("significant"),
     )
+
+
+@register(
+    "events_kaplan_meier",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    origins AS (
+      SELECT user_id, MIN(t) AS t0 FROM ev WHERE event_type = 'signup'
+      GROUP BY user_id),
+    firstp AS (
+      SELECT e.user_id AS uid, MIN(e.t) AS te
+      FROM ev e JOIN origins o ON e.user_id = o.user_id
+      WHERE e.event_type = 'purchase' AND e.t > o.t0
+      GROUP BY e.user_id),
+    study AS (SELECT MAX(t) AS t_end FROM ev),
+    subj AS (
+      SELECT {{H}} % 2 AS arm,
+             CASE WHEN f.te IS NOT NULL THEN 1 ELSE 0 END AS observed,
+             CAST(FLOOR((COALESCE(f.te, s.t_end) - o.t0) / 86400000000.0)
+                  AS BIGINT) AS day
+      FROM origins o LEFT JOIN firstp f ON o.user_id = f.uid
+      CROSS JOIN study s),
+    daily AS (
+      SELECT arm, day,
+             CAST(SUM(observed) AS BIGINT) AS d,
+             CAST(SUM(1 - observed) AS BIGINT) AS c
+      FROM subj GROUP BY arm, day),
+    km AS (
+      SELECT arm, day, d,
+             CAST(SUM(d + c) OVER (PARTITION BY arm)
+                  - COALESCE(SUM(d + c) OVER (PARTITION BY arm ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM daily),
+    km2 AS (
+      SELECT arm, day, d, n_risk,
+             SUM(CASE WHEN d > 0 AND d < n_risk
+                      THEN LN((n_risk - d) * 1.0 / n_risk) ELSE 0.0 END)
+               OVER (PARTITION BY arm ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+             CAST(SUM(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (PARTITION BY arm ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS died_out
+      FROM km)
+    SELECT arm, day, n_risk, d AS n_events,
+           CASE WHEN died_out > 0 THEN 0.0
+                ELSE (ROUND(EXP(lnsum), 6) + 0.0) END AS survival
+    FROM km2 WHERE d > 0
+    """.replace("{H}", _D_ABH),
+)
+def events_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve per experiment arm — time from
+    first signup to first subsequent purchase, right-censored at the
+    study end (global max ts). THE time-to-event readout the z-test
+    family (events_abtest_ztest, kstest, time_to_convert_curve)
+    can't give: it uses censored subjects correctly instead of
+    dropping them.
+
+    Estimator: S(t) = prod over event days d_j <= t of
+    (1 - d_j / n_j), with n_j = subjects still at risk entering day
+    j (neither converted nor censored earlier). Determinism: all
+    counts are exact integers built from integer-microsecond time
+    math (unix_micros/epoch_us); day index is floor(delta_us / day_us)
+    — exact in double below 2^53. The product is computed as
+    EXP(running SUM(LN(term))) over at most ~30 per-arm day rows;
+    rounded to 6. Everything is keyed aggregation + per-arm windows
+    over the ~60-row daily table — one events scan at 100 TB, then
+    metadata-scale state.
+
+    Spark plan: 2 user-keyed shuffles (origin, first-conversion) +
+    a 1-row broadcast study end, then windows over the tiny
+    (arm, day) aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    origins = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t0"))
+    )
+    firstp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(origins, "user_id")
+        .filter(F.col("t") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("te"))
+    )
+    study = ev.agg(F.max("t").alias("t_end"))
+    subj = (
+        origins.join(firstp, "user_id", "left")
+        .crossJoin(F.broadcast(study))
+        .select(
+            (F.expr(_ABH) % 2).alias("arm"),
+            F.col("te").isNotNull().cast("int").alias("observed"),
+            F.floor(
+                (F.coalesce("te", "t_end") - F.col("t0")) / F.lit(86400000000.0)
+            )
+            .cast("bigint")
+            .alias("day"),
+        )
+    )
+    daily = subj.groupBy("arm", "day").agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.sum(1 - F.col("observed")).cast("bigint").alias("c"),
+    )
+    w_all = Window.partitionBy("arm")
+    w_prior = Window.partitionBy("arm").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.partitionBy("arm").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = (
+        F.sum(F.col("d") + F.col("c")).over(w_all)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0))
+    ).cast("bigint")
+    km = daily.withColumn("n_risk", at_risk)
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log((F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk")),
+    ).otherwise(0.0)
+    died = F.sum(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum).cast("bigint")
+    return (
+        km.withColumn("lnsum", F.sum(term).over(w_cum))
+        .withColumn("died_out", died)
+        .filter(F.col("d") > 0)
+        .select(
+            "arm",
+            "day",
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.when(F.col("died_out") > 0, F.lit(0.0))
+            .otherwise(F.round(F.exp("lnsum"), 6) + F.lit(0.0))
+            .alias("survival"),
+        )
+    )

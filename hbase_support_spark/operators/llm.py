@@ -578,6 +578,153 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_semdedup_keep",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, r.i AS i, AVG(CAST(embedding[r.i] AS DOUBLE)) AS c
+      FROM embeddings, range(1, 65) r(i) GROUP BY label, r.i
+    ),
+    ctr AS (
+      SELECT e.vec_id, e.label,
+             ROUND(SUM(c.c * CAST(e.embedding[c.i] AS DOUBLE)) /
+                   (SQRT(SUM(c.c * c.c)) *
+                    SQRT(SUM(CAST(e.embedding[c.i] AS DOUBLE) *
+                             CAST(e.embedding[c.i] AS DOUBLE)))), 6) AS ctr_cos
+      FROM embeddings e JOIN cent c ON c.label = e.label
+      GROUP BY e.vec_id, e.label
+    ),
+    rk AS (
+      SELECT vec_id, label, ctr_cos,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY ctr_cos ASC, vec_id) AS prio
+      FROM ctr
+    ),
+    pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id,
+      range(1, 65) r(i)
+      GROUP BY a.vec_id, b.vec_id
+      HAVING ROUND({_d_cosine('a.embedding', 'b.embedding')}, 6) >= 0.3
+    ),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    dom AS (
+      SELECT DISTINCT ed.v AS vec_id
+      FROM edges ed
+      JOIN rk u ON u.vec_id = ed.u
+      JOIN rk w ON w.vec_id = ed.v
+      WHERE u.prio < w.prio
+    )
+    SELECT r.vec_id, r.label, r.ctr_cos, (d.vec_id IS NULL) AS keep
+    FROM rk r LEFT JOIN dom d ON d.vec_id = r.vec_id
+    """,
+)
+def dedup_semdedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup by clustering embeddings, then within each cluster keeping
+    ONE representative per near-duplicate neighborhood — the paper
+    keeps the item FARTHEST from the cluster centroid (most
+    peripheral = most informative), dropping its near-dups.
+
+    Deterministic greedy form: rank each vector within its cluster
+    by (cos-to-centroid ASC, vec_id) — rank 1 = most peripheral —
+    and DROP a vector iff some τ-neighbor outranks it. Emits every
+    vector with its centroid-cosine and the keep/drop verdict (the
+    training-prep consumer filters on `keep`).
+
+    Cluster = `label` here (the fixtures' coarse quantizer, same
+    role as the IVF cells in sim_knn_ivf — at 100 TB the cells come
+    from k-means and the table is bucketed by cell id). Scale shape:
+    per-dim centroid is ONE exact aggregate (float32 values summed
+    in double are exact below 2^29 terms — no order sensitivity);
+    centroids (nlist x 64 doubles) broadcast; the τ-pair self-join
+    is cluster-blocked (O(Σ cell²), the SemDeDup design itself —
+    cells bound the pair count), vectorizable per-cell via the
+    `dedup_embedding_cosine` BLAS kernel; dominance is an edge-local
+    join against the broadcast-size rank frame. Ranking happens on
+    ROUNDED cosines so a last-ulp engine divergence can never flip
+    an order before the round."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+    )
+    ctr = (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("embedding"), F.col("cvec"))
+                / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+                6,
+            ).alias("ctr_cos"),
+        )
+    )
+    rk = ctr.withColumn(
+        "prio",
+        F.row_number().over(
+            Window.partitionBy("label").orderBy(F.col("ctr_cos").asc(), "vec_id")
+        ),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+    edges = pairs.select("u", "v").unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    prios = rk.select("vec_id", "prio")
+    dom = (
+        edges.join(
+            prios.withColumnRenamed("vec_id", "u").withColumnRenamed("prio", "pu"),
+            "u",
+        )
+        .join(
+            prios.withColumnRenamed("vec_id", "v").withColumnRenamed("prio", "pv"),
+            "v",
+        )
+        .filter(F.col("pu") < F.col("pv"))
+        .select(F.col("v").alias("dom_vec"))
+        .distinct()
+    )
+    return (
+        rk.join(dom, rk.vec_id == dom.dom_vec, "left")
+        .select(
+            "vec_id",
+            "label",
+            "ctr_cos",
+            F.col("dom_vec").isNull().alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -233,6 +233,9 @@ GRADING_PRIORITY: list[str] = [
     "events_mannwhitney_arms",
     "agg_chisq_independence",
     "pipeline_preference_pairs",
+    # ---- round-4 additions (tail: graded after everything above)
+    "events_kaplan_meier",
+    "dedup_semdedup_keep",
 ]
 
 
