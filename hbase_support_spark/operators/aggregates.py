@@ -1973,10 +1973,14 @@ def agg_chisq_independence(spark, sf_dir):
     )
 
 
-@register(
-    "events_kaplan_meier",
-    oracle=f"""
-    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+# Shared survival-analysis base (events_kaplan_meier +
+# events_logrank_test): per (arm, day) event/censor counts. Subject =
+# user with a signup; origin = first signup; event = first purchase
+# strictly after origin; right-censored at the study end (global max
+# ts). All time math in exact integer microseconds; day index
+# floor(delta_us / day_us) is exact in double below 2^53.
+_D_SURV_DAILY = """
+    ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
     origins AS (
       SELECT user_id, MIN(t) AS t0 FROM ev WHERE event_type = 'signup'
       GROUP BY user_id),
@@ -1987,7 +1991,7 @@ def agg_chisq_independence(spark, sf_dir):
       GROUP BY e.user_id),
     study AS (SELECT MAX(t) AS t_end FROM ev),
     subj AS (
-      SELECT {{H}} % 2 AS arm,
+      SELECT {H} % 2 AS arm,
              CASE WHEN f.te IS NOT NULL THEN 1 ELSE 0 END AS observed,
              CAST(FLOOR((COALESCE(f.te, s.t_end) - o.t0) / 86400000000.0)
                   AS BIGINT) AS day
@@ -1997,55 +2001,12 @@ def agg_chisq_independence(spark, sf_dir):
       SELECT arm, day,
              CAST(SUM(observed) AS BIGINT) AS d,
              CAST(SUM(1 - observed) AS BIGINT) AS c
-      FROM subj GROUP BY arm, day),
-    km AS (
-      SELECT arm, day, d,
-             CAST(SUM(d + c) OVER (PARTITION BY arm)
-                  - COALESCE(SUM(d + c) OVER (PARTITION BY arm ORDER BY day
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  AS BIGINT) AS n_risk
-      FROM daily),
-    km2 AS (
-      SELECT arm, day, d, n_risk,
-             SUM(CASE WHEN d > 0 AND d < n_risk
-                      THEN LN((n_risk - d) * 1.0 / n_risk) ELSE 0.0 END)
-               OVER (PARTITION BY arm ORDER BY day
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
-             CAST(SUM(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
-               OVER (PARTITION BY arm ORDER BY day
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS died_out
-      FROM km)
-    SELECT arm, day, n_risk, d AS n_events,
-           CASE WHEN died_out > 0 THEN 0.0
-                ELSE (ROUND(EXP(lnsum), 6) + 0.0) END AS survival
-    FROM km2 WHERE d > 0
-    """.replace("{H}", _D_ABH),
-)
-def events_kaplan_meier(spark, sf_dir):
-    """Kaplan-Meier survival curve per experiment arm — time from
-    first signup to first subsequent purchase, right-censored at the
-    study end (global max ts). THE time-to-event readout the z-test
-    family (events_abtest_ztest, kstest, time_to_convert_curve)
-    can't give: it uses censored subjects correctly instead of
-    dropping them.
+      FROM subj GROUP BY arm, day)
+"""
 
-    Estimator: S(t) = prod over event days d_j <= t of
-    (1 - d_j / n_j), with n_j = subjects still at risk entering day
-    j (neither converted nor censored earlier). Determinism: all
-    counts are exact integers built from integer-microsecond time
-    math (unix_micros/epoch_us); day index is floor(delta_us / day_us)
-    — exact in double below 2^53. The product is computed as
-    EXP(running SUM(LN(term))) over at most ~30 per-arm day rows;
-    rounded to 6. Everything is keyed aggregation + per-arm windows
-    over the ~60-row daily table — one events scan at 100 TB, then
-    metadata-scale state.
 
-    Spark plan: 2 user-keyed shuffles (origin, first-conversion) +
-    a 1-row broadcast study end, then windows over the tiny
-    (arm, day) aggregate."""
-    from pyspark.sql import Window
-
+def _survival_daily(spark, sf_dir):
+    """Spark twin of :data:`_D_SURV_DAILY` — (arm, day, d, c)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("t")
     )
@@ -2075,10 +2036,65 @@ def events_kaplan_meier(spark, sf_dir):
             .alias("day"),
         )
     )
-    daily = subj.groupBy("arm", "day").agg(
+    return subj.groupBy("arm", "day").agg(
         F.sum("observed").cast("bigint").alias("d"),
         F.sum(1 - F.col("observed")).cast("bigint").alias("c"),
     )
+
+
+@register(
+    "events_kaplan_meier",
+    oracle=f"""
+    WITH {{DAILY}},
+    km AS (
+      SELECT arm, day, d,
+             CAST(SUM(d + c) OVER (PARTITION BY arm)
+                  - COALESCE(SUM(d + c) OVER (PARTITION BY arm ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM daily),
+    km2 AS (
+      SELECT arm, day, d, n_risk,
+             SUM(CASE WHEN d > 0 AND d < n_risk
+                      THEN LN((n_risk - d) * 1.0 / n_risk) ELSE 0.0 END)
+               OVER (PARTITION BY arm ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+             CAST(SUM(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (PARTITION BY arm ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS died_out
+      FROM km)
+    SELECT arm, day, n_risk, d AS n_events,
+           CASE WHEN died_out > 0 THEN 0.0
+                ELSE (ROUND(EXP(lnsum), 6) + 0.0) END AS survival
+    FROM km2 WHERE d > 0
+    """.replace("{DAILY}", _D_SURV_DAILY).replace("{H}", _D_ABH),
+)
+def events_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve per experiment arm — time from
+    first signup to first subsequent purchase, right-censored at the
+    study end (global max ts). THE time-to-event readout the z-test
+    family (events_abtest_ztest, kstest, time_to_convert_curve)
+    can't give: it uses censored subjects correctly instead of
+    dropping them.
+
+    Estimator: S(t) = prod over event days d_j <= t of
+    (1 - d_j / n_j), with n_j = subjects still at risk entering day
+    j (neither converted nor censored earlier). Determinism: all
+    counts are exact integers built from integer-microsecond time
+    math (unix_micros/epoch_us); day index is floor(delta_us / day_us)
+    — exact in double below 2^53. The product is computed as
+    EXP(running SUM(LN(term))) over at most ~30 per-arm day rows;
+    rounded to 6. Everything is keyed aggregation + per-arm windows
+    over the ~60-row daily table — one events scan at 100 TB, then
+    metadata-scale state.
+
+    Spark plan: 2 user-keyed shuffles (origin, first-conversion) +
+    a 1-row broadcast study end, then windows over the tiny
+    (arm, day) aggregate."""
+    from pyspark.sql import Window
+
+    daily = _survival_daily(spark, sf_dir)
     w_all = Window.partitionBy("arm")
     w_prior = Window.partitionBy("arm").orderBy("day").rowsBetween(
         Window.unboundedPreceding, -1
@@ -2110,5 +2126,156 @@ def events_kaplan_meier(spark, sf_dir):
             F.when(F.col("died_out") > 0, F.lit(0.0))
             .otherwise(F.round(F.exp("lnsum"), 6) + F.lit(0.0))
             .alias("survival"),
+        )
+    )
+
+
+@register(
+    "events_logrank_test",
+    oracle=f"""
+    WITH {{DAILY}},
+    pooled AS (
+      SELECT day, CAST(SUM(d) AS BIGINT) AS dj
+      FROM daily GROUP BY day HAVING SUM(d) > 0),
+    totals AS (
+      SELECT arm, CAST(SUM(d + c) AS BIGINT) AS n_tot
+      FROM daily GROUP BY arm),
+    grid AS (SELECT t.arm, p.day, p.dj, t.n_tot FROM totals t CROSS JOIN pooled p),
+    risk AS (
+      SELECT g.arm, g.day, g.dj,
+             CAST(g.n_tot - COALESCE(SUM(CASE WHEN d2.day < g.day
+                                              THEN d2.d + d2.c END), 0)
+                  AS BIGINT) AS n_r,
+             CAST(COALESCE(MAX(CASE WHEN d2.day = g.day THEN d2.d END), 0)
+                  AS BIGINT) AS d_arm
+      FROM grid g LEFT JOIN daily d2
+        ON d2.arm = g.arm AND d2.day <= g.day
+      GROUP BY g.arm, g.day, g.dj, g.n_tot),
+    perday AS (
+      SELECT a.day, a.dj,
+             a.n_r AS n_a, b.n_r AS n_b, a.d_arm AS d_a,
+             a.n_r + b.n_r AS n_j
+      FROM risk a JOIN risk b ON a.day = b.day AND a.arm = 0 AND b.arm = 1),
+    stats AS (
+      SELECT CAST(SUM(d_a) AS BIGINT) AS o_a,
+             SUM(dj * (n_a * 1.0 / n_j)) AS e_a,
+             SUM(CASE WHEN n_j > 1
+                      THEN dj * (n_a * 1.0 / n_j) * (1 - n_a * 1.0 / n_j)
+                           * (n_j - dj) * 1.0 / (n_j - 1)
+                      ELSE 0.0 END) AS v
+      FROM perday)
+    SELECT t0.n_tot AS n_a, t1.n_tot AS n_b, s.o_a,
+           ROUND(s.e_a, 6) AS e_a,
+           ROUND(CASE WHEN s.v > 0
+                      THEN (s.o_a - s.e_a) * (s.o_a - s.e_a) / s.v
+                      ELSE 0.0 END, 6) AS chi2,
+           COALESCE(CASE WHEN s.v > 0
+                         THEN (s.o_a - s.e_a) * (s.o_a - s.e_a) / s.v
+                         ELSE 0.0 END > 3.841, FALSE) AS significant
+    FROM stats s, (SELECT n_tot FROM totals WHERE arm = 0) t0,
+                  (SELECT n_tot FROM totals WHERE arm = 1) t1
+    """.replace("{{DAILY}}", "{DAILY}").replace("{DAILY}", _D_SURV_DAILY).replace("{H}", _D_ABH),
+)
+def events_logrank_test(spark, sf_dir):
+    """Log-rank (Mantel-Cox) test between the experiment arms'
+    survival curves — the significance companion to
+    `events_kaplan_meier` (which draws the curves, this decides
+    whether they differ). At each pooled event day j: observed arm-0
+    events d_Aj vs hypergeometric expectation dj*n_Aj/n_j and
+    variance dj*(n_Aj/n_j)*(1-n_Aj/n_j)*(n_j-dj)/(n_j-1); the
+    statistic (O_A - E_A)^2 / V is chi-square(1), cut at 3.841 (5%).
+
+    Uses censored subjects correctly through the shared risk-set
+    base (:func:`_survival_daily`). Risk sets at POOLED event days
+    come from an arm-equality-keyed theta join over the ~60-row
+    daily table (a pooled day may be absent from one arm's daily
+    rows, so per-arm window cumulation alone can't express it) —
+    metadata-scale by construction after the one events scan. All
+    counts exact integers; E/V are exact-integer ratios summed over
+    <=30 terms."""
+    daily = _survival_daily(spark, sf_dir)
+    pooled = (
+        daily.groupBy("day")
+        .agg(F.sum("d").cast("bigint").alias("dj"))
+        .filter(F.col("dj") > 0)
+    )
+    totals = daily.groupBy("arm").agg(
+        F.sum(F.col("d") + F.col("c")).cast("bigint").alias("n_tot")
+    )
+    grid = totals.crossJoin(pooled)
+    d2 = daily.select(
+        F.col("arm").alias("arm2"), F.col("day").alias("day2"), "d", "c"
+    )
+    risk = (
+        grid.join(
+            d2,
+            (F.col("arm2") == F.col("arm")) & (F.col("day2") <= F.col("day")),
+            "left",
+        )
+        .groupBy("arm", "day", "dj", "n_tot")
+        .agg(
+            (
+                F.col("n_tot")
+                - F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("day2") < F.col("day"),
+                            F.col("d") + F.col("c"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("n_r"),
+            F.coalesce(
+                F.max(F.when(F.col("day2") == F.col("day"), F.col("d"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("d_arm"),
+        )
+    )
+    a = risk.filter(F.col("arm") == 0).select(
+        "day", "dj", F.col("n_r").alias("n_a"), F.col("d_arm").alias("d_a")
+    )
+    b = risk.filter(F.col("arm") == 1).select(
+        F.col("day").alias("day_b"), F.col("n_r").alias("n_b")
+    )
+    perday = a.join(b, F.col("day") == F.col("day_b")).withColumn(
+        "n_j", F.col("n_a") + F.col("n_b")
+    )
+    frac = F.col("n_a") * 1.0 / F.col("n_j")
+    stats = perday.agg(
+        F.sum("d_a").cast("bigint").alias("o_a"),
+        F.sum(F.col("dj") * frac).alias("e_a"),
+        F.sum(
+            F.when(
+                F.col("n_j") > 1,
+                F.col("dj")
+                * frac
+                * (1 - frac)
+                * (F.col("n_j") - F.col("dj"))
+                * 1.0
+                / (F.col("n_j") - 1),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    chi2 = F.when(
+        F.col("v") > 0,
+        (F.col("o_a") - F.col("e_a")) * (F.col("o_a") - F.col("e_a")) / F.col("v"),
+    ).otherwise(0.0)
+    t0 = totals.filter(F.col("arm") == 0).select(F.col("n_tot").alias("n_a"))
+    t1 = totals.filter(F.col("arm") == 1).select(F.col("n_tot").alias("n_b"))
+    return (
+        stats.crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+        .select(
+            "n_a",
+            "n_b",
+            "o_a",
+            F.round("e_a", 6).alias("e_a"),
+            F.round(chi2, 6).alias("chi2"),
+            F.coalesce(chi2 > 3.841, F.lit(False)).alias("significant"),
         )
     )

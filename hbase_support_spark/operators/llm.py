@@ -848,6 +848,154 @@ def sim_knn_query(spark, sf_dir):
 
 
 @register(
+    "sim_knn_int8_recall",
+    oracle="""
+    WITH qz AS (
+      SELECT vec_id, embedding,
+             LIST_MIN(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+             LIST_MAX(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS hi
+      FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x ->
+               CAST(LEAST(GREATEST(FLOOR((CAST(x AS DOUBLE) - lo)
+                                         / (hi - lo) * 255.0), 0), 255)
+                    AS BIGINT)) AS codes,
+             CAST(LEAST(GREATEST(FLOOR((0.0 - lo) / (hi - lo) * 255.0), 0), 255)
+                  AS BIGINT) AS zp
+      FROM qz
+    ),
+    q AS (SELECT codes AS qc, zp AS qzp FROM coded WHERE vec_id = 0),
+    qf AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    iscored AS (
+      SELECT c.vec_id,
+             CAST(SUM((c.codes[r.i] - c.zp) * (q.qc[r.i] - q.qzp)) AS BIGINT)
+               AS s_int
+      FROM coded c, q, range(1, 65) r(i)
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id, c.zp, q.qzp
+    ),
+    itop AS (
+      SELECT vec_id, s_int,
+             CAST(ROW_NUMBER() OVER (ORDER BY s_int DESC, vec_id) AS BIGINT)
+               AS q_rank
+      FROM iscored ORDER BY s_int DESC, vec_id LIMIT 10
+    ),
+    fscored AS (
+      SELECT e.vec_id,
+             ROUND(SUM(CAST(e.embedding[r.i] AS DOUBLE) * CAST(qf.qv[r.i] AS DOUBLE)) /
+                   (SQRT(SUM(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE))) *
+                    SQRT(SUM(CAST(qf.qv[r.i] AS DOUBLE) * CAST(qf.qv[r.i] AS DOUBLE)))), 6)
+               AS cos_sim
+      FROM embeddings e, qf, range(1, 65) r(i)
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    ),
+    ftop AS (
+      SELECT vec_id FROM fscored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    )
+    SELECT i.q_rank, i.vec_id, i.s_int,
+           (f.vec_id IS NOT NULL) AS in_exact_top10
+    FROM itop i LEFT JOIN ftop f ON f.vec_id = i.vec_id
+    """,
+)
+def sim_knn_int8_recall(spark, sf_dir):
+    """Quantized-space kNN + in-engine recall audit: score candidates
+    by the INTEGER dot product of zero-point-centered uint8 codes
+    (each vector affine-quantized with its own min/max, the
+    `embedding_quantize_int8` scheme) and flag which of the int8
+    top-10 survive in the exact float top-10. This is the memory-
+    bandwidth play a 100-TB vector store actually makes — 4x smaller
+    scans — and the recall column is the evidence the speedup is
+    safe, measured in-engine like `sim_ivf_recall_report`.
+
+    Determinism by construction: codes and zero points are exact
+    floor-bucket integers (identical expressions both engines), the
+    score is an INTEGER sum (associative — partial-agg order can
+    never matter, unlike float dots), ranking ties break on vec_id,
+    and only the audit-side cosine touches floats (rounded to 6
+    before its own deterministic ordering). Plan: one broadcast of
+    the coded query row, map-side integer scoring, TakeOrdered 10;
+    the float audit pass shares the same map-only shape."""
+    e = load_table(spark, sf_dir, "embeddings")
+    staged = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("dv"),
+    ).select(
+        "vec_id",
+        "dv",
+        F.array_min("dv").alias("lo"),
+        F.array_max("dv").alias("hi"),
+    )
+    lo, hi = F.col("lo"), F.col("hi")
+
+    def bucket(x):
+        return F.least(
+            F.greatest(F.floor((x - lo) / (hi - lo) * 255.0), F.lit(0)),
+            F.lit(255),
+        ).cast("long")
+
+    coded = staged.select(
+        "vec_id",
+        F.transform(F.col("dv"), bucket).alias("codes"),
+        bucket(F.lit(0.0)).alias("zp"),
+    )
+    qc = coded.filter(F.col("vec_id") == 0).select(
+        F.col("codes").alias("qc"), F.col("zp").alias("qzp")
+    )
+    s_int = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("qc"),
+            lambda c, q: (c - F.col("zp")) * (q - F.col("qzp")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    itop = (
+        coded.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qc))
+        .select("vec_id", s_int.alias("s_int"))
+        .orderBy(F.col("s_int").desc(), "vec_id")
+        .limit(10)
+    )
+    from pyspark.sql import Window
+
+    itop = itop.withColumn(
+        "q_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("s_int").desc(), "vec_id"))
+        .cast("bigint"),
+    )
+    qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    ftop = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qf))
+        .select(
+            F.col("vec_id").alias("f_vec"),
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "f_vec")
+        .limit(10)
+        .select("f_vec")
+    )
+    return (
+        itop.join(ftop, itop.vec_id == ftop.f_vec, "left")
+        .select(
+            "q_rank",
+            "vec_id",
+            "s_int",
+            F.col("f_vec").isNotNull().alias("in_exact_top10"),
+        )
+    )
+
+
+@register(
     "sim_knn_ivf",
     oracle=f"""
     WITH q AS (SELECT embedding AS qv, label FROM embeddings WHERE vec_id = 7),

@@ -236,6 +236,8 @@ GRADING_PRIORITY: list[str] = [
     # ---- round-4 additions (tail: graded after everything above)
     "events_kaplan_meier",
     "dedup_semdedup_keep",
+    "events_logrank_test",
+    "sim_knn_int8_recall",
 ]
 
 

@@ -33,9 +33,11 @@ def test_no_cartesian_no_row_python(name, spark, sf_dir):
 # BY) moves its whole input to ONE task — Spark warns "No Partition
 # Defined for Window operation". That's metadata-scale-only territory:
 # the only place it may appear is above an Aggregate (a per-partition
-# counts frame, a digit histogram, a confusion matrix), never over a
-# raw table scan. Rank statistics over per-entity frames (RFM, Gini,
-# Zipf) use the distributed kernel in operators/ranking.py instead.
+# counts frame, a digit histogram, a confusion matrix) or a global
+# Limit (a top-k frame already cut to k rows, e.g. ranking the int8
+# top-10), never over a raw table scan. Rank statistics over
+# per-entity frames (RFM, Gini, Zipf) use the distributed kernel in
+# operators/ranking.py instead.
 
 
 def _children(node):
@@ -47,7 +49,8 @@ def _subtree_has_aggregate(node) -> bool:
     stack = [node]
     while stack:
         n = stack.pop()
-        if "Aggregate" in n.nodeName():
+        nn = n.nodeName()
+        if "Aggregate" in nn or "Limit" in nn or "TakeOrdered" in nn:
             return True
         stack.extend(_children(n))
     return False
