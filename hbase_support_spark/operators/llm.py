@@ -143,6 +143,77 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+@register(
+    "text_source_vocab_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source, UNNEST({D_SHINGLES}) AS g FROM documents
+    ),
+    n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_sh
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, s.shared_sh,
+           na.n_sh AS n_a, nb.n_sh AS n_b,
+           ROUND(s.shared_sh * 1.0 / (na.n_sh + nb.n_sh - s.shared_sh), 6)
+             AS vocab_jaccard
+    FROM shared s
+    JOIN n na ON na.source = s.source_a
+    JOIN n nb ON nb.source = s.source_b
+    """,
+)
+def text_source_vocab_overlap(spark, sf_dir):
+    """Source-by-source 3-gram vocabulary overlap matrix — which
+    crawls/feeds duplicate each other's CONTENT SPACE (the planning
+    view before cross-source dedup: a pair with high vocabulary
+    Jaccard is where `dedup_near_minhash` should spend its budget,
+    and a train-source sharing vocabulary mass with an eval source
+    is a contamination flag before any doc-level match exists).
+
+    Scale shape: distinct (source, shingle) projection — one shuffle
+    on the shingle — then a self-join keyed on the shingle whose
+    fan-out per key is bounded by #sources² (a few hundred), NOT by
+    document count; the matrix itself is #sources² rows. Safe at
+    100 TB by construction; no document pair is ever formed."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        with_shingles(d, "source")
+        .select("source", F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    n = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_sh"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_sh",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_sh")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_sh")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
 # Oracle cost control (the driver runs this SQL too): J >= 0.7 forces
 # a shingle-count ratio >= 0.7 — the size predicate prunes most of the
 # N^2 pairs before LIST_INTERSECT; and since shingle lists are

@@ -238,6 +238,7 @@ GRADING_PRIORITY: list[str] = [
     "dedup_semdedup_keep",
     "events_logrank_test",
     "sim_knn_int8_recall",
+    "text_source_vocab_overlap",
 ]
 
 
