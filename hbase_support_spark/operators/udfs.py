@@ -281,8 +281,15 @@ _FRAME_LEN = 64  # bytes per sampled frame
            CAST('0x' || substring(md5(substring(text, i * {_FRAME_STRIDE} + 1,
                                                {_FRAME_LEN})), 1, 15) AS BIGINT)
              AS frame_digest
-    FROM documents, range(0, 4096) r(i)
-    WHERE i * {_FRAME_STRIDE} + {_FRAME_LEN} <= length(text)
+    -- per-row unnest(range(...)): bound derived from each doc's
+    -- length, not a hard 4096 cap (ADVICE r03 class: a fixed range
+    -- cross join silently truncates long payloads)
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CASE WHEN length(text) >= {_FRAME_LEN}
+                                      THEN (length(text) - {_FRAME_LEN})
+                                           // {_FRAME_STRIDE} + 1
+                                      ELSE 0 END)) AS i
+          FROM documents)
     """,
 )
 def multimodal_frame_sample(spark, sf_dir):
@@ -327,6 +334,85 @@ def multimodal_frame_sample(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(sample, _FRAME_SCHEMA)
+
+
+_AUDIO_FRAME = 256  # samples per analysis frame
+_AUDIO_HOP = 128  # hop between frames (50% overlap)
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text AS s, length(text) AS n FROM documents),
+    cs AS (
+      SELECT doc_id, n,
+             list_transform(range(1, n + 1), i -> ascii(substring(s, i, 1)))
+               AS codes
+      FROM t WHERE n >= {_AUDIO_FRAME}
+    ),
+    fr AS (
+      SELECT doc_id, codes,
+             unnest(range(0, (n - {_AUDIO_FRAME}) // {_AUDIO_HOP} + 1)) AS i
+      FROM cs
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(list_sum(list_transform(
+                  list_slice(codes, i * {_AUDIO_HOP} + 1,
+                             i * {_AUDIO_HOP} + {_AUDIO_FRAME}),
+                  c -> (c - 128) * (c - 128))) AS BIGINT) AS energy
+    FROM fr
+    """,
+)
+def multimodal_audio_energy(spark, sf_dir):
+    """Audio analysis plumbing: short-time frame energy over an
+    opaque PCM payload — 256-sample frames at 50% overlap, the
+    windowing every downstream audio featurizer (VAD, MFCC, speech
+    segmenting) starts from. The payload is the documents' text
+    bytes decoded as 8-bit samples centered at 128 (deterministic
+    fake decode — audio codecs are absent in this sandbox; the real
+    deployment swaps `np.fromiter(ord)` for the PCM decoder at the
+    same seam). Energy is an INTEGER sum of squared centered
+    samples — exact, order-proof, oracle-verifiable to the bit.
+
+    Kernel: one numpy cumsum of squares per document, each frame a
+    constant-time difference — O(n) per doc, not O(n·frames).
+    Scale shape: map-only mapInPandas, no shuffle; output rows
+    ~ samples/hop; Arrow batches bound worker memory under length
+    skew. Companion to `multimodal_frame_sample` (video) and
+    `multimodal_feature_extract` (image embedding seam)."""
+    frame, hop = _AUDIO_FRAME, _AUDIO_HOP
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, eng = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                if n < frame:
+                    continue
+                codes = np.fromiter((ord(c) for c in text), dtype=np.int64, count=n)
+                sq = (codes - 128) ** 2
+                cs = np.concatenate(([0], np.cumsum(sq)))
+                nfr = (n - frame) // hop + 1
+                for i in range(nfr):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    eng.append(int(cs[i * hop + frame] - cs[i * hop]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "energy": eng}
+            ).astype({"doc_id": "int64", "frame_idx": "int32", "energy": "int64"})
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(energies, _AUDIO_SCHEMA)
 
 
 _THUMB_SCHEMA = StructType(

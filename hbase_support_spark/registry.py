@@ -239,6 +239,7 @@ GRADING_PRIORITY: list[str] = [
     "events_logrank_test",
     "sim_knn_int8_recall",
     "text_source_vocab_overlap",
+    "multimodal_audio_energy",
 ]
 
 
