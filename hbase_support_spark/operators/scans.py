@@ -373,6 +373,57 @@ def index_point_lookup(spark, sf_dir):
 
 
 @register(
+    "index_incremental_lookup",
+    oracle="""
+    WITH merged AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 97 = 0 THEN 'BUILDING'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM merged WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def index_incremental_lookup(spark, sf_dir):
+    """Incremental secondary-index maintenance
+    (sources/indexes.py:index_incremental_update): build the
+    segment index once, upsert a deterministic delta (every 97th
+    customer moves to BUILDING), refresh ONLY the touched value
+    buckets via dynamic partition overwrite, and answer the probe
+    through the updated index. The oracle recomputes the lookup
+    from the merged base in pure SQL, proving the incrementally
+    maintained index returns exactly the post-upsert row set —
+    stale entries gone, new entries present. Write amplification is
+    bucket-count-bounded (asserted in tests/test_snapshots_indexes):
+    a delta touching 2 segments rewrites <= 3 of 16 bucket dirs."""
+    from ..sources.indexes import (
+        index_build,
+        index_incremental_update,
+        index_lookup,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    idx_dir = os.path.join(_SCRATCH, "idx_customer_segment_incr")
+    index_build(c, idx_dir, "c_mktsegment", "c_custkey")
+    delta = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.lit("BUILDING").alias("c_mktsegment"), "c_custkey"
+    )
+    index_incremental_update(
+        spark, idx_dir, c, delta, "c_mktsegment", "c_custkey"
+    )
+    merged = c.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 97 == 0, F.lit("BUILDING")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    return index_lookup(
+        spark, merged, idx_dir, "c_mktsegment", "c_custkey", "BUILDING"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
     "layout_hotspot_report",
     oracle="""
     WITH bounds AS (

@@ -240,6 +240,7 @@ GRADING_PRIORITY: list[str] = [
     "sim_knn_int8_recall",
     "text_source_vocab_overlap",
     "multimodal_audio_energy",
+    "index_incremental_lookup",
 ]
 
 

@@ -68,3 +68,62 @@ def index_lookup(
         .distinct()
     )
     return base.join(F.broadcast(keys), key_col, "left_semi")
+
+
+def index_incremental_update(
+    spark: SparkSession,
+    index_dir: str,
+    base_before: DataFrame,
+    delta: DataFrame,
+    indexed_col: str,
+    key_col: str,
+    n_buckets: int = 16,
+) -> dict:
+    """Maintain the index through an upsert WITHOUT rebuilding it:
+    rewrite only the value-buckets actually touched by the delta —
+    the buckets of the updated keys' OLD values (their stale entries
+    must disappear) plus the buckets of the NEW values (their
+    entries must appear). Everything else is untouched on disk,
+    exactly the file-level COW economics of txlog MERGE applied to
+    the index table: a 1-row delta against a 100 TB index rewrites
+    ~2 bucket directories, not the index.
+
+    Mechanics: dynamic partition overwrite (per-bucket dirs) with
+    the replacement content = (current touched-bucket entries minus
+    updated keys) ∪ (delta entries). Returns
+    {buckets_total, buckets_rewritten} so callers — and tests — see
+    the write amplification."""
+    bucket_of = lambda c: F.crc32(c.cast("string")) % n_buckets  # noqa: E731
+    keys = delta.select(key_col).distinct()
+    old_entries = base_before.join(F.broadcast(keys), key_col, "left_semi").select(
+        indexed_col, key_col
+    )
+    new_entries = delta.select(indexed_col, key_col)
+    touched = sorted(
+        r["bucket"]
+        for r in old_entries.select(bucket_of(F.col(indexed_col)).alias("bucket"))
+        .unionAll(new_entries.select(bucket_of(F.col(indexed_col)).alias("bucket")))
+        .distinct()
+        .collect()
+    )  # bucket-id list: metadata-scale driver round-trip
+    idx = spark.read.parquet(index_dir)
+    survivors = idx.filter(F.col("bucket").isin(touched)).join(
+        F.broadcast(keys), key_col, "left_anti"
+    )
+    additions = new_entries.withColumn(
+        "bucket", bucket_of(F.col(indexed_col))
+    ).select(*survivors.columns)
+    (
+        survivors.unionByName(additions)
+        .repartition("bucket")
+        .sortWithinPartitions(indexed_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
+    return {
+        "buckets_total": n_buckets,
+        "buckets_rewritten": len(touched),
+        "buckets": touched,
+    }

@@ -104,3 +104,75 @@ def test_snapshot_diff_plans_incremental_backup(spark, sf_dir, tmp_path):
     # and the reverse direction sees the files as removed
     rd = snapshot_diff(spark, m2, m1)
     assert rd["added_files"] == [] and rd["removed_files"] == d["added_files"]
+
+
+def test_index_incremental_update_rewrites_only_touched_buckets(
+    spark, sf_dir, tmp_path
+):
+    """The incremental path must (a) return exactly the post-upsert
+    row set for every segment — stale entries gone, new present —
+    and (b) leave every untouched bucket's files byte-identical on
+    disk (bucket-bounded write amplification, the point of the op)."""
+    import os
+
+    from hbase_support_spark.sources.indexes import index_incremental_update
+
+    c = load_table(spark, sf_dir, "customer")
+    idx = str(tmp_path / "idx")
+    index_build(c, idx, "c_mktsegment", "c_custkey")
+
+    def files_by_bucket():
+        out = {}
+        for d in os.listdir(idx):
+            if d.startswith("bucket="):
+                p = os.path.join(idx, d)
+                out[d] = {
+                    f: os.path.getmtime(os.path.join(p, f))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = files_by_bucket()
+    delta = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.lit("BUILDING").alias("c_mktsegment"), "c_custkey"
+    )
+    stats = index_incremental_update(
+        spark, idx, c, delta, "c_mktsegment", "c_custkey"
+    )
+    after = files_by_bucket()
+
+    # write amplification: delta touches the old segments' buckets +
+    # BUILDING's bucket, far below the full 16
+    assert 1 <= stats["buckets_rewritten"] < stats["buckets_total"]
+    touched_dirs = {f"bucket={b}" for b in stats["buckets"]}
+    for b in before:
+        if b not in touched_dirs:
+            assert before[b] == after[b], f"untouched {b} was rewritten"
+    assert any(
+        b in after and before[b] != after[b] for b in touched_dirs if b in before
+    )
+
+    # correctness per segment against the merged base
+    merged = c.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 97 == 0, F.lit("BUILDING")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    for seg in [r[0] for r in merged.select("c_mktsegment").distinct().collect()]:
+        got = {
+            r[0]
+            for r in index_lookup(
+                spark, merged, idx, "c_mktsegment", "c_custkey", seg
+            )
+            .select("c_custkey")
+            .collect()
+        }
+        want = {
+            r[0]
+            for r in merged.filter(F.col("c_mktsegment") == seg)
+            .select("c_custkey")
+            .collect()
+        }
+        assert got == want, f"segment {seg}: index drift"
