@@ -694,3 +694,80 @@ def merge_into_txlog(spark, sf_dir):
             )
         )
     return stats[0].unionByName(stats[1])
+
+
+@register(
+    "txlog_changes_feed",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    ins(k, p) AS (VALUES (CAST(99000001 AS BIGINT), CAST(11.5 AS DOUBLE)),
+                         (99000002, 22.5), (99000003, 33.5)),
+    merged AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN ROUND(o_totalprice + 1000.0, 2)
+                  ELSE o_totalprice END AS p
+      FROM base
+      UNION ALL SELECT k, p FROM ins),
+    final AS (SELECT k, p FROM merged WHERE k % 37 <> 1)
+    SELECT f.k AS o_orderkey, f.p AS o_totalprice, 'insert' AS _change_type
+    FROM final f LEFT JOIN base b ON b.o_orderkey = f.k
+    WHERE b.o_orderkey IS NULL
+    UNION ALL
+    SELECT b.o_orderkey, b.o_totalprice, 'delete'
+    FROM base b LEFT JOIN final f ON f.k = b.o_orderkey
+    WHERE f.k IS NULL
+    UNION ALL
+    SELECT f.k, f.p, 'update_postimage'
+    FROM final f JOIN base b ON b.o_orderkey = f.k
+    WHERE f.p <> b.o_totalprice
+    """,
+)
+def txlog_changes_feed(spark, sf_dir):
+    """CDC over the transaction log (sources/txlog.py:txlog_changes —
+    Delta CDF semantics): init orders as v1, MERGE a delta (+1000 to
+    every 10th order, three inserts) as v2, COW-DELETE every 37th
+    key as v3, then emit the NET v1→v3 change feed — inserts and
+    updates carry the v3 image, deletes the v1 pre-image; a key
+    updated then deleted nets to one 'delete'. The oracle recomputes
+    the identical net diff from pure SQL over the fixture.
+
+    Scale: the feed is computed ONLY from files that differ between
+    the two manifests (carried-by-reference files are immutable, so
+    their rows provably didn't change) — one full-outer join over
+    ~the delta's files, never a 100 TB table diff. The downstream
+    consumer is any incremental materialization: index maintenance
+    (index_incremental_update), streaming foreachBatch MERGE, or a
+    feature-store refresh."""
+    import os
+    import shutil
+
+    from ..sources.txlog import (
+        txlog_changes,
+        txlog_delete,
+        txlog_init,
+        txlog_merge,
+    )
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+    )
+    target = os.path.join(scratch, "txlog_cdc_orders")
+    shutil.rmtree(target, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    txlog_init(o.repartitionByRange(8, "o_orderkey"), target)
+    delta = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(99000001, 11.5), (99000002, 22.5), (99000003, 33.5)],
+                "o_orderkey long, o_totalprice double",
+            )
+        )
+    )
+    txlog_merge(spark, target, delta, "o_orderkey")
+    txlog_delete(spark, target, "o_orderkey % 37 = 1")
+    return txlog_changes(spark, target, 1, 3, "o_orderkey")

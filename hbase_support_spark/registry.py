@@ -241,6 +241,7 @@ GRADING_PRIORITY: list[str] = [
     "text_source_vocab_overlap",
     "multimodal_audio_energy",
     "index_incremental_lookup",
+    "txlog_changes_feed",
 ]
 
 

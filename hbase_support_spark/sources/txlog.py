@@ -372,3 +372,66 @@ def txlog_scan(
         else _read_files(spark, files).filter(F.lit(False))
     )
     return df, {"files_total": len(files), "files_read": len(keep)}
+
+
+def txlog_changes(
+    spark: SparkSession, table_dir: str, v_from: int, v_to: int, key: str
+) -> DataFrame:
+    """CDC feed between two committed versions (Delta CDF semantics):
+    one row per NET-changed key, tagged ``_change_type`` in
+    {'insert', 'update_postimage', 'delete'} — inserts/updates carry
+    the v_to image, deletes carry the v_from pre-image.
+
+    The COW economics make this cheap: files carried BY REFERENCE
+    between the two manifests are immutable and identical, so their
+    rows cannot have changed — only rows in from-only files vs
+    to-only files are compared (full outer join on the key, value
+    columns null-safe-compared, identical rows dropped as rewrite
+    noise). CDC cost scales with the CHANGED files, not the table:
+    a 1 GB delta against a 100 TB table diffs ~the delta's files."""
+    mf = _read_manifest(table_dir, v_from)
+    mt = _read_manifest(table_dir, v_to)
+    from_only = [f for f in mf["files"] if f not in set(mt["files"])]
+    to_only = [f for f in mt["files"] if f not in set(mf["files"])]
+
+    def read_or_empty(files: list[str], all_files: list[str]) -> DataFrame:
+        if files:
+            return _read_files(spark, files)
+        return _read_files(spark, all_files).filter(F.lit(False))
+
+    old = read_or_empty(from_only, mf["files"])
+    new = read_or_empty(to_only, mt["files"])
+    # schema evolution: compare over the union of value columns
+    # (missing columns read as null on the narrow side)
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    for c in old.columns:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+    val_cols = [c for c in new.columns if c != key]
+    o = old.select(F.col(key).alias("_k"), *[F.col(c).alias(f"_o_{c}") for c in val_cols])
+    n = new.select(F.col(key).alias("_n_k"), *val_cols)
+    j = o.join(n, o["_k"] == n["_n_k"], "full_outer")
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+    change = (
+        F.when(F.col("_k").isNull(), F.lit("insert"))
+        .when(F.col("_n_k").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update_postimage"))
+    )
+    out_cols = [
+        F.coalesce(F.col("_n_k"), F.col("_k")).alias(key),
+        *[
+            F.when(F.col("_n_k").isNull(), F.col(f"_o_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in val_cols
+        ],
+    ]
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(*out_cols, "_change_type")
+    )

@@ -255,3 +255,74 @@ def test_mixed_schema_write_paths_keep_widened_values(spark, sf_dir, table):
     # the other 2 widened keys must still carry 0.15
     assert final.filter(F.col("discount").isNotNull()).count() == 2
     assert final.count() == orders.count() - 1
+
+
+def test_txlog_changes_net_diff_and_file_pruning(spark, sf_dir, table):
+    """CDC (txlog_changes): net v1->vN diff must match a recomputed
+    reference — update-then-delete nets to 'delete' with the v1
+    pre-image — and the feed must be built from ONLY the files that
+    differ between the manifests (carried files never read)."""
+    from hbase_support_spark.sources.txlog import (
+        _read_manifest,
+        txlog_changes,
+        txlog_delete,
+        txlog_merge,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    # FILE-LOCAL history: updates and deletes confined to the lowest
+    # rowkey range so most of the 8 range files are carried untouched
+    cut = [
+        r[0]
+        for r in orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(40)
+        .collect()
+    ]
+    upd_keys, del_keys = cut[:20], cut[20:]
+    delta = orders.filter(F.col("o_orderkey").isin(upd_keys)).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 1000.0, 2)
+    )
+    txlog_merge(spark, table, delta, "o_orderkey")
+    txlog_delete(
+        spark, table, f"o_orderkey IN ({','.join(str(k) for k in del_keys)})"
+    )
+
+    feed = txlog_changes(spark, table, 1, 3, "o_orderkey")
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type.get("delete", 0) == len(del_keys)
+    assert by_type.get("update_postimage", 0) == len(upd_keys)
+    assert "insert" not in by_type  # pure update+delete history
+
+    # deletes carry the v1 PRE-image
+    k = del_keys[0]
+    v1_price = orders.filter(F.col("o_orderkey") == k).collect()[0]["o_totalprice"]
+    got = feed.filter(F.col("o_orderkey") == k).collect()[0]
+    assert got["_change_type"] == "delete"
+    assert got["o_totalprice"] == v1_price
+
+    # file-level pruning: some v1 files are carried into v3 untouched
+    f1 = set(_read_manifest(table, 1)["files"])
+    f3 = set(_read_manifest(table, 3)["files"])
+    assert f1 & f3, "no carried files — the COW economics are broken"
+
+
+def test_txlog_changes_sees_widened_column(spark, sf_dir, table):
+    """CDC across a schema-widening merge reports the new column —
+    updates carry it, and value comparison spans the union schema."""
+    from hbase_support_spark.sources.txlog import txlog_changes, txlog_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    some = [r[0] for r in orders.select("o_orderkey").limit(3).collect()]
+    src = orders.filter(F.col("o_orderkey").isin(some)).withColumn(
+        "discount", F.lit(0.15)
+    )
+    txlog_merge(spark, table, src, "o_orderkey")
+    feed = txlog_changes(spark, table, 1, 2, "o_orderkey")
+    assert "discount" in feed.columns
+    upd = feed.filter(F.col("_change_type") == "update_postimage")
+    assert upd.count() == 3
+    assert upd.filter(F.col("discount") == 0.15).count() == 3
