@@ -771,3 +771,117 @@ def txlog_changes_feed(spark, sf_dir):
     txlog_merge(spark, target, delta, "o_orderkey")
     txlog_delete(spark, target, "o_orderkey % 37 = 1")
     return txlog_changes(spark, target, 1, 3, "o_orderkey")
+
+
+@register(
+    "matview_incremental_refresh",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    ins(k, p) AS (VALUES (CAST(99000001 AS BIGINT), CAST(11.5 AS DOUBLE)),
+                         (99000002, 22.5), (99000003, 33.5)),
+    merged AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN ROUND(o_totalprice + 1000.0, 2)
+                  ELSE o_totalprice END AS p
+      FROM base
+      UNION ALL SELECT k, p FROM ins),
+    final AS (SELECT k, p FROM merged WHERE k % 37 <> 1)
+    SELECT k % 16 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(FLOOR(p * 100 + 0.5) AS BIGINT)) / 100.0 AS total
+    FROM final GROUP BY k % 16
+    """,
+)
+def matview_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance — the canonical CDC
+    consumer: a persisted per-bucket (COUNT, cents-SUM) aggregate of
+    the txlog table is refreshed by APPLYING the v1→v3 change feed
+    (with Delta-CDF pre-images) instead of recomputing: pre-image
+    and delete rows subtract (-1, -cents), post-image and insert
+    rows add (+1, +cents); integer adjustments merge into the stored
+    view by a full-outer join on the group key. The oracle computes
+    the view FROM SCRATCH over the final state — hash equality IS
+    the proof that incremental == recompute.
+
+    Scale math: refresh cost = O(changed files) for the feed +
+    O(distinct touched groups) for the merge — a 1 GB delta
+    refreshes a 100 TB table's rollup in seconds, the entire reason
+    warehouses maintain materialized views off a CDC stream. All
+    adjustments are exact integers (cents contract), so incremental
+    drift is impossible by construction, not just unlikely."""
+    import os
+    import shutil
+
+    from ..sources.txlog import (
+        txlog_changes,
+        txlog_delete,
+        txlog_init,
+        txlog_merge,
+        txlog_read,
+    )
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+    )
+    target = os.path.join(scratch, "txlog_mv_orders")
+    shutil.rmtree(target, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    txlog_init(o.repartitionByRange(8, "o_orderkey"), target)
+
+    cents = lambda c: F.floor(c * 100 + 0.5).cast("long")  # noqa: E731
+    bucket = lambda k: (F.col(k) % 16).alias("bucket")  # noqa: E731
+    mv1 = (
+        txlog_read(spark, target, version=1)
+        .groupBy(bucket("o_orderkey"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("o_totalprice"))).alias("cents"),
+        )
+        .localCheckpoint(eager=False)  # the "persisted" view state
+    )
+
+    delta = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(99000001, 11.5), (99000002, 22.5), (99000003, 33.5)],
+                "o_orderkey long, o_totalprice double",
+            )
+        )
+    )
+    txlog_merge(spark, target, delta, "o_orderkey")
+    txlog_delete(spark, target, "o_orderkey % 37 = 1")
+
+    feed = txlog_changes(spark, target, 1, 3, "o_orderkey", preimages=True)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    adj = (
+        feed.select(
+            bucket("o_orderkey"),
+            sign.alias("s"),
+            (sign * cents(F.col("o_totalprice"))).alias("dc"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("s").alias("d_rows"), F.sum("dc").alias("d_cents"))
+    )
+    refreshed = (
+        mv1.join(adj, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_rows", F.lit(0))).alias(
+                "n_rows"
+            ),
+            (F.coalesce("cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0))).alias(
+                "cents"
+            ),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return refreshed.select(
+        "bucket", "n_rows", (F.col("cents") / 100.0).alias("total")
+    )

@@ -242,6 +242,7 @@ GRADING_PRIORITY: list[str] = [
     "multimodal_audio_energy",
     "index_incremental_lookup",
     "txlog_changes_feed",
+    "matview_incremental_refresh",
 ]
 
 

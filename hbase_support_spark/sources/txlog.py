@@ -375,12 +375,21 @@ def txlog_scan(
 
 
 def txlog_changes(
-    spark: SparkSession, table_dir: str, v_from: int, v_to: int, key: str
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+    preimages: bool = False,
 ) -> DataFrame:
     """CDC feed between two committed versions (Delta CDF semantics):
     one row per NET-changed key, tagged ``_change_type`` in
     {'insert', 'update_postimage', 'delete'} — inserts/updates carry
-    the v_to image, deletes carry the v_from pre-image.
+    the v_to image, deletes carry the v_from pre-image. With
+    ``preimages=True`` every updated key emits a second
+    'update_preimage' row carrying the v_from values (the full Delta
+    CDF row set) — exactly what incremental aggregate maintenance
+    needs: pre rows subtract, post rows add.
 
     The COW economics make this cheap: files carried BY REFERENCE
     between the two manifests are immutable and identical, so their
@@ -430,8 +439,17 @@ def txlog_changes(
             for c in val_cols
         ],
     ]
-    return (
+    feed = (
         j.withColumn("_change_type", change)
         .filter(F.col("_change_type").isNotNull())
-        .select(*out_cols, "_change_type")
+        .localCheckpoint(eager=False)
     )
+    out = feed.select(*out_cols, "_change_type")
+    if preimages:
+        pre = feed.filter(F.col("_change_type") == "update_postimage").select(
+            F.col("_k").alias(key),
+            *[F.col(f"_o_{c}").alias(c) for c in val_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        out = out.unionByName(pre)
+    return out

@@ -326,3 +326,34 @@ def test_txlog_changes_sees_widened_column(spark, sf_dir, table):
     upd = feed.filter(F.col("_change_type") == "update_postimage")
     assert upd.count() == 3
     assert upd.filter(F.col("discount") == 0.15).count() == 3
+
+
+def test_txlog_changes_preimages_carry_v1_values(spark, sf_dir, table):
+    """preimages=True: every updated key emits BOTH Delta-CDF rows —
+    update_preimage with the v_from values and update_postimage with
+    the v_to values — so aggregate maintenance can subtract/add."""
+    from hbase_support_spark.sources.txlog import txlog_changes, txlog_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    some = [r[0] for r in orders.select("o_orderkey").limit(5).collect()]
+    delta = orders.filter(F.col("o_orderkey").isin(some)).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 1000.0, 2)
+    )
+    txlog_merge(spark, table, delta, "o_orderkey")
+    feed = txlog_changes(spark, table, 1, 2, "o_orderkey", preimages=True)
+    pre = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in feed.filter(F.col("_change_type") == "update_preimage").collect()
+    }
+    post = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in feed.filter(F.col("_change_type") == "update_postimage").collect()
+    }
+    want = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in orders.filter(F.col("o_orderkey").isin(some)).collect()
+    }
+    assert set(pre) == set(post) == set(want)
+    for k in want:
+        assert pre[k] == want[k]
+        assert post[k] == round(want[k] + 1000.0, 2)
