@@ -2279,3 +2279,164 @@ def events_logrank_test(spark, sf_dir):
             F.coalesce(chi2 > 3.841, F.lit(False)).alias("significant"),
         )
     )
+
+
+@register(
+    "agg_mad_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(CAST(value AS DOUBLE), 0.50) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, CAST(e.value AS DOUBLE) AS v, m.med,
+             ABS(CAST(e.value AS DOUBLE) - m.med) AS adev
+      FROM events e JOIN med m ON m.event_type = e.event_type),
+    mad AS (
+      SELECT event_type, MIN(med) AS med,
+             quantile_cont(adev, 0.50) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           ROUND(MIN(m.med), 6) AS med,
+           ROUND(MIN(m.mad), 6) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN m.mad > 0
+                          AND ABS(0.6745 * (d.v - m.med) / m.mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+)
+def agg_mad_robust_outliers(spark, sf_dir):
+    """Robust outlier census per group: median absolute deviation
+    and the modified z-score (Iglewicz-Hoaglin: 0.6745·(x-med)/MAD,
+    cut at 3.5) — the outlier detector that doesn't let the outliers
+    poison their own threshold, unlike `events_anomaly_zscore`'s
+    mean/stddev. Both medians are EXACT interpolated quantiles
+    (Spark percentile == DuckDB quantile_cont, the
+    agg_percentile_exact_groups contract); deviations are identical
+    IEEE expressions in both engines, so the census is
+    hash-gradable. Shape: two grouped sort-aggregates + two
+    broadcast joins of the tiny per-group stats frame back onto the
+    scan — group cardinality bounds the sort, the hash shuffle
+    distributes groups."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"), F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    z_out = (
+        (F.col("mad") > 0)
+        & (F.abs(0.6745 * (F.col("v") - F.col("m_med")) / F.col("mad")) > 3.5)
+    ).cast("int")
+    return (
+        dev.select("event_type", "v")
+        .join(
+            F.broadcast(
+                mad.select(
+                    "event_type", F.col("med").alias("m_med"), "mad"
+                )
+            ),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("m_med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count("*").alias("n"),
+            F.sum(z_out).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "privacy_k_anonymity_lattice",
+    oracle="""
+    WITH l0 AS (
+      SELECT COUNT(*) AS n FROM customer GROUP BY c_mktsegment, c_nationkey),
+    l1 AS (
+      SELECT COUNT(*) AS n
+      FROM customer c JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+      GROUP BY c.c_mktsegment, nt.n_regionkey),
+    l2 AS (SELECT COUNT(*) AS n FROM customer GROUP BY c_mktsegment),
+    lv AS (
+      SELECT 0 AS gen_level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(MIN(n) AS BIGINT) AS min_group,
+             CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+               AS rows_at_risk
+      FROM l0
+      UNION ALL
+      SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+      FROM l1
+      UNION ALL
+      SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+      FROM l2)
+    SELECT gen_level, n_groups, min_group, rows_at_risk,
+           (rows_at_risk = 0 AND gen_level =
+              (SELECT MIN(gen_level) FROM lv WHERE rows_at_risk = 0))
+             AS recommended
+    FROM lv
+    """,
+)
+def privacy_k_anonymity_lattice(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier generalization
+    lattice (Samarati's model, k=5): level 0 = (segment, nation),
+    level 1 generalizes nation → region, level 2 drops geography.
+    Per level: group count, smallest group, and rows re-identifiable
+    through a group smaller than k; the RECOMMENDED level is the
+    least-generalized one with zero at-risk rows — what a release
+    pipeline applies before publishing the dataset. The governance
+    twin of `text_scrub_pii` (that one removes direct identifiers;
+    this one measures the quasi-identifier risk that remains).
+
+    Scale shape: each lattice level is one grouped count over the
+    scan (broadcast nation dim for the region rollup) collapsed to a
+    3-row metadata frame — cost is levels × one aggregate, flat in
+    table size."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def level(df, cols, lvl):
+        g = df.groupBy(*cols).agg(F.count("*").alias("n"))
+        return g.agg(
+            F.lit(lvl).alias("gen_level"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.min("n").cast("bigint").alias("min_group"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") < 5, F.col("n"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("rows_at_risk"),
+        )
+
+    withreg = c.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"), "n_regionkey")),
+        "c_nationkey",
+    )
+    lv = (
+        level(c, ["c_mktsegment", "c_nationkey"], 0)
+        .unionByName(level(withreg, ["c_mktsegment", "n_regionkey"], 1))
+        .unionByName(level(c, ["c_mktsegment"], 2))
+    )
+    best = lv.filter(F.col("rows_at_risk") == 0).agg(
+        F.min("gen_level").alias("best_level")
+    )
+    return lv.crossJoin(F.broadcast(best)).select(
+        "gen_level",
+        "n_groups",
+        "min_group",
+        "rows_at_risk",
+        (
+            (F.col("rows_at_risk") == 0)
+            & (F.col("gen_level") == F.col("best_level"))
+        ).alias("recommended"),
+    )

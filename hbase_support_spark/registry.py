@@ -243,6 +243,8 @@ GRADING_PRIORITY: list[str] = [
     "index_incremental_lookup",
     "txlog_changes_feed",
     "matview_incremental_refresh",
+    "agg_mad_robust_outliers",
+    "privacy_k_anonymity_lattice",
 ]
 
 
