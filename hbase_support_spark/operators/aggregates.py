@@ -2440,3 +2440,84 @@ def privacy_k_anonymity_lattice(spark, sf_dir):
             & (F.col("gen_level") == F.col("best_level"))
         ).alias("recommended"),
     )
+
+
+@register(
+    "events_funnel_24h",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    s1 AS (
+      SELECT user_id, MIN(t) AS t1 FROM ev WHERE event_type = 'signup'
+      GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.t) AS t2
+      FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.t > s1.t1
+        AND e.t <= s1.t1 + 86400000000
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.t) AS t3
+      FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.t > s2.t2
+        AND e.t <= s2.t2 + 86400000000
+      GROUP BY e.user_id),
+    n AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS stage1_signup,
+             (SELECT COUNT(*) FROM s2) AS stage2_click_24h,
+             (SELECT COUNT(*) FROM s3) AS stage3_purchase_24h)
+    SELECT stage1_signup, stage2_click_24h, stage3_purchase_24h,
+           ROUND(CASE WHEN stage1_signup > 0
+                      THEN stage2_click_24h * 1.0 / stage1_signup
+                      ELSE 0.0 END, 6) AS conv_1_to_2,
+           ROUND(CASE WHEN stage2_click_24h > 0
+                      THEN stage3_purchase_24h * 1.0 / stage2_click_24h
+                      ELSE 0.0 END, 6) AS conv_2_to_3
+    FROM n
+    """,
+)
+def events_funnel_24h(spark, sf_dir):
+    """Strict-window funnel: signup → click within 24 h → purchase
+    within 24 h of the click — the product-analytics variant where a
+    conversion only counts inside its window (`events_funnel` is the
+    unbounded form). Each stage is a keyed min-aggregate joined to
+    the previous frontier with BOTH bounds in exact integer
+    microseconds; emits stage counts plus step conversion rates.
+    Same scale shape as the open funnel: three shuffles on user_id,
+    reusable partitioning, 1-row result."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    day_us = 86400000000
+
+    def stage(event_type, prev, tprev, tcol):
+        base = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            base = base.join(prev, "user_id").filter(
+                (F.col("t") > F.col(tprev))
+                & (F.col("t") <= F.col(tprev) + day_us)
+            )
+        return base.groupBy("user_id").agg(F.min("t").alias(tcol))
+
+    s1 = stage("signup", None, None, "t1")
+    s2 = stage("click", s1, "t1", "t2")
+    s3 = stage("purchase", s2, "t2", "t3")
+    n = (
+        s1.agg(F.count("*").alias("stage1_signup"))
+        .crossJoin(s2.agg(F.count("*").alias("stage2_click_24h")))
+        .crossJoin(s3.agg(F.count("*").alias("stage3_purchase_24h")))
+    )
+    c12 = F.when(
+        F.col("stage1_signup") > 0,
+        F.col("stage2_click_24h") * 1.0 / F.col("stage1_signup"),
+    ).otherwise(0.0)
+    c23 = F.when(
+        F.col("stage2_click_24h") > 0,
+        F.col("stage3_purchase_24h") * 1.0 / F.col("stage2_click_24h"),
+    ).otherwise(0.0)
+    return n.select(
+        "stage1_signup",
+        "stage2_click_24h",
+        "stage3_purchase_24h",
+        F.round(c12, 6).alias("conv_1_to_2"),
+        F.round(c23, 6).alias("conv_2_to_3"),
+    )

@@ -245,6 +245,7 @@ GRADING_PRIORITY: list[str] = [
     "matview_incremental_refresh",
     "agg_mad_robust_outliers",
     "privacy_k_anonymity_lattice",
+    "events_funnel_24h",
 ]
 
 
