@@ -2521,3 +2521,72 @@ def events_funnel_24h(spark, sf_dir):
         F.round(c12, 6).alias("conv_1_to_2"),
         F.round(c23, 6).alias("conv_2_to_3"),
     )
+
+
+@register(
+    "agg_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+    c AS (
+      SELECT cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM rev),
+    cls AS (
+      SELECT CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                  WHEN cum * 100 <= t * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents, t
+      FROM c, tot)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS revenue,
+           ROUND(CAST(SUM(cents) AS BIGINT) * 1.0 / MIN(t), 6) AS rev_share
+    FROM cls GROUP BY abc_class
+    """,
+)
+def agg_pareto_abc(spark, sf_dir):
+    """Pareto / ABC inventory classification: parts ranked by
+    discounted revenue, classed by EXACT integer thresholds on the
+    cumulative share (A ≤ 80%, B ≤ 95%, C rest — `cum*100 <= t*80`
+    compares BIGINTs, so no float ever decides a class boundary).
+    The cumulative sum rides the distributed prefix-sum kernel
+    (operators/ranking.py): range-shuffle on (revenue DESC, part),
+    per-partition running totals, K-row broadcast offsets — an
+    unpartitioned SUM() OVER would single-task the whole part
+    dimension at 100 TB, the kernel keeps every stage parallel.
+    Output: the 3-row ABC report (count, revenue, share)."""
+    from .ranking import with_global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    c = with_global_prefix_sum(
+        rev,
+        [F.col("cents").desc(), F.col("l_partkey")],
+        "cents",
+        out_col="cum",
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    cls = c.crossJoin(F.broadcast(tot)).withColumn(
+        "abc_class",
+        F.when(F.col("cum") * 100 <= F.col("t") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("t") * 95, F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        (F.sum("cents").cast("long") / 100.0).alias("revenue"),
+        F.round(F.sum("cents").cast("long") * 1.0 / F.min("t"), 6).alias("rev_share"),
+    )

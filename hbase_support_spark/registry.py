@@ -246,6 +246,7 @@ GRADING_PRIORITY: list[str] = [
     "agg_mad_robust_outliers",
     "privacy_k_anonymity_lattice",
     "events_funnel_24h",
+    "agg_pareto_abc",
 ]
 
 
