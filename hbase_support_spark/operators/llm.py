@@ -818,6 +818,109 @@ def dedup_semdedup_keep(spark, sf_dir):
     )
 
 
+@register(
+    "sim_rerank_rrf",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT e.vec_id AS id,
+             ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e, q, range(1, 65) r(i)
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    ),
+    dr AS (
+      SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, id) AS BIGINT)
+               AS r
+      FROM dense),
+    qt AS (SELECT {D_DISTINCT_TOKENS} AS t FROM documents WHERE doc_id = 0),
+    lex AS (
+      SELECT doc_id AS id,
+             CAST(LEN(LIST_INTERSECT({D_DISTINCT_TOKENS}, qt.t)) AS BIGINT)
+               AS overlap
+      FROM documents, qt WHERE doc_id <> 0),
+    lr AS (
+      SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY overlap DESC, id) AS BIGINT)
+               AS r
+      FROM lex)
+    SELECT dr.id AS doc_id, dr.r AS dense_rank, lr.r AS lex_rank,
+           ROUND(1.0 / (60 + dr.r) + 1.0 / (60 + lr.r), 6) AS rrf
+    FROM dr JOIN lr ON lr.id = dr.id
+    ORDER BY 1.0 / (60 + dr.r) + 1.0 / (60 + lr.r) DESC, dr.id
+    LIMIT 10
+    """,
+)
+def sim_rerank_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09 — the
+    hybrid-retrieval staple every RAG stack ships): fuse a DENSE
+    ranking (cosine to the query embedding) with a LEXICAL ranking
+    (distinct-token overlap with the query document) via
+    score = Σ 1/(60 + rank), and emit the fused top-10. Rank-space
+    fusion needs no score calibration between the two retrievers —
+    exactly why production uses it.
+
+    Determinism: both input rankings are built over ROUNDED cosine /
+    INTEGER overlap with id tie-breaks, so the integer ranks are
+    engine-identical and the RRF floats (identical expressions over
+    identical integers) are bit-equal. Scale shape: both rankings
+    ride the distributed rank kernel (operators/ranking.py) — an
+    unpartitioned ROW_NUMBER over the candidate set would
+    single-task a billion-doc corpus; the final fused TakeOrdered is
+    a 10-row heap."""
+    from .ranking import with_global_rank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    dr = with_global_rank(
+        dense, [F.col("cos_sim").desc(), F.col("id")], "r_dense"
+    ).select("id", "r_dense")
+    qt = d.filter(F.col("doc_id") == 0).select(
+        F.expr(DISTINCT_TOKENS).alias("qtoks")
+    )
+    lex = (
+        d.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(qt))
+        .select(
+            F.col("doc_id").alias("id"),
+            F.size(
+                F.array_intersect(F.expr(DISTINCT_TOKENS), F.col("qtoks"))
+            )
+            .cast("long")
+            .alias("overlap"),
+        )
+    )
+    lr = with_global_rank(
+        lex, [F.col("overlap").desc(), F.col("id")], "r_lex"
+    ).select("id", "r_lex")
+    rrf = 1.0 / (60 + F.col("r_dense")) + 1.0 / (60 + F.col("r_lex"))
+    return (
+        dr.join(lr, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("r_dense").cast("bigint").alias("dense_rank"),
+            F.col("r_lex").cast("bigint").alias("lex_rank"),
+            F.round(rrf, 6).alias("rrf"),
+            rrf.alias("_raw"),
+        )
+        .orderBy(F.col("_raw").desc(), "doc_id")
+        .limit(10)
+        .drop("_raw")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -247,6 +247,7 @@ GRADING_PRIORITY: list[str] = [
     "privacy_k_anonymity_lattice",
     "events_funnel_24h",
     "agg_pareto_abc",
+    "sim_rerank_rrf",
 ]
 
 
