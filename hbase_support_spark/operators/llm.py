@@ -921,6 +921,127 @@ def sim_rerank_rrf(spark, sf_dir):
     )
 
 
+_RAKE_SW = "('a', 'the', 'of', 'and', 'to', 'in')"  # == _STOPWORDS below
+
+
+@register(
+    "text_keyphrase_rake",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {D_TOKENS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i, toks[i] AS w
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+    marked AS (
+      SELECT doc_id, i, w,
+             CAST(SUM(CASE WHEN w IN {{SW}} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
+      FROM pos),
+    pw AS (SELECT doc_id, island, i, w FROM marked WHERE w NOT IN {{SW}}),
+    phrases AS (
+      SELECT doc_id, island,
+             STRING_AGG(w, ' ' ORDER BY i) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM pw GROUP BY doc_id, island),
+    wstat AS (
+      SELECT p.w,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(ph.plen) AS BIGINT) AS degree
+      FROM pw p JOIN phrases ph
+        ON ph.doc_id = p.doc_id AND ph.island = p.island
+      GROUP BY p.w),
+    scored AS (
+      SELECT ph.doc_id, ph.phrase,
+             CAST(SUM(ws.degree * 1000000 // ws.freq) AS BIGINT) AS scaled
+      FROM pw p
+      JOIN phrases ph ON ph.doc_id = p.doc_id AND ph.island = p.island
+      JOIN wstat ws ON ws.w = p.w
+      GROUP BY ph.doc_id, ph.island, ph.phrase),
+    dedup AS (
+      SELECT doc_id, phrase, CAST(MAX(scaled) AS BIGINT) AS scaled
+      FROM scored GROUP BY doc_id, phrase),
+    ranked AS (
+      SELECT doc_id, phrase, scaled,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY scaled DESC, phrase) AS r
+      FROM dedup)
+    SELECT doc_id, CAST(r AS INT) AS rank, phrase,
+           scaled / 1000000.0 AS rake_score
+    FROM ranked WHERE r <= 3
+    """.replace("{SW}", _RAKE_SW),
+)
+def text_keyphrase_rake(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate
+    phrases are maximal token runs between stopwords; each word
+    scores degree/frequency over the phrase co-occurrence graph; a
+    phrase scores the sum of its words; top-3 per document. The
+    unsupervised keyword extractor that needs no model — corpus
+    metadata for search/labeling pipelines.
+
+    Determinism: the classic float score is replaced by FIXED-POINT
+    integers — word score = degree·10⁶ DIV freq (exact BIGINT
+    floor-division), phrase score = integer sum — so no
+    accumulation-order float ever ranks a phrase; ties break on the
+    phrase text. Scale shape: phrase segmentation is one per-doc
+    cumulative count over positions (partitioned window), word
+    stats one corpus-level agg joined back broadcast-style, top-3 a
+    per-doc partitioned window — all equality-keyed shuffles."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.expr(TOKENS)).alias("i0", "w")
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "w")
+    is_stop = F.col("w").isin("a", "the", "of", "and", "to", "in")
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = pos.withColumn(
+        "island", F.sum(is_stop.cast("int")).over(w_cum).cast("long")
+    )
+    pw = marked.filter(~is_stop).select("doc_id", "island", "i", "w")
+    phrases = pw.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("long").alias("plen"),
+    )
+    occ = pw.join(phrases, ["doc_id", "island"])
+    wstat = occ.groupBy("w").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    scored = (
+        occ.join(wstat, "w")
+        .withColumn("wscore", F.expr("degree * 1000000L DIV freq"))
+        .groupBy("doc_id", "island", "phrase")
+        .agg(F.sum("wscore").cast("long").alias("scaled"))
+    )
+    dedup = scored.groupBy("doc_id", "phrase").agg(
+        F.max("scaled").cast("long").alias("scaled")
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("scaled").desc(), F.col("phrase")
+    )
+    return (
+        dedup.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "rank",
+            "phrase",
+            (F.col("scaled") / 1000000.0).alias("rake_score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -248,6 +248,7 @@ GRADING_PRIORITY: list[str] = [
     "events_funnel_24h",
     "agg_pareto_abc",
     "sim_rerank_rrf",
+    "text_keyphrase_rake",
 ]
 
 
