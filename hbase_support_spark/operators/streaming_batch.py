@@ -1687,3 +1687,69 @@ def events_attribution_linear(spark, sf_dir):
         F.sum("touched").cast("bigint").alias("n_purchases"),
         (F.sum("mc_attr").cast("bigint") / 100_000_000.0).alias("attributed_revenue"),
     )
+
+
+@register(
+    "events_retention_matrix",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    cohort AS (
+      SELECT user_id, MIN(wk) AS cwk FROM act GROUP BY user_id),
+    cells AS (
+      SELECT c.cwk AS cohort_week,
+             CAST(date_diff('day', c.cwk, a.wk) / 7 AS BIGINT) AS week_offset,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM act a JOIN cohort c ON c.user_id = a.user_id
+      GROUP BY c.cwk, date_diff('day', c.cwk, a.wk) / 7),
+    base AS (
+      SELECT cohort_week, n_active AS n_cohort FROM cells WHERE week_offset = 0)
+    SELECT ce.cohort_week, ce.week_offset, ce.n_active, b.n_cohort,
+           ROUND(ce.n_active * 1.0 / b.n_cohort, 6) AS retention
+    FROM cells ce JOIN base b ON b.cohort_week = ce.cohort_week
+    """,
+)
+def events_retention_matrix(spark, sf_dir):
+    """The cohort retention triangle — the growth-analytics staple:
+    users bucketed by their first-active ISO week (cohort), each
+    later week's distinct actives divided by the cohort size, one
+    row per (cohort_week, week_offset). Complements
+    `events_retention_daily` (one cohort, day granularity) and
+    `events_cohort_ltv_curve` (revenue, not presence) with the
+    presence matrix every dashboard draws.
+
+    Determinism: date_trunc('week') is ISO-Monday in both engines;
+    offsets are exact integer day-diffs / 7; every count is a
+    BIGINT and only the final ratio is a (rounded) float. Scale:
+    one distinct-(user, week) projection — the shuffle — then a
+    user-keyed min and two metadata-scale joins on the ~weeks²
+    cells frame."""
+    ev = load_table(spark, sf_dir, "events")
+    # to_date: DuckDB date_trunc('week') yields DATE (day-or-coarser
+    # granularity), Spark yields TIMESTAMP — kind-gate caught
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    cells = (
+        act.join(cohort, "user_id")
+        .select(
+            F.col("cwk").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cwk")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    base = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("n_cohort")
+    )
+    return cells.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") * 1.0 / F.col("n_cohort"), 6).alias("retention"),
+    )

@@ -249,6 +249,7 @@ GRADING_PRIORITY: list[str] = [
     "agg_pareto_abc",
     "sim_rerank_rrf",
     "text_keyphrase_rake",
+    "events_retention_matrix",
 ]
 
 
