@@ -116,6 +116,37 @@ def _d_cosine(a: str, b: str) -> str:
     )
 
 
+def _rescore_pairs_exact(e, pairs, a_col: str, b_col: str):
+    """Re-score candidate pairs with the EXACT fold-expression cosine
+    (`_dot`/`_norm` — the bit-for-bit twin of the oracle's
+    `_d_cosine`), appended as `cos_sim` rounded to 6.
+
+    The BLAS Gram kernel stays the candidate GENERATOR (native matmul
+    per block — the 100-TB scale path), but its normalize-then-matmul
+    double result can differ from the fold in the last ulp; when that
+    ulp sits exactly on a round-6 boundary the hashed value (or a
+    τ-membership) flips between engines (ADVICE r04). Re-scoring only
+    the surviving pairs (tiny vs the block cross product) makes every
+    emitted cosine exact-by-construction at the cost of two broadcast
+    joins back to the vector table."""
+    small = F.broadcast(pairs)
+    ea = e.select(F.col("vec_id").alias(a_col), F.col("embedding").alias("_ea"))
+    eb = e.select(F.col("vec_id").alias(b_col), F.col("embedding").alias("_eb"))
+    return (
+        small.join(ea, a_col)
+        .join(eb, b_col)
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("_ea"), F.col("_eb"))
+                / (_norm(F.col("_ea")) * _norm(F.col("_eb"))),
+                6,
+            ),
+        )
+        .drop("_ea", "_eb")
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
@@ -608,9 +639,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     n²·64 interpreted lambda steps become one native matmul per
     block, measured 10x at sf0.1. The per-pair expression-fold form
     of the same computation lives on as `sim_pairs_threshold`.
-    Rounding and the exact τ-cut happen Spark-side on the raw kernel
-    output (np.round is half-to-even; the oracle's ROUND is
-    half-away)."""
+    The kernel emits CANDIDATES (generous raw pre-filter); surviving
+    pairs are re-scored with the exact fold expression via
+    `_rescore_pairs_exact`, so the hashed cos_sim and the τ-cut are
+    bit-identical to the oracle by construction (ADVICE r04)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -643,7 +675,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     raw = e.groupBy("label").applyInPandas(block_pairs, out_schema)
     return (
-        raw.withColumn("cos_sim", F.round("raw_cos", 6))
+        _rescore_pairs_exact(e, raw.drop("raw_cos"), "vec_a", "vec_b")
         .filter(F.col("cos_sim") >= 0.3)
         .select("vec_a", "vec_b", "cos_sim")
     )
@@ -752,9 +784,10 @@ def dedup_semdedup_keep(spark, sf_dir):
     )
     # τ-pair stage rides the per-cluster BLAS Gram kernel (the
     # dedup_embedding_cosine pattern, 13x over the expression fold at
-    # sf0.1): raw cosines from one native matmul per label block with
-    # a generous raw prefilter, then the EXACT round-6 τ-cut happens
-    # Spark-side so membership matches the oracle's half-up rounding.
+    # sf0.1) as the candidate GENERATOR; survivors are re-scored with
+    # the exact fold expression (_rescore_pairs_exact) so τ-membership
+    # is bit-identical to the oracle even at the round-6 boundary
+    # (ADVICE r04 — a BLAS-vs-fold last-ulp can no longer flip keep).
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -784,11 +817,9 @@ def dedup_semdedup_keep(spark, sf_dir):
             }
         )
 
-    pairs = (
-        e.groupBy("label")
-        .applyInPandas(block_pairs, pair_schema)
-        .withColumn("cos_sim", F.round("raw_cos", 6))
-        .filter(F.col("cos_sim") >= 0.3)
+    cand = e.groupBy("label").applyInPandas(block_pairs, pair_schema)
+    pairs = _rescore_pairs_exact(e, cand.drop("raw_cos"), "u", "v").filter(
+        F.col("cos_sim") >= 0.3
     )
     edges = pairs.select("u", "v").unionAll(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1176,10 +1207,12 @@ def sim_knn_query(spark, sf_dir):
     coded AS (
       SELECT vec_id,
              LIST_TRANSFORM(embedding, x ->
-               CAST(LEAST(GREATEST(FLOOR((CAST(x AS DOUBLE) - lo)
-                                         / (hi - lo) * 255.0), 0), 255)
+               CAST(CASE WHEN hi = lo THEN 0 ELSE
+                 LEAST(GREATEST(FLOOR((CAST(x AS DOUBLE) - lo)
+                                      / (hi - lo) * 255.0), 0), 255) END
                     AS BIGINT)) AS codes,
-             CAST(LEAST(GREATEST(FLOOR((0.0 - lo) / (hi - lo) * 255.0), 0), 255)
+             CAST(CASE WHEN hi = lo THEN 0 ELSE
+               LEAST(GREATEST(FLOOR((0.0 - lo) / (hi - lo) * 255.0), 0), 255) END
                   AS BIGINT) AS zp
       FROM qz
     ),
@@ -1248,10 +1281,14 @@ def sim_knn_int8_recall(spark, sf_dir):
     lo, hi = F.col("lo"), F.col("hi")
 
     def bucket(x):
-        return F.least(
+        # hi == lo (constant vector): Spark Divide yields NULL where
+        # DuckDB IEEE division yields inf/NaN — guard identically in
+        # both engines so degenerate data cannot diverge (ADVICE r04)
+        q = F.least(
             F.greatest(F.floor((x - lo) / (hi - lo) * 255.0), F.lit(0)),
             F.lit(255),
-        ).cast("long")
+        )
+        return F.when(hi == lo, F.lit(0)).otherwise(q).cast("long")
 
     coded = staged.select(
         "vec_id",
@@ -1626,9 +1663,9 @@ def sim_pairs_threshold_blas(spark, sf_dir):
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         g = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
-        # generous raw pre-filter only; the exact cut happens Spark-side
-        # on the rounded value (np.round is half-to-even, the oracle's
-        # ROUND is half-away — same discipline as dedup_ngram_jaccard_fast)
+        # generous raw pre-filter only; survivors are re-scored with
+        # the exact fold expression (_rescore_pairs_exact) before the
+        # τ-cut, so the emitted cos_sim is oracle-bit-identical
         keep = g[ia, ib] >= 0.2499
         return pd.DataFrame(
             {
@@ -1642,7 +1679,7 @@ def sim_pairs_threshold_blas(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     raw = e.groupBy("label").applyInPandas(block_pairs, out_schema)
     return (
-        raw.withColumn("cos_sim", F.round("raw_cos", 6))
+        _rescore_pairs_exact(e, raw.drop("raw_cos"), "vec_a", "vec_b")
         .filter(F.col("cos_sim") >= 0.25)
         .select("vec_a", "vec_b", "label", "cos_sim")
     )
@@ -1961,10 +1998,12 @@ def text_token_count_regex(spark, sf_dir):
     SELECT vec_id, label,
            ROUND(lo, 6) AS scale_lo,
            ROUND(hi, 6) AS scale_hi,
-           CAST(LEAST(GREATEST(FLOOR((0.0 - lo) / (hi - lo) * 255.0), 0), 255) AS INT)
+           CAST(CASE WHEN hi = lo THEN 0 ELSE
+             LEAST(GREATEST(FLOOR((0.0 - lo) / (hi - lo) * 255.0), 0), 255) END AS INT)
              AS zero_point,
            CAST(LIST_SUM(LIST_TRANSFORM(e.embedding, x ->
-             CAST(LEAST(GREATEST(FLOOR((CAST(x AS DOUBLE) - lo) / (hi - lo) * 255.0), 0), 255) AS BIGINT)))
+             CAST(CASE WHEN hi = lo THEN 0 ELSE
+               LEAST(GREATEST(FLOOR((CAST(x AS DOUBLE) - lo) / (hi - lo) * 255.0), 0), 255) END AS BIGINT)))
              AS BIGINT) AS q_checksum
     FROM embeddings e JOIN rng USING (vec_id, label)
     """,
@@ -1996,9 +2035,12 @@ def embedding_quantize_int8(spark, sf_dir):
     lo, hi = F.col("lo"), F.col("hi")
 
     def q(x):
-        return F.least(
+        # guard hi == lo identically in both engines (ADVICE r04):
+        # Spark Divide → NULL vs DuckDB IEEE → inf/NaN on 0/0
+        clamped = F.least(
             F.greatest(F.floor((x - lo) / (hi - lo) * 255.0), F.lit(0)), F.lit(255)
         )
+        return F.when(hi == lo, F.lit(0)).otherwise(clamped)
 
     codes = F.transform(F.col("dv"), lambda x: q(x).cast("long"))
     return staged.select(

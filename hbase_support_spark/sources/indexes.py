@@ -107,9 +107,17 @@ def index_incremental_update(
         .collect()
     )  # bucket-id list: metadata-scale driver round-trip
     idx = spark.read.parquet(index_dir)
+    # Materialize survivors BEFORE the overwrite below: the write
+    # targets index_dir while this frame lazily reads from it, and
+    # relying on dynamic partitionOverwriteMode staging its output
+    # before the swap is an implementation detail, not a contract
+    # (ADVICE r04). localCheckpoint pins the survivor rows to
+    # executor storage so the read plan never touches the directory
+    # mid-overwrite. Survivor volume is bounded by the touched
+    # buckets (~2 per delta key), not the index size.
     survivors = idx.filter(F.col("bucket").isin(touched)).join(
         F.broadcast(keys), key_col, "left_anti"
-    )
+    ).localCheckpoint(eager=True)
     additions = new_entries.withColumn(
         "bucket", bucket_of(F.col(indexed_col))
     ).select(*survivors.columns)

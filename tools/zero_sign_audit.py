@@ -47,10 +47,14 @@ def _is_float(v) -> bool:
 def guarded_cols(oracle_sql: str) -> set[str]:
     """Columns whose defining expression ends in the ``+ 0.0``
     sign-of-zero guard (the d_round_z convention): those cannot emit
-    -0.0, so a neg+zero mix in them is not fragile."""
+    -0.0, so a neg+zero mix in them is not fragile. The guard may be
+    separated from its ``AS alias`` by closing parens and/or a CASE
+    ``END`` (e.g. ``(ROUND(...) + 0.0) END AS survival``)."""
     return {
         m.group(1)
-        for m in re.finditer(r"\+\s*0\.0\s*\)?\s+AS\s+(\w+)", oracle_sql, re.I)
+        for m in re.finditer(
+            r"\+\s*0\.0[\s)]*(?:END[\s)]*)*AS\s+(\w+)", oracle_sql, re.I
+        )
     }
 
 
