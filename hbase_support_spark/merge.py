@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, functions as F
 from pyspark.sql.utils import AnalysisException
 
 from .io import ensure_confs
@@ -108,15 +108,22 @@ def merge_into_parquet(
         take_source.alias("_updated"),
         inserted_row.alias("_inserted"),
     )
-    counts = merged.agg(
+    # MERGE statistics ride the write job itself via observe()
+    # (CollectMetrics): the join is evaluated ONCE — previously a
+    # separate pre-write .agg().collect() re-ran it, doubling the
+    # dominant cost of every MERGE at scale (VERDICT r04 item 3).
+    obs = Observation("merge_stats")
+    observed = merged.observe(
+        obs,
         F.sum(F.col("_updated").cast("long")).alias("u"),
         F.sum(F.col("_inserted").cast("long")).alias("i"),
-    ).collect()[0]
+    )
     # Dynamic overwrite replaces only partition dirs present in the
     # output — exactly the touched set, by construction.
-    merged.drop("_updated", "_inserted").write.mode("overwrite").partitionBy(
+    observed.drop("_updated", "_inserted").write.mode("overwrite").partitionBy(
         partition_col
     ).parquet(target_path)
+    counts = obs.get
     return {
         "touched_partitions": len(touched),
         "updated": counts["u"] or 0,

@@ -490,6 +490,36 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+# Hard ceiling for the blocked-EXACT Jaccard twins: 4096²/2 ≈ 8.4M
+# set-intersections per block is the practical limit of the exact
+# path. Above it, the quarantine (SCALE.md "verification-only")
+# is enforced in code, not just docs (VERDICT r04 item 2).
+NGRAM_EXACT_BLOCK_CAP = 4096
+
+
+def _assert_blocks_bounded(d, cap: int = NGRAM_EXACT_BLOCK_CAP) -> None:
+    """Raise if any (lang, source) block exceeds the exact-path cap.
+
+    The blocked-exact Jaccard join is O(Σ block²): one hot block
+    degenerates it to N²/2 set intersections (the join_er_fuzzy_string
+    r02 failure mode). Production near-dup must ride the bucketed
+    sub-quadratic paths instead. The pre-check is one column-pruned
+    scan + tiny agg + a single-scalar collect (metadata-scale)."""
+    hot = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if hot is not None and hot > cap:
+        raise ValueError(
+            f"dedup_ngram_jaccard: largest (lang, source) block has {hot} docs "
+            f"(> cap {cap}); the exact O(block^2) path is verification-only at "
+            "this size. Use dedup_near_minhash / dedup_simhash (bucketed LSH "
+            "with member caps) or dedup_ngram_jaccard_fast on a sampled block."
+        )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -522,8 +552,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     min|A|,|B| / max|A|,|B|, so pairs whose sizes differ by more
     than the threshold can be skipped BEFORE the set intersection —
     a pure pruning predicate, result-identical, so the oracle stays
-    the unpruned form."""
+    the unpruned form.
+
+    The quarantine is ENFORCED: `_assert_blocks_bounded` raises on
+    any block past NGRAM_EXACT_BLOCK_CAP, pointing at the
+    sub-quadratic production routes."""
     d = load_table(spark, sf_dir, "documents")
+    _assert_blocks_bounded(d)
     sh = with_shingles(d, "doc_id", "lang", "source").withColumn(
         "n_sh", F.size("shingles")
     )
@@ -609,6 +644,7 @@ def dedup_ngram_jaccard_fast(spark, sf_dir):
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "raw_jaccard": out_j})
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    _assert_blocks_bounded(d)  # same enforced quarantine as the expression twin
     pairs = d.groupBy("lang", "source").applyInPandas(block_jaccard, out_schema)
     return (
         pairs.withColumn("jaccard", F.round("raw_jaccard", 6))

@@ -77,6 +77,33 @@ def test_merge_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
             assert os.path.exists(p) and os.path.getmtime(p) == mtime, p
 
 
+def test_merge_stats_ride_the_write_pass(spark, sf_dir, tmp_path):
+    """MERGE statistics come from observe() metrics collected during
+    the single write job (VERDICT r04 item 3) — the join is evaluated
+    once. Guarded by a job-count bound: the whole merge (partition
+    probe + write) runs 9 Spark jobs on this harness; a reintroduced
+    pre-write .agg().collect() re-evaluates the join as its own
+    multi-stage query (+3 jobs), blowing the bound."""
+    target = str(tmp_path / "cust")
+    before = _seed_target(spark, sf_dir, target)
+    keys = sorted(before)[:2]
+    source = spark.createDataFrame(
+        [(k, 1.0, "BUILDING") for k in keys],
+        "c_custkey long, c_acctbal double, c_mktsegment string",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("merge-single-pass", "merge stats single pass")
+    try:
+        stats = merge_into_parquet(
+            spark, target, source, ["c_custkey"], "c_mktsegment"
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert stats["updated"] == 2 and stats["inserted"] == 0
+    jobs = sc.statusTracker().getJobIdsForGroup("merge-single-pass")
+    assert 0 < len(jobs) <= 10, f"merge ran {len(jobs)} jobs - double evaluation?"
+
+
 def test_check_and_put_cas_condition(spark, sf_dir, tmp_path):
     """checkAndPut: the put lands only where the CURRENT value meets
     the expectation — rows failing the check keep their old value."""

@@ -191,6 +191,30 @@ def test_hot_block_minhash_stays_subquadratic(spark):
     assert cnt < n  # no mass false-positive pile-up either
 
 
+def test_ngram_exact_twin_rejects_hot_block(spark):
+    """The blocked-EXACT Jaccard quarantine is enforced in code
+    (VERDICT r04 item 2): a (lang, source) block past
+    NGRAM_EXACT_BLOCK_CAP raises with a pointer to the sub-quadratic
+    production routes instead of silently going O(block^2)."""
+    import pytest
+
+    from hbase_support_spark.operators.llm import (
+        NGRAM_EXACT_BLOCK_CAP,
+        _assert_blocks_bounded,
+    )
+
+    hot = spark.range(NGRAM_EXACT_BLOCK_CAP + 1).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.lit("x y z").alias("text"),
+    )
+    with pytest.raises(ValueError, match="dedup_near_minhash"):
+        _assert_blocks_bounded(hot)
+    # bounded blocks pass through untouched
+    _assert_blocks_bounded(hot.limit(10))
+
+
 def test_registry_orders_ungraded_before_green():
     """The registry is a grading schedule: under a bounded grading
     window, every query WITHOUT a green CORRECTNESS row must register
