@@ -50,6 +50,26 @@ def register(name: str, oracle: str | None = None):
 #     them every query has a driver verdict. Names already green
 #     simply drop out of the head via _reorder(), so the schedule
 #     self-heals if a round grades more or fewer than 50.
+#
+# Round-5 dry-run of the CLOSING window (VERDICT r04 item 4),
+# computed by simulating the staged r05 window green: the r06 head
+# is exactly the 37 remaining never-graded names, in order —
+#   1-21: agg_quantile_exact_global, sim_maxsim_multivector,
+#     layout_region_merge_plan, cells_major_compaction_view,
+#     events_feature_pit_join, events_attribution_linear,
+#     graph_triangle_count, pipeline_dataset_card, events_kstest_arms,
+#     win_max_drawdown, sim_ivf_recall_report,
+#     agg_percentile_exact_groups, table_expectations_report,
+#     events_power_analysis_mde, agg_bootstrap_ci_mean,
+#     sim_users_behavioral, win_time_weighted_avg,
+#     layout_bloom_point_lookup, events_mannwhitney_arms,
+#     agg_chisq_independence, pipeline_preference_pairs
+#   22-37: the round-4 additions (events_kaplan_meier ...
+#     events_retention_matrix).
+# Slots 38-50 of the r06 window are free: queries ADDED in round 5
+# (registered but absent from this list) fall into the mid group and
+# fill those slots automatically; additions beyond 13 roll into the
+# r07 window.
 GRADING_PRIORITY: list[str] = [
     # ---- round-3 window, slots 1-19: the 19 kind-cast fixes (r02 FAILs first)
     "sim_lsh_hyperplane",
