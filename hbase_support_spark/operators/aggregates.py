@@ -2590,3 +2590,126 @@ def agg_pareto_abc(spark, sf_dir):
         (F.sum("cents").cast("long") / 100.0).alias("revenue"),
         F.round(F.sum("cents").cast("long") * 1.0 / F.min("t"), 6).alias("rev_share"),
     )
+
+
+@register(
+    "events_diff_in_diff",
+    oracle="""
+    WITH bounds AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+    ),
+    tagged AS (
+      SELECT {H} % 2 AS arm,
+             CASE WHEN epoch_us(ts) < b.mid THEN 1 ELSE 0 END AS is_pre,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events, bounds b
+    ),
+    cells AS (
+      SELECT arm,
+             CAST(SUM(is_pre) AS BIGINT) AS n_pre,
+             CAST(SUM(1 - is_pre) AS BIGINT) AS n_post,
+             CAST(SUM(CASE WHEN is_pre = 1 THEN cents ELSE 0 END) AS BIGINT) AS c_pre,
+             CAST(SUM(CASE WHEN is_pre = 0 THEN cents ELSE 0 END) AS BIGINT) AS c_post
+      FROM tagged GROUP BY arm
+    ),
+    means AS (
+      SELECT arm, n_pre, n_post,
+             ROUND(c_pre / 100.0 / n_pre, 6) AS mean_pre,
+             ROUND(c_post / 100.0 / n_post, 6) AS mean_post
+      FROM cells
+    ),
+    uplifts AS (
+      SELECT arm, n_pre, n_post, mean_pre, mean_post,
+             (ROUND(mean_post - mean_pre, 6) + 0.0) AS uplift
+      FROM means
+    ),
+    did AS (
+      SELECT (ROUND(SUM(CASE WHEN arm = 1 THEN uplift ELSE -uplift END), 6) + 0.0)
+               AS did_estimate
+      FROM uplifts
+    )
+    SELECT u.arm, u.n_pre, u.n_post, u.mean_pre, u.mean_post, u.uplift,
+           d.did_estimate
+    FROM uplifts u CROSS JOIN did d
+    """.replace("{H}", _d_abh("'did1|' || CAST(user_id AS VARCHAR)")),
+)
+def events_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences readout: hash-assigned arms x a
+    pre/post split at the corpus time midpoint, average event value
+    per cell, DiD = (treat_post - treat_pre) - (ctrl_post -
+    ctrl_pre). The causal-inference workhorse next to the z-test /
+    CUPED ops, reduced to the same deterministic shape: one events
+    scan -> 2-row conditional agg on EXACT integer cents and
+    integer-us time (the midpoint is integer arithmetic on
+    unix_micros), then closed-form rounded arithmetic on the tiny
+    frame. Signed outputs go through the +0.0 sign-of-zero guard."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        (F.expr(_h_abh("concat('did1|', cast(user_id AS string))")) % 2).alias("arm"),
+        F.when(F.unix_micros("ts") < F.col("mid"), 1).otherwise(0).alias("is_pre"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cells = tagged.groupBy("arm").agg(
+        F.sum("is_pre").cast("bigint").alias("n_pre"),
+        F.sum(1 - F.col("is_pre")).cast("bigint").alias("n_post"),
+        F.sum(F.when(F.col("is_pre") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("c_pre"),
+        F.sum(F.when(F.col("is_pre") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("c_post"),
+    )
+    means = cells.select(
+        "arm",
+        "n_pre",
+        "n_post",
+        F.round(F.col("c_pre") / 100.0 / F.col("n_pre"), 6).alias("mean_pre"),
+        F.round(F.col("c_post") / 100.0 / F.col("n_post"), 6).alias("mean_post"),
+    )
+    uplifts = means.withColumn(
+        "uplift", round_z(F.col("mean_post") - F.col("mean_pre"), 6)
+    )
+    did = uplifts.agg(
+        round_z(
+            F.sum(
+                F.when(F.col("arm") == 1, F.col("uplift")).otherwise(-F.col("uplift"))
+            ),
+            6,
+        ).alias("did_estimate")
+    )
+    return uplifts.crossJoin(F.broadcast(did))
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS k_size,
+           CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT)
+             AS l_distinct,
+           COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) >= 3
+             AS l_diverse
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit over the k-anonymity quasi-identifier
+    groups (companion to privacy_k_anonymity_lattice): within each
+    (nation, segment) QI group, count DISTINCT sensitive-attribute
+    values (account-balance band) — a group that is k-anonymous but
+    carries only one sensitive value still leaks it (homogeneity
+    attack; Machanavajjhala et al. 2007). Bands are exact integer
+    FLOOR buckets, so counts can never straddle an engine boundary.
+    One scan, one two-key agg with a distinct — at 100 TB the
+    distinct collapses map-side because bands per group are tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_size"),
+        F.countDistinct(band).cast("bigint").alias("l_distinct"),
+        (F.countDistinct(band) >= 3).alias("l_diverse"),
+    )

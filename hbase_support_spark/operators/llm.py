@@ -5105,3 +5105,290 @@ def dedup_winnow_pairs(spark, sf_dir):
         .filter(F.col("shared_fps") >= 4)
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: normalized dedup, code detection, split planning,
+# modality mix, centroid classification
+# ---------------------------------------------------------------------------
+
+# Shared normalization for fuzzy-exact dedup: lowercase, strip
+# non-alphanumerics to spaces, collapse runs, trim. This is the
+# standard "normalize then exact-hash" production dedup pass (catches
+# case/punctuation/whitespace variants that byte-exact dedup misses,
+# at exact-dedup cost — no pairwise stage at all).
+_D_NORM_TEXT = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "dedup_text_normalized",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             '>> ' || UPPER(text) || ' !!' AS text
+      FROM documents WHERE doc_id < 100
+    ),
+    norm AS (
+      SELECT doc_id, {_d_h60(_D_NORM_TEXT)} AS fp FROM corpus
+    )
+    SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(doc_id) AS keep_doc_id,
+           LIST(doc_id ORDER BY doc_id) AS doc_ids
+    FROM norm GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def dedup_text_normalized(spark, sf_dir):
+    """Normalized-exact dedup: canonicalize text (lowercase, strip
+    punctuation, collapse whitespace) and group by a 60-bit portable
+    digest of the canonical form — the cheap production pass that
+    catches case/punct/whitespace near-dups before any pairwise
+    similarity stage runs. Scale shape identical to `dedup_exact`:
+    the shuffle carries 8-byte digests, never text; map-side combine
+    applies; survivors = keep_doc_id per group. Groups of 1 are
+    dropped (nothing to dedup)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Fixtures carry no raw duplicates, so the merge behavior is
+    # exercised against in-query case/punctuation variants of the
+    # first 100 docs — the exact class this pass exists to catch.
+    variants = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit(">> "), F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = d.unionAll(variants)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        corpus.select("doc_id", norm.alias("norm"))
+        .select("doc_id", F.expr(_h60("norm")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@register(
+    "text_code_detect",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[{}();=<>\[\]]', '', 'g'))
+                AS BIGINT) AS sym_count,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS digit_count,
+           CAST(CASE WHEN LENGTH(text) = 0 THEN 0 ELSE
+             FLOOR((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[{}();=<>\[\]]', '', 'g')))
+                   * 1000.0 / LENGTH(text)) END AS BIGINT) AS sym_per_mille,
+           (CASE WHEN LENGTH(text) = 0 THEN 0 ELSE
+             FLOOR((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[{}();=<>\[\]]', '', 'g')))
+                   * 1000.0 / LENGTH(text)) END) >= 15 AS looks_like_code
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def text_code_detect(spark, sf_dir):
+    """Code-vs-prose detector — the corpus-routing gate every LLM
+    data pipeline runs (code goes to a code mix, prose to a text
+    mix). Heuristic: density of code-symbol characters per mille of
+    text, on EXACT integer counts (strip-and-diff length arithmetic,
+    one FLOOR of an identical double expression) so the verdict can
+    never straddle an engine rounding boundary. Map-only, codegen'd,
+    no shuffle; the thresholds are the tunable."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sym = F.length("text") - F.length(F.regexp_replace("text", r"[{}();=<>\[\]]", ""))
+    dig = F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    per_mille = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.floor(sym * 1000.0 / F.length("text"))
+    )
+    return d.select(
+        "doc_id",
+        sym.cast("bigint").alias("sym_count"),
+        dig.cast("bigint").alias("digit_count"),
+        per_mille.cast("bigint").alias("sym_per_mille"),
+        (per_mille >= 15).alias("looks_like_code"),
+    )
+
+
+@register(
+    "sample_train_test_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN {_d_h60("'split1|' || CAST(doc_id AS VARCHAR)")} % 10 < 8
+                  THEN 'train'
+                  WHEN {_d_h60("'split1|' || CAST(doc_id AS VARCHAR)")} % 10 = 8
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM tagged GROUP BY split
+    """,
+)
+def sample_train_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by salted portable
+    hash of the document id — the reproducibility contract a training
+    pipeline needs: the same doc lands in the same split on every
+    run, every cluster size, and every engine (no seed, no
+    TABLESAMPLE). Split sizes and per-split stats come back as the
+    audit artifact. Disjointness and stability are structural (a
+    pure function of doc_id). Map-side tag + 3-group agg; the
+    downstream writer would partitionBy(split)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(_h60("concat('split1|', cast(doc_id AS string))")) % 10
+    split = (
+        F.when(h < 8, F.lit("train")).when(h == 8, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "multimodal_modality_mix_report",
+    oracle="""
+    WITH items AS (
+      SELECT doc_id, lang,
+             CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             WHEN 2 THEN 'video' ELSE 'text' END AS modality,
+             OCTET_LENGTH(ENCODE(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(quantile_cont(CAST(n_bytes AS DOUBLE), 0.5), 6) AS p50_bytes,
+           ROUND(quantile_cont(CAST(n_bytes AS DOUBLE), 0.9), 6) AS p90_bytes
+    FROM items GROUP BY modality
+    """,
+)
+def multimodal_modality_mix_report(spark, sf_dir):
+    """Dataset-card modality mix: per-modality item counts, byte
+    volumes, language spread, and byte-size percentiles — the
+    at-a-glance table a multimodal corpus ships with. Payload bytes
+    stand in for the opaque image/audio/video BLOBs (same stub
+    convention as `multimodal_decode_meta`; the modality tag comes
+    from the id in this sandbox, from the ingest manifest in a real
+    deployment). One scan, 4-group agg; exact interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`) —
+    at 100 TB swap in percentile_approx, same contract as
+    layout_split_points."""
+    d = load_table(spark, sf_dir, "documents")
+    modality = (
+        F.when(F.col("doc_id") % 4 == 0, "image")
+        .when(F.col("doc_id") % 4 == 1, "audio")
+        .when(F.col("doc_id") % 4 == 2, "video")
+        .otherwise("text")
+    )
+    return (
+        d.select(
+            modality.alias("modality"),
+            "lang",
+            F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+        )
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.round(F.percentile(F.col("n_bytes").cast("double"), F.lit(0.5)), 6).alias(
+                "p50_bytes"
+            ),
+            F.round(F.percentile(F.col("n_bytes").cast("double"), F.lit(0.9)), 6).alias(
+                "p90_bytes"
+            ),
+        )
+    )
+
+
+@register(
+    "sim_centroid_classify",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c
+      FROM embeddings, range(1, 65) r(i)
+      GROUP BY label, i
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label AS true_label, c.label AS cand_label,
+             ROUND(SUM(c.c * CAST(e.embedding[c.i] AS DOUBLE)) /
+                   (SQRT(SUM(c.c * c.c)) *
+                    SQRT(SUM(CAST(e.embedding[c.i] AS DOUBLE) *
+                             CAST(e.embedding[c.i] AS DOUBLE)))), 6) AS cos_c
+      FROM embeddings e CROSS JOIN cent c
+      GROUP BY e.vec_id, e.label, c.label
+    ),
+    pred AS (
+      SELECT vec_id, true_label, cand_label AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_c DESC, cand_label) AS rk
+      FROM scored
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rk = 1
+    GROUP BY true_label, pred_label
+    """,
+)
+def sim_centroid_classify(spark, sf_dir):
+    """Nearest-centroid classification + confusion matrix — the
+    in-engine quality readout for embedding clusters (how separable
+    are the labels a mix/dedup pipeline keys on?). Centroids are one
+    exact per-(label, dim) aggregate (the semdedup kernel); the
+    nlist x 64 centroid table BROADCASTS and scoring is map-only per
+    vector (|V| x nlist rounded cosines, argmax by (cos DESC, label)
+    so ties can never flip cross-engine); the confusion matrix is a
+    tiny label x label agg. At 100 TB: one scan + one broadcast —
+    no vector ever shuffles."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("cand_label"), "cvec")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "cand_label",
+        F.round(
+            _dot(F.col("embedding"), F.col("cvec"))
+            / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("cos_c"),
+    )
+    pred = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cand_label")
+        ),
+    ).filter(F.col("rk") == 1)
+    return (
+        pred.groupBy("true_label", F.col("cand_label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -555,3 +555,62 @@ def win_time_weighted_avg(spark, sf_dir):
             F.sum(F.col("cents") * F.col("dur_s")) * 1.0 / F.sum("dur_s") / 100.0, 6
         ).alias("twap"),
     )
+
+
+@register(
+    "win_anchored_vwap",
+    oracle="""
+    WITH base AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+             l_quantity,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem WHERE l_partkey < 200
+    )
+    SELECT l_partkey, l_orderkey, l_linenumber,
+           CAST(SUM(l_quantity) OVER w AS DOUBLE) AS cum_qty,
+           CAST(FLOOR(SUM(cents) OVER w * 10000.0 / SUM(l_quantity) OVER w)
+                AS BIGINT) / 1000000.0 AS vwap
+    FROM base
+    WINDOW w AS (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_anchored_vwap(spark, sf_dir):
+    """Anchored VWAP per instrument (part): running
+    sum(price*qty)/sum(qty) from the first fill onward — the
+    execution-quality benchmark every trading desk tracks, and the
+    same running-ratio kernel as inventory-weighted costs. Price
+    mass accumulates as EXACT integer cents (FLOOR(x*100+0.5) per
+    ROW, then an associative long window sum); quantities are
+    integer-valued doubles, so both cumulative sums are exact and
+    the VWAP itself is emitted in fixed-point micro-price (one
+    FLOOR of an identical double expression — running ratios land
+    on true round-6 ties where engine ROUNDs diverge). Unique
+    total order (shipdate, orderkey, linenumber) pins every frame.
+    One hash partition by part, in-partition sort - no global
+    shuffle beyond the window's own."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    cum_cents = F.sum(cents).over(w)
+    cum_qty = F.sum("l_quantity").over(w)
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        cum_qty.cast("double").alias("cum_qty"),
+        # fixed-point micro-price, NOT ROUND(ratio, 6): the running
+        # ratio lands on true round-6 ties (x.xxx3125), where Spark's
+        # BigDecimal HALF_UP and DuckDB's float rounding disagree on
+        # the nearest-double neighbor. FLOOR of an identical double
+        # expression is exact in both engines; /1e6 is one identical
+        # IEEE op on the same integer.
+        (F.floor(cum_cents * 10000.0 / cum_qty).cast("bigint") / 1000000.0).alias(
+            "vwap"
+        ),
+    )
