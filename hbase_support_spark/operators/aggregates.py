@@ -2713,3 +2713,43 @@ def privacy_l_diversity(spark, sf_dir):
         F.countDistinct(band).cast("bigint").alias("l_distinct"),
         (F.countDistinct(band) >= 3).alias("l_diverse"),
     )
+
+
+@register(
+    "agg_heavy_hitters_exact",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM lineitem),
+    cnt AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT c.l_partkey, c.hits,
+           CAST(FLOOR(c.hits * 1000000.0 / t.n) AS BIGINT) AS share_ppm
+    FROM cnt c, tot t
+    WHERE c.hits * 2500 > t.n
+    """,
+)
+def agg_heavy_hitters_exact(spark, sf_dir):
+    """Exact heavy hitters: keys above a 1/2500 frequency threshold
+    (the exact answer a Misra-Gries / SpaceSaving sketch
+    approximates; at 100 TB run the sketch per partition and verify
+    its candidates with exactly this query — sketches guarantee no
+    false negatives above the threshold, so the exact pass only
+    rescans candidate keys). The threshold cut is an integer
+    cross-multiply (hits * 2500 > N — never a float ratio), and the
+    reported share is exact integer parts-per-million. One groupBy
+    (map-side combined) + a 1-row broadcast of the total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tot = li.agg(F.count(F.lit(1)).alias("n"))
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("hits") * 2500 > F.col("n"))
+        .select(
+            "l_partkey",
+            "hits",
+            F.floor(F.col("hits") * 1000000.0 / F.col("n"))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )

@@ -27,6 +27,8 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -5391,4 +5393,232 @@ def sim_centroid_classify(spark, sf_dir):
     return (
         pred.groupBy("true_label", F.col("cand_label").alias("pred_label"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "dedup_source_overlap_matrix",
+    oracle=f"""
+    WITH pairs AS (SELECT * FROM ({_MINHASH_ORACLE}) t),
+    tagged AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM tagged GROUP BY source_a, source_b
+    """,
+)
+def dedup_source_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix: near-dup pair counts by
+    (source, source) — WHICH feeds copy from each other. This is the
+    report that decides dedup ORDER in a multi-source ingest (dedup
+    the downstream mirror against the upstream origin, not vice
+    versa) and flags scraped-twice feeds. Rides the production
+    minhash kernel unchanged (sub-quadratic, member-capped); the
+    matrix step joins the tiny pair set back to document metadata
+    (column-pruned: doc_id + source only) and reduces to a
+    |sources|² agg. Pair orientation canonicalized LEAST/GREATEST so
+    the matrix is upper-triangular regardless of id order."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs(d)
+    src = d.select("doc_id", "source")
+    tagged = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+# 36-symbol alphabet for the character-entropy feature: letters,
+# digits, space. Counted via the length-diff trick (NO explode — a
+# per-char fan-out would shuffle |chars| rows at 100 TB; this is 37
+# codegen'd expressions per row, map-only).
+_ENTROPY_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+@register(
+    "text_char_entropy",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, LENGTH(LOWER(text)) AS n,
+             [LENGTH(LOWER(text)) - LENGTH(REPLACE(LOWER(text), c, ''))
+              FOR c IN {[c for c in _ENTROPY_CHARS]!r}] AS ks
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(LIST_SUM(ks) AS BIGINT) AS n_alpha,
+           ROUND(LIST_SUM(LIST_TRANSFORM(ks, k ->
+             CASE WHEN k = 0 THEN 0.0
+                  ELSE -(k / CAST(LIST_SUM(ks) AS DOUBLE))
+                       * LN(k / CAST(LIST_SUM(ks) AS DOUBLE)) / LN(2.0) END)), 6)
+             AS entropy_bits
+    FROM counts
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-distribution entropy (bits/char over a 37-symbol
+    alphabet) — the classic quality feature separating natural text
+    (~4 bits) from repeated boilerplate (low) and random noise
+    (high); gates alongside `text_quality_logit`. Counts come from
+    37 length-diff expressions (map-only, codegen'd — never an
+    explode of |chars| rows); entropy is an ordered in-row fold of
+    ≤37 terms in both engines with LN/LN(2) stated identically, so
+    term order can never differ cross-engine, and ROUND(,6) absorbs
+    the sub-ulp class (the zipf/perplexity discipline)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    low = F.lower(F.col("text"))
+    ks = F.array(
+        *[
+            (F.length(low) - F.length(F.regexp_replace(low, re.escape(c), "")))
+            for c in _ENTROPY_CHARS
+        ]
+    )
+    staged = d.select("doc_id", ks.alias("ks")).select(
+        "doc_id",
+        "ks",
+        F.aggregate("ks", F.lit(0).cast("long"), lambda a, x: a + x).alias("n_alpha"),
+    )
+    term = lambda k: F.when(k == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        -(k / F.col("n_alpha").cast("double"))
+        * F.log(k / F.col("n_alpha").cast("double"))
+        / F.log(F.lit(2.0))
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n_alpha").cast("bigint").alias("n_alpha"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("ks"), term), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("entropy_bits"),
+    )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH halves AS (
+      SELECT label, vec_id % 2 AS half, i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    cents AS (
+      SELECT label, half, i, AVG(v) AS c, COUNT(DISTINCT CAST(NULL AS BIGINT)) AS _z
+      FROM halves GROUP BY label, half, i
+    ),
+    paired AS (
+      SELECT o.label, o.i, o.c AS c_old, n.c AS c_new
+      FROM cents o JOIN cents n ON o.label = n.label AND o.i = n.i
+      WHERE o.half = 0 AND n.half = 1
+    ),
+    sizes AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+             CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM embeddings GROUP BY label
+    )
+    SELECT p.label, s.n_old, s.n_new,
+           ROUND(SUM(p.c_old * p.c_new) /
+                 (SQRT(SUM(p.c_old * p.c_old)) * SQRT(SUM(p.c_new * p.c_new))), 6)
+             AS centroid_cos,
+           ROUND(SQRT(SUM((p.c_old - p.c_new) * (p.c_old - p.c_new))), 6)
+             AS l2_shift
+    FROM paired p JOIN sizes s ON s.label = p.label
+    GROUP BY p.label, s.n_old, s.n_new
+    """,
+)
+def embedding_centroid_drift(spark, sf_dir):
+    """Embedding-space drift monitor: split the corpus into two
+    snapshots (id parity stands in for time here; ingestion batch in
+    production), compare per-label centroids — cosine near 1 and a
+    small L2 shift mean the encoder/corpus is stable; a drifting
+    label says re-cluster (IVF cells stale) or re-embed. The
+    embedding-space complement of `corpus_drift_psi`. Per-dim
+    centroids are exact single aggregates; everything after runs on
+    the nlist x 64 frame (metadata-scale)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select("label", "half", "pos", F.col("v").cast("double").alias("v"))
+    cents = dims.groupBy("label", "half", "pos").agg(F.avg("v").alias("c"))
+    old = cents.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("c_old")
+    )
+    new = cents.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("c").alias("c_new")
+    )
+    paired = old.join(new, ["label", "pos"])
+    sizes = e.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_old"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    drift = paired.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("c_old") * F.col("c_new"))
+            / (
+                F.sqrt(F.sum(F.col("c_old") * F.col("c_old")))
+                * F.sqrt(F.sum(F.col("c_new") * F.col("c_new")))
+            ),
+            6,
+        ).alias("centroid_cos"),
+        F.round(
+            F.sqrt(F.sum((F.col("c_old") - F.col("c_new")) * (F.col("c_old") - F.col("c_new")))),
+            6,
+        ).alias("l2_shift"),
+    )
+    return drift.join(F.broadcast(sizes), "label").select(
+        "label", "n_old", "n_new", "centroid_cos", "l2_shift"
+    )
+
+
+@register(
+    "multimodal_coverage_audit",
+    oracle="""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_vec,
+           CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan_docs,
+           CAST(FLOOR(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      * 10000.0 / COUNT(*)) AS BIGINT) AS coverage_bps
+    FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def multimodal_coverage_audit(spark, sf_dir):
+    """Modality-coverage audit: which documents are missing their
+    embedding (and at what rate per language) — the referential-
+    integrity check a multimodal store runs before training (an
+    orphan text trains blind; an orphan vector is dead weight).
+    One outer join on the shared id + a per-lang census; coverage
+    in exact integer basis points (FLOOR of an identical double
+    expression). At 100 TB both sides are id-bucketed so the join
+    is co-located."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").select(F.col("vec_id"))
+    j = d.join(e, d.doc_id == e.vec_id, "left")
+    has = F.when(F.col("vec_id").isNotNull(), 1).otherwise(0)
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(has).cast("bigint").alias("n_with_vec"),
+        F.sum(1 - has).cast("bigint").alias("n_orphan_docs"),
+        F.floor(F.sum(has) * 10000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("coverage_bps"),
     )

@@ -614,3 +614,52 @@ def win_anchored_vwap(spark, sf_dir):
             "vwap"
         ),
     )
+
+
+@register(
+    "win_rolling_median_7",
+    oracle="""
+    WITH base AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem WHERE l_partkey < 100
+    )
+    SELECT l_partkey, l_orderkey, l_linenumber,
+           CAST(COUNT(*) OVER w AS BIGINT) AS frame_n,
+           MEDIAN(cents) OVER w / 100.0 AS rolling_median
+    FROM base
+    WINDOW w AS (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rolling_median_7(spark, sf_dir):
+    """Rolling EXACT median over the trailing 7 fills per instrument
+    — the robust smoother that a mean-based moving average can't be
+    (one fat-finger print poisons a mean; the median shrugs). Spark
+    has no median window over row frames, so the frame is
+    materialized as a sorted array (collect_list over the 7-row
+    frame — bounded, so the array is never wider than 7) and the
+    median read off by position; even frames interpolate halves of
+    integer cents, which is exact in both engines. Partition-local:
+    one shuffle on part, in-partition sort, O(7 log 7) per row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 100)
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    arr = F.sort_array(F.collect_list(cents).over(w))
+    n = F.size(arr)
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    # odd frame: both picks are the middle element; even: true halves
+    med = (mid_lo + mid_hi) / 2.0
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        n.cast("bigint").alias("frame_n"),
+        (med / 100.0).alias("rolling_median"),
+    )
