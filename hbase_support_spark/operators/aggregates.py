@@ -2753,3 +2753,125 @@ def agg_heavy_hitters_exact(spark, sf_dir):
             .alias("share_ppm"),
         )
     )
+
+
+@register(
+    "events_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(DATE_TRUNC('week', ts) AS DATE) AS week_start,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_start, cents / 100.0 AS revenue,
+           CASE WHEN LAG(cents) OVER w IS NULL OR LAG(cents) OVER w = 0
+                THEN NULL
+                ELSE CAST(FLOOR((cents - LAG(cents) OVER w) * 10000.0
+                                / LAG(cents) OVER w) AS BIGINT) END AS wow_bps
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+    """,
+)
+def events_wow_growth(spark, sf_dir):
+    """Week-over-week growth per event type — the core business
+    cadence metric. Weekly revenue accumulates as exact integer
+    cents; the growth rate is exact integer basis points (one FLOOR
+    of an identical double expression over two BIGINTs, signed-safe
+    because FLOOR is sign-deterministic — no round-boundary class).
+    Two-key agg + a per-type lag over the tiny weekly frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("cents").over(w)
+    return weekly.select(
+        "event_type",
+        "week_start",
+        (F.col("cents") / 100.0).alias("revenue"),
+        F.when(prev.isNull() | (prev == 0), F.lit(None).cast("bigint"))
+        .otherwise(F.floor((F.col("cents") - prev) * 10000.0 / prev).cast("bigint"))
+        .alias("wow_bps"),
+    )
+
+
+@register(
+    "events_cep_3step",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT s1.user_id, s1.t_view, MIN(epoch_us(e.ts)) AS t_click
+      FROM s1 JOIN events e ON e.user_id = s1.user_id
+        AND e.event_type = 'click'
+        AND epoch_us(e.ts) > s1.t_view
+        AND epoch_us(e.ts) <= s1.t_view + 3600000000
+      GROUP BY s1.user_id, s1.t_view
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.t_view, s2.t_click, MIN(epoch_us(e.ts)) AS t_purchase
+      FROM s2 JOIN events e ON e.user_id = s2.user_id
+        AND e.event_type = 'purchase'
+        AND epoch_us(e.ts) > s2.t_click
+        AND epoch_us(e.ts) <= s2.t_click + 3600000000
+      GROUP BY s2.user_id, s2.t_view, s2.t_click
+    )
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           (s3.user_id IS NOT NULL) AS completed
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+)
+def events_cep_3step(spark, sf_dir):
+    """Three-step complex-event pattern: view → click (within 1 h)
+    → purchase (within 1 h of the click), earliest-completion
+    semantics — the MATCH_RECOGNIZE / Flink-CEP shape expressed as
+    two chained conditional-min aggregations. All comparisons run in
+    exact integer microseconds, and 'earliest' makes the match
+    unique, so the output can never depend on engine evaluation
+    order. Each step is one user-keyed equi-join + min-agg on the
+    (shrinking) matched-user frame — 100 TB cost is two hash joins
+    keyed on user, no window over raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "t")
+    s2 = (
+        s1.join(clicks, "user_id")
+        .filter((F.col("t") > F.col("t_view")) & (F.col("t") <= F.col("t_view") + 3600000000))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("t").alias("t_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "t")
+    s3 = (
+        s2.join(purchases, "user_id")
+        .filter((F.col("t") > F.col("t_click")) & (F.col("t") <= F.col("t_click") + 3600000000))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2.select("user_id", "t_click"), "user_id", "left")
+        .join(s3.select("user_id", "t_purchase"), "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("completed"),
+        )
+    )

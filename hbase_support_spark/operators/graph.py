@@ -351,3 +351,70 @@ def graph_triangle_count(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "graph_bfs_hops",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+    d0 AS (SELECT MIN(l_partkey) AS id FROM lineitem),
+    f1 AS (SELECT DISTINCT e.b AS id FROM edges e JOIN d0 ON e.a = d0.id),
+    f2 AS (SELECT DISTINCT e.b AS id FROM edges e JOIN f1 ON e.a = f1.id),
+    f3 AS (SELECT DISTINCT e.b AS id FROM edges e JOIN f2 ON e.a = f2.id),
+    all_h AS (
+      SELECT id, 0 AS h FROM d0
+      UNION ALL SELECT id, 1 AS h FROM f1
+      UNION ALL SELECT id, 2 AS h FROM f2
+      UNION ALL SELECT id, 3 AS h FROM f3
+    )
+    SELECT id AS part, CAST(MIN(h) AS BIGINT) AS hops
+    FROM all_h GROUP BY id
+    """,
+)
+def graph_bfs_hops(spark, sf_dir):
+    """Bounded BFS (3 supersteps) over the co-purchase graph from a
+    deterministic source node — hop distances are the 'related
+    products within N degrees' query, and the superstep-join shape
+    IS Spark's iterative-graph execution model (GraphX compiles to
+    exactly this frontier join + distinct per step; bounded depth
+    keeps it a deterministic graded query, the pagerank decision).
+    The edge list is built once and pinned (localCheckpoint) so three
+    frontier joins don't re-derive it; each frontier is
+    broadcast-joined while small and falls back to shuffle when it
+    saturates — at 100 TB the frontier size, not the graph, drives
+    each step's cost. min-hop union makes the result
+    visit-order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    d0 = li.agg(F.min("l_partkey").alias("id"))
+    f1 = (
+        edges.join(F.broadcast(d0), edges.a == d0.id).select(F.col("b").alias("id")).distinct()
+    )
+    f2 = edges.join(f1, edges.a == f1.id).select(F.col("b").alias("id")).distinct()
+    f3 = edges.join(f2, edges.a == f2.id).select(F.col("b").alias("id")).distinct()
+    all_h = (
+        d0.select("id", F.lit(0).alias("h"))
+        .unionAll(f1.select("id", F.lit(1).alias("h")))
+        .unionAll(f2.select("id", F.lit(2).alias("h")))
+        .unionAll(f3.select("id", F.lit(3).alias("h")))
+    )
+    return all_h.groupBy(F.col("id").alias("part")).agg(
+        F.min("h").cast("bigint").alias("hops")
+    )

@@ -5622,3 +5622,185 @@ def multimodal_coverage_audit(spark, sf_dir):
         .cast("bigint")
         .alias("coverage_bps"),
     )
+
+
+@register(
+    "text_vocab_coverage_oov",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, w FROM (SELECT lang, unnest({D_TOKENS}) AS w FROM documents)
+    ),
+    freq AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk FROM freq
+      ) WHERE rk <= 1000
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(FLOOR(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                      * 1000000.0 / COUNT(*)) AS BIGINT) AS oov_ppm
+    FROM toks t LEFT JOIN vocab v ON v.w = t.w
+    GROUP BY t.lang
+    """,
+)
+def text_vocab_coverage_oov(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: build a top-1000 frequency
+    vocab over the corpus (the WordPiece/BPE seed step) and measure
+    the out-of-vocabulary rate per language — the fairness number
+    every multilingual tokenizer ships with (a vocab trained on the
+    majority language starves the others; this query is the
+    evidence). Vocab selection uses the distributed global-rank
+    kernel (a web corpus has 10⁸ surface forms — no single-partition
+    ORDER BY); the vocab is broadcast-sized by construction (top-K)
+    so the coverage join is map-only. OOV rate in exact integer ppm."""
+    from .ranking import with_global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.expr(TOKENS)).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        with_global_rank(freq, [F.col("n").desc(), "w"], "rk")
+        .filter(F.col("rk") <= 1000)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    j = toks.join(F.broadcast(vocab), "w", "left")
+    oov = F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.floor(F.sum(oov) * 1000000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("oov_ppm"),
+    )
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || 'XXXXPADXX' AS text
+      FROM documents WHERE doc_id < 50
+    ),
+    sh AS (
+      SELECT doc_id, substring(text, i * 4 + 1, 8) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, CASE WHEN length(text) >= 8
+                                        THEN (length(text) - 8) // 4 + 1
+                                        ELSE 0 END)) AS i
+            FROM corpus)
+    ),
+    h AS (SELECT doc_id, {_d_h60('s')} AS hh FROM sh),
+    bits AS (
+      SELECT doc_id, b.i AS bit,
+             SUM(CASE WHEN (hh >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+      FROM h, range(0, 48) b(i) GROUP BY doc_id, b.i
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS sig
+      FROM bits GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, sig, r.b AS band, (sig >> (r.b * 12)) & 4095 AS key
+      FROM sig, range(0, 4) r(b)
+    ),
+    buckets AS (
+      SELECT band, key, COUNT(*) AS n FROM banded GROUP BY band, key
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.key = b.key
+                   AND a.doc_id < b.doc_id
+      JOIN buckets k ON k.band = a.band AND k.key = a.key
+                    AND k.n BETWEEN 2 AND 256
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+    """,
+)
+def multimodal_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-dup over opaque payloads: SimHash the
+    byte 4-gram windows (8 bytes, stride 4) of each BLOB — the
+    pHash/aHash role for stored media, catching re-encodes and
+    metadata-tail edits that byte-exact dedup misses. Payload bytes
+    stand in via text (stub convention of multimodal_decode_meta);
+    the kernel is dedup_simhash's, re-pointed from token shingles to
+    byte windows: 48-bit sign-sum signature (explode + 48 codegen'd
+    sums, map-side combined), 4x12-bit LSH bands with the 256-member
+    bucket cap, Hamming <= 8 verify — integer-exact end-to-end and
+    sub-quadratic by banding. Dup behavior exercised against
+    in-query padded-tail variants of the first 50 payloads (same
+    leading windows -> tiny Hamming), since fixtures carry no raw
+    dups."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit("XXXXPADXX")).alias("text"),
+    )
+    corpus = d.unionAll(variants)
+    hs = corpus.filter(F.length("text") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, (length(text) - 8) div 4),"
+                f" i -> {_h60('substring(text, i * 4 + 1, 8)')})"
+            )
+        ).alias("hh"),
+    )
+    bit_sums = hs.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("hh"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"b{i}"
+            )
+            for i in range(48)
+        ]
+    )
+    sigs = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(48)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("sig"),
+    )
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.expr(
+            "explode(transform(sequence(0, 3), b -> named_struct('band', b, 'key',"
+            " (sig >> (b * 12)) & 4095)))"
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.key")
+    grouped = banded.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members")
+    )
+    guarded = grouped.filter((F.size("members") > 1) & (F.size("members") <= 256))
+    pairs = (
+        guarded.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (m1, i) ->"
+                    " transform(slice(members, i + 2, size(members) - i - 1), m2 ->"
+                    " named_struct('doc_a', m1.doc_id, 'doc_b', m2.doc_id,"
+                    "              'sig_a', m1.sig, 'sig_b', m2.sig))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("bigint"))
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    )
