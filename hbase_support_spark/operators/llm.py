@@ -118,35 +118,22 @@ def _d_cosine(a: str, b: str) -> str:
     )
 
 
-def _rescore_pairs_exact(e, pairs, a_col: str, b_col: str):
-    """Re-score candidate pairs with the EXACT fold-expression cosine
-    (`_dot`/`_norm` — the bit-for-bit twin of the oracle's
-    `_d_cosine`), appended as `cos_sim` rounded to 6.
+def _fold_cos6(ea, eb):
+    """EXACT fold-expression cosine rounded to 6 — the bit-for-bit
+    twin of the oracle's `_d_cosine`.
 
-    The BLAS Gram kernel stays the candidate GENERATOR (native matmul
-    per block — the 100-TB scale path), but its normalize-then-matmul
-    double result can differ from the fold in the last ulp; when that
-    ulp sits exactly on a round-6 boundary the hashed value (or a
-    τ-membership) flips between engines (ADVICE r04). Re-scoring only
-    the surviving pairs (tiny vs the block cross product) makes every
-    emitted cosine exact-by-construction at the cost of two broadcast
-    joins back to the vector table."""
-    small = F.broadcast(pairs)
-    ea = e.select(F.col("vec_id").alias(a_col), F.col("embedding").alias("_ea"))
-    eb = e.select(F.col("vec_id").alias(b_col), F.col("embedding").alias("_eb"))
-    return (
-        small.join(ea, a_col)
-        .join(eb, b_col)
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(F.col("_ea"), F.col("_eb"))
-                / (_norm(F.col("_ea")) * _norm(F.col("_eb"))),
-                6,
-            ),
-        )
-        .drop("_ea", "_eb")
-    )
+    The BLAS Gram kernels stay the candidate GENERATORS (native
+    matmul per block — the 100-TB scale path), but their
+    normalize-then-matmul double result can differ from the fold in
+    the last ulp; when that ulp sits exactly on a round-6 boundary
+    the hashed value (or a τ-membership) flips between engines
+    (ADVICE r04). So each kernel CARRIES the surviving pairs' raw
+    vectors out through Arrow (bytes proportional to the pair
+    output, not the block cross product) and this map-only fold
+    re-scores them exact-by-construction — measured cheaper at
+    sf0.1 than joining back to the vector table (join stages cost
+    ~0.3 s of AQE scheduling for the same answer)."""
+    return F.round(_dot(ea, eb) / (_norm(ea) * _norm(eb)), 6)
 
 
 # ---------------------------------------------------------------------------
@@ -678,18 +665,22 @@ def dedup_embedding_cosine(spark, sf_dir):
     block, measured 10x at sf0.1. The per-pair expression-fold form
     of the same computation lives on as `sim_pairs_threshold`.
     The kernel emits CANDIDATES (generous raw pre-filter); surviving
-    pairs are re-scored with the exact fold expression via
-    `_rescore_pairs_exact`, so the hashed cos_sim and the τ-cut are
-    bit-identical to the oracle by construction (ADVICE r04)."""
+    pairs are re-scored with the exact fold expression (`_fold_cos6`) on raw
+    vectors carried through Arrow, so the hashed cos_sim and the
+    τ-cut are bit-identical to the oracle by construction
+    (ADVICE r04)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from pyspark.sql.types import ArrayType, FloatType
 
     out_schema = StructType(
         [
             StructField("vec_a", LongType()),
             StructField("vec_b", LongType()),
-            StructField("raw_cos", DoubleType()),
+            StructField("_ea", ArrayType(FloatType())),
+            StructField("_eb", ArrayType(FloatType())),
         ]
     )
 
@@ -697,23 +688,26 @@ def dedup_embedding_cosine(spark, sf_dir):
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        m = np.stack(pdf["embedding"].to_numpy())[order].astype("float64")
+        raw_embs = pdf["embedding"].to_numpy()[order]
+        m = np.stack(raw_embs).astype("float64")
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         g = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = g[ia, ib] >= 0.2999  # generous raw pre-filter only
+        # carry the survivors' RAW vectors out for the exact fold
         return pd.DataFrame(
             {
                 "vec_a": ids[ia[keep]],
                 "vec_b": ids[ib[keep]],
-                "raw_cos": g[ia[keep], ib[keep]],
+                "_ea": [raw_embs[i] for i in ia[keep]],
+                "_eb": [raw_embs[i] for i in ib[keep]],
             }
         )
 
     e = load_table(spark, sf_dir, "embeddings")
     raw = e.groupBy("label").applyInPandas(block_pairs, out_schema)
     return (
-        _rescore_pairs_exact(e, raw.drop("raw_cos"), "vec_a", "vec_b")
+        raw.withColumn("cos_sim", _fold_cos6(F.col("_ea"), F.col("_eb")))
         .filter(F.col("cos_sim") >= 0.3)
         .select("vec_a", "vec_b", "cos_sim")
     )
@@ -822,19 +816,22 @@ def dedup_semdedup_keep(spark, sf_dir):
     )
     # τ-pair stage rides the per-cluster BLAS Gram kernel (the
     # dedup_embedding_cosine pattern, 13x over the expression fold at
-    # sf0.1) as the candidate GENERATOR; survivors are re-scored with
-    # the exact fold expression (_rescore_pairs_exact) so τ-membership
-    # is bit-identical to the oracle even at the round-6 boundary
+    # sf0.1) as the candidate GENERATOR; survivors carry their raw vectors
+    # out and are re-scored with the exact fold (_fold_cos6) so
+    # τ-membership is bit-identical to the oracle at every boundary
     # (ADVICE r04 — a BLAS-vs-fold last-ulp can no longer flip keep).
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    from pyspark.sql.types import ArrayType, FloatType
+
     pair_schema = StructType(
         [
             StructField("u", LongType()),
             StructField("v", LongType()),
-            StructField("raw_cos", DoubleType()),
+            StructField("_ea", ArrayType(FloatType())),
+            StructField("_eb", ArrayType(FloatType())),
         ]
     )
 
@@ -842,7 +839,8 @@ def dedup_semdedup_keep(spark, sf_dir):
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        m = np.stack(pdf["embedding"].to_numpy())[order].astype("float64")
+        raw_embs = pdf["embedding"].to_numpy()[order]
+        m = np.stack(raw_embs).astype("float64")
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         g = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
@@ -851,13 +849,16 @@ def dedup_semdedup_keep(spark, sf_dir):
             {
                 "u": ids[ia[keepi]],
                 "v": ids[ib[keepi]],
-                "raw_cos": g[ia[keepi], ib[keepi]],
+                "_ea": [raw_embs[i] for i in ia[keepi]],
+                "_eb": [raw_embs[i] for i in ib[keepi]],
             }
         )
 
     cand = e.groupBy("label").applyInPandas(block_pairs, pair_schema)
-    pairs = _rescore_pairs_exact(e, cand.drop("raw_cos"), "u", "v").filter(
-        F.col("cos_sim") >= 0.3
+    pairs = (
+        cand.withColumn("cos_sim", _fold_cos6(F.col("_ea"), F.col("_eb")))
+        .drop("_ea", "_eb")
+        .filter(F.col("cos_sim") >= 0.3)
     )
     edges = pairs.select("u", "v").unionAll(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1684,12 +1685,15 @@ def sim_pairs_threshold_blas(spark, sf_dir):
         StructType,
     )
 
+    from pyspark.sql.types import ArrayType, FloatType
+
     out_schema = StructType(
         [
             StructField("vec_a", LongType()),
             StructField("vec_b", LongType()),
             StructField("label", IntegerType()),
-            StructField("raw_cos", DoubleType()),
+            StructField("_ea", ArrayType(FloatType())),
+            StructField("_eb", ArrayType(FloatType())),
         ]
     )
 
@@ -1697,27 +1701,29 @@ def sim_pairs_threshold_blas(spark, sf_dir):
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        m = np.stack(pdf["embedding"].to_numpy())[order].astype("float64")
+        raw_embs = pdf["embedding"].to_numpy()[order]
+        m = np.stack(raw_embs).astype("float64")
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         g = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
-        # generous raw pre-filter only; survivors are re-scored with
-        # the exact fold expression (_rescore_pairs_exact) before the
-        # τ-cut, so the emitted cos_sim is oracle-bit-identical
+        # generous raw pre-filter only; survivors carry their raw
+        # vectors out and are re-scored with the exact fold
+        # (_fold_cos6), so the emitted cos_sim is oracle-bit-identical
         keep = g[ia, ib] >= 0.2499
         return pd.DataFrame(
             {
                 "vec_a": ids[ia[keep]],
                 "vec_b": ids[ib[keep]],
                 "label": int(pdf["label"].iloc[0]),
-                "raw_cos": g[ia[keep], ib[keep]],
+                "_ea": [raw_embs[i] for i in ia[keep]],
+                "_eb": [raw_embs[i] for i in ib[keep]],
             }
         )
 
     e = load_table(spark, sf_dir, "embeddings")
     raw = e.groupBy("label").applyInPandas(block_pairs, out_schema)
     return (
-        _rescore_pairs_exact(e, raw.drop("raw_cos"), "vec_a", "vec_b")
+        raw.withColumn("cos_sim", _fold_cos6(F.col("_ea"), F.col("_eb")))
         .filter(F.col("cos_sim") >= 0.25)
         .select("vec_a", "vec_b", "label", "cos_sim")
     )
