@@ -118,6 +118,41 @@ def _d_cosine(a: str, b: str) -> str:
     )
 
 
+# Hard ceiling for the blocked-exact embedding-pair family: a 16384-
+# vector block means a 2 GiB float64 Gram matrix in the BLAS kernels
+# and ~1.3e8 expression-fold pairs in the expression twin — the
+# practical per-block limit of any O(block²) route. Blocks past it
+# must ride the sub-quadratic paths (LSH hyperplanes, IVF cells).
+# Same enforced-quarantine principle as NGRAM_EXACT_BLOCK_CAP.
+VEC_PAIR_BLOCK_CAP = 16384
+
+
+def _check_vec_block(n: int) -> None:
+    """In-kernel guard (free — no extra Spark job): raise when one
+    label block exceeds the O(block²) ceiling, pointing at the
+    sub-quadratic production routes."""
+    if n > VEC_PAIR_BLOCK_CAP:
+        raise ValueError(
+            f"embedding-pair block has {n} vectors (> cap {VEC_PAIR_BLOCK_CAP});"
+            " the O(block^2) pair route is bounded by design. Re-cluster into"
+            " smaller cells (sim_knn_ivf / ann_index) or use the sub-quadratic"
+            " candidates (sim_lsh_hyperplane)."
+        )
+
+
+def _assert_vec_blocks_bounded(e, block_col: str = "label") -> None:
+    """Pre-join guard for the expression-fold pair twin (no kernel to
+    check inside): one column-pruned agg + single-scalar collect."""
+    hot = (
+        e.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if hot is not None:
+        _check_vec_block(int(hot))
+
+
 def _fold_cos6(ea, eb):
     """EXACT fold-expression cosine rounded to 6 — the bit-for-bit
     twin of the oracle's `_d_cosine`.
@@ -684,7 +719,17 @@ def dedup_embedding_cosine(spark, sf_dir):
         ]
     )
 
+    # self-contained closure (workers can't import this package —
+    # see multimodal_decode_meta NOTE); the cap int pickles by value
+    _cap = VEC_PAIR_BLOCK_CAP
+
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > _cap:
+            raise ValueError(
+                f"embedding-pair block has {len(pdf)} vectors (> cap {_cap});"
+                " the O(block^2) route is bounded by design - re-cluster into"
+                " smaller cells (sim_knn_ivf) or use sim_lsh_hyperplane."
+            )
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
@@ -835,7 +880,17 @@ def dedup_semdedup_keep(spark, sf_dir):
         ]
     )
 
+    # self-contained closure (workers can't import this package —
+    # see multimodal_decode_meta NOTE); the cap int pickles by value
+    _cap = VEC_PAIR_BLOCK_CAP
+
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > _cap:
+            raise ValueError(
+                f"embedding-pair block has {len(pdf)} vectors (> cap {_cap});"
+                " the O(block^2) route is bounded by design - re-cluster into"
+                " smaller cells (sim_knn_ivf) or use sim_lsh_hyperplane."
+            )
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
@@ -1627,6 +1682,7 @@ def sim_pairs_threshold(spark, sf_dir):
     """All-pairs cosine ≥ τ within label blocks (REPOSE/CASS-style
     blocking keeps this sub-quadratic — O(Σ block²), not O(n²))."""
     e = load_table(spark, sf_dir, "embeddings")
+    _assert_vec_blocks_bounded(e)
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))
@@ -1697,7 +1753,17 @@ def sim_pairs_threshold_blas(spark, sf_dir):
         ]
     )
 
+    # self-contained closure (workers can't import this package —
+    # see multimodal_decode_meta NOTE); the cap int pickles by value
+    _cap = VEC_PAIR_BLOCK_CAP
+
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > _cap:
+            raise ValueError(
+                f"embedding-pair block has {len(pdf)} vectors (> cap {_cap});"
+                " the O(block^2) route is bounded by design - re-cluster into"
+                " smaller cells (sim_knn_ivf) or use sim_lsh_hyperplane."
+            )
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]

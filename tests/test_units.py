@@ -644,3 +644,28 @@ def test_round3_grading_window_head_is_pinned():
     # and the whole head must come from GRADING_PRIORITY order
     pr = [n for n in registry.GRADING_PRIORITY if n in registry.QUERIES and n not in green]
     assert head == pr[:50]
+
+
+def test_vec_pair_block_cap_enforced(spark):
+    """The embedding-pair O(block^2) family is bounded in code like
+    the ngram twins: an oversized label block raises toward the
+    sub-quadratic routes (the three Arrow kernels carry the same
+    check inlined in their closures)."""
+    import pytest
+
+    from hbase_support_spark.operators.llm import (
+        VEC_PAIR_BLOCK_CAP,
+        _assert_vec_blocks_bounded,
+        _check_vec_block,
+    )
+
+    with pytest.raises(ValueError, match="sim_lsh_hyperplane"):
+        _check_vec_block(VEC_PAIR_BLOCK_CAP + 1)
+    _check_vec_block(VEC_PAIR_BLOCK_CAP)  # at the cap is fine
+
+    hot = spark.range(VEC_PAIR_BLOCK_CAP + 1).select(
+        F.col("id").alias("vec_id"), F.lit(0).alias("label")
+    )
+    with pytest.raises(ValueError, match="sim_lsh_hyperplane"):
+        _assert_vec_blocks_bounded(hot)
+    _assert_vec_blocks_bounded(hot.limit(100))
