@@ -2875,3 +2875,56 @@ def events_cep_3step(spark, sf_dir):
             F.col("t_purchase").isNotNull().alias("completed"),
         )
     )
+
+
+@register(
+    "orders_backlog_aging",
+    oracle="""
+    WITH now_ref AS (SELECT MAX(o_orderdate) AS now_d FROM orders),
+    open_orders AS (
+      SELECT o_orderstatus, o_orderpriority,
+             DATEDIFF('day', o_orderdate, n.now_d) AS age_days,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders, now_ref n
+      WHERE o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 90 THEN '31-90'
+                WHEN age_days <= 365 THEN '91-365'
+                ELSE '365+' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS open_value
+    FROM open_orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def orders_backlog_aging(spark, sf_dir):
+    """Open-order backlog aging — the fulfillment-ops report: unshipped
+    orders bucketed by age (vs the newest order date, a data-derived
+    'now' so the query is deterministic across runs), split by status
+    and priority, with counts and exact-cents open value. Bucket
+    edges are integer day comparisons; one scan + one three-key agg."""
+    o = load_table(spark, sf_dir, "orders")
+    now_ref = o.agg(F.max("o_orderdate").alias("now_d"))
+    age = F.datediff(F.col("now_d"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 90, "31-90")
+        .when(age <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(now_ref))
+        .groupBy("o_orderstatus", "o_orderpriority", bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).cast(
+                    "bigint"
+                )
+                / 100.0
+            ).alias("open_value"),
+        )
+    )

@@ -5876,3 +5876,194 @@ def multimodal_phash_near_dup(spark, sf_dir):
         .filter(F.col("hamming") <= 8)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "pipeline_filter_funnel_report",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             SHA256(LOWER(TRIM(text))) AS content_hash,
+             {D_TOKENS} AS toks
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, lang, n_chars, content_hash,
+             LEN(toks) AS n_tokens,
+             CASE WHEN LEN(toks) = 0 THEN 0.0
+                  ELSE LEN(LIST_DISTINCT(toks))::DOUBLE / LEN(toks) END AS uniq_ratio
+      FROM scored
+    ),
+    q AS (
+      SELECT *, (n_tokens >= 10 AND n_chars BETWEEN 60 AND 600) AS pass_quality
+      FROM flagged
+    ),
+    dd AS (
+      SELECT *, CASE WHEN pass_quality THEN
+               ROW_NUMBER() OVER (PARTITION BY content_hash, pass_quality
+                                  ORDER BY doc_id) ELSE NULL END AS rn
+      FROM q
+    ),
+    attributed AS (
+      SELECT CASE
+               WHEN n_tokens < 10 THEN 1
+               WHEN n_chars NOT BETWEEN 60 AND 600 THEN 2
+               WHEN rn > 1 THEN 3
+               WHEN uniq_ratio < 0.3 THEN 4
+               WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 5
+               ELSE 6 END AS stage_idx
+      FROM dd
+    ),
+    counts AS (
+      SELECT s.stage_idx, s.stage,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_rejected
+      FROM (VALUES (1, 'too_few_tokens'), (2, 'length_out_of_band'),
+                   (3, 'exact_duplicate'), (4, 'low_uniq_ratio'),
+                   (5, 'lang_not_allowed')) s(stage_idx, stage)
+      LEFT JOIN (SELECT stage_idx, COUNT(*) AS n FROM attributed GROUP BY stage_idx) c
+        ON c.stage_idx = s.stage_idx
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT stage_idx, stage, n_rejected,
+           CAST(t.n - SUM(n_rejected) OVER (ORDER BY stage_idx) AS BIGINT)
+             AS n_remaining
+    FROM counts, tot t
+    """,
+)
+def pipeline_filter_funnel_report(spark, sf_dir):
+    """Filter-funnel observability for the cleaning pipeline: every
+    document attributed to the FIRST gate that rejects it (token
+    floor → length band → exact dup → uniqueness → language
+    allowlist, the exact `pipeline_clean_corpus` gate order), with
+    per-stage rejection counts and the cumulative survivor count —
+    the report that tells a pipeline owner WHICH gate is eating the
+    corpus before they ship a mix. Same single scan + dedup-hash
+    shuffle as the cleaner itself; the funnel math runs on a 5-row
+    frame. All-integer outputs."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+        F.expr(TOKENS).alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "content_hash",
+        F.size("toks").alias("n_tokens"),
+        F.when(F.size("toks") == 0, 0.0)
+        .otherwise(F.size(F.array_distinct("toks")).cast("double") / F.size("toks"))
+        .alias("uniq_ratio"),
+    )
+    q = scored.withColumn(
+        "pass_quality",
+        (F.col("n_tokens") >= 10) & F.col("n_chars").between(60, 600),
+    )
+    w = Window.partitionBy("content_hash", "pass_quality").orderBy("doc_id")
+    dd = q.withColumn(
+        "rn", F.when(F.col("pass_quality"), F.row_number().over(w))
+    )
+    stage_idx = (
+        F.when(F.col("n_tokens") < 10, 1)
+        .when(~F.col("n_chars").between(60, 600), 2)
+        .when(F.col("rn") > 1, 3)
+        .when(F.col("uniq_ratio") < 0.3, 4)
+        .when(~F.col("lang").isin("en", "de", "es", "fr"), 5)
+        .otherwise(6)
+    )
+    attributed = dd.select(stage_idx.alias("stage_idx"))
+    stages = spark.createDataFrame(
+        [
+            (1, "too_few_tokens"),
+            (2, "length_out_of_band"),
+            (3, "exact_duplicate"),
+            (4, "low_uniq_ratio"),
+            (5, "lang_not_allowed"),
+        ],
+        "stage_idx int, stage string",
+    )
+    counts = (
+        stages.join(
+            attributed.groupBy("stage_idx").agg(F.count(F.lit(1)).alias("n")),
+            "stage_idx",
+            "left",
+        )
+        .select(
+            "stage_idx",
+            "stage",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_rejected"),
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("total"))
+    wcum = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_remaining",
+            (F.col("total") - F.sum("n_rejected").over(wcum)).cast("bigint"),
+        )
+        .select("stage_idx", "stage", "n_rejected", "n_remaining")
+    )
+
+
+@register(
+    "text_readability_fk",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             LEN(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS n_words,
+             LEN(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words = 0 THEN NULL ELSE
+             ROUND(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+                   + 11.8 * (n_syllables / CAST(n_words AS DOUBLE)) - 15.59, 6) END
+             AS fk_grade
+    FROM feats
+    """,
+)
+def text_readability_fk(spark, sf_dir):
+    """Flesch-Kincaid grade level — the readability feature quality
+    mixes and kid-safe filters key on. Sentences from terminal-
+    punctuation runs (floored at 1), syllables approximated by
+    vowel-group runs (the standard cheap estimator) — all INTEGER
+    counts from regexp_extract_all, identical in both engines; the
+    grade itself is one shared closed-form float rounded to 6.
+    Map-only, codegen'd, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    n_words = F.size(F.expr(TOKENS))
+    n_syll = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    feats = d.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        F.when(F.col("n_words") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                0.39 * (F.col("n_words") / F.col("n_sentences").cast("double"))
+                + 11.8 * (F.col("n_syllables") / F.col("n_words").cast("double"))
+                - 15.59,
+                6,
+            )
+        )
+        .alias("fk_grade"),
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..io import load_table
+from ..num import round_z
 from ..registry import register
 
 
@@ -662,4 +663,68 @@ def win_rolling_median_7(spark, sf_dir):
         "l_linenumber",
         n.cast("bigint").alias("frame_n"),
         (med / 100.0).alias("rolling_median"),
+    )
+
+
+@register(
+    "win_rolling_zscore",
+    oracle="""
+    WITH base AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem WHERE l_partkey < 100
+    ),
+    stats AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+      FROM base
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_partkey, l_orderkey, l_linenumber, n,
+           CASE WHEN n * s2 - s1 * s1 <= 0 THEN NULL
+                ELSE (ROUND((n * cents - s1)
+                            / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6) + 0.0)
+           END AS rolling_z
+    FROM stats
+    """,
+)
+def win_rolling_zscore(spark, sf_dir):
+    """Rolling z-score over the trailing 28 fills per instrument —
+    the streaming-friendly anomaly detector (a print far from its
+    local regime flags mid-scan, no global pass). All moments are
+    EXACT integer window sums of cents (s1, s2 fit in BIGINT at any
+    realistic magnitude: 28 x (1e7)² < 2^63), the z closed form
+    (n·x − s1)/√(n·s2 − s1²) is one identical IEEE expression, and
+    the signed round goes through the +0.0 sign-of-zero guard.
+    Degenerate frames (zero variance) emit NULL identically."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 100)
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-27, Window.currentRow)
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    st = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        cents.alias("cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum(cents).over(w).cast("bigint").alias("s1"),
+        F.sum(cents * cents).over(w).cast("bigint").alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (F.col("n") * F.col("cents") - F.col("s1")) / F.sqrt(var_num.cast("double"))
+    return st.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "n",
+        F.when(var_num <= 0, F.lit(None).cast("double"))
+        .otherwise(round_z(z, 6))
+        .alias("rolling_z"),
     )
