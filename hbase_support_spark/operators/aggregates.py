@@ -2928,3 +2928,50 @@ def orders_backlog_aging(spark, sf_dir):
             ).alias("open_value"),
         )
     )
+
+
+@register(
+    "agg_decay_weighted_ltv",
+    oracle="""
+    WITH now_ref AS (SELECT MAX(ts) AS now_ts FROM events),
+    rows_w AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             DATEDIFF('day', CAST(ts AS DATE), CAST(n.now_ts AS DATE)) // 7
+               AS weeks
+      FROM events, now_ref n
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS raw_value,
+           CAST(SUM(CAST(FLOOR(cents * POWER(2.0, -CAST(weeks AS DOUBLE)))
+                         AS BIGINT)) AS BIGINT) / 100.0 AS decayed_value
+    FROM rows_w GROUP BY user_id
+    """,
+)
+def agg_decay_weighted_ltv(spark, sf_dir):
+    """Recency-weighted customer value: each event's cents halve per
+    full week of age (exponential decay, half-life = 1 week) — the
+    standard churn-aware LTV feature. Determinism trick: the decay
+    factor is 2^(-integer weeks), an EXACT power of two, so
+    cents * weight only shifts the float exponent (no mantissa
+    rounding) and the per-row FLOOR + BIGINT sum is associative and
+    engine-exact — an arbitrary half-life (e^(-λt)) would put a
+    libm pow in the hash path. One scan + one user-keyed agg,
+    map-side combined; 'now' is data-derived (max ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    now_ref = ev.agg(F.max("ts").alias("now_ts"))
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    weeks = F.floor(
+        F.datediff(F.col("now_ts").cast("date"), F.col("ts").cast("date")) / 7
+    )
+    decayed = F.floor(cents * F.pow(F.lit(2.0), -weeks.cast("double"))).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(now_ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum(cents).cast("bigint") / 100.0).alias("raw_value"),
+            (F.sum(decayed).cast("bigint") / 100.0).alias("decayed_value"),
+        )
+    )

@@ -885,3 +885,123 @@ def matview_incremental_refresh(spark, sf_dir):
     return refreshed.select(
         "bucket", "n_rows", (F.col("cents") / 100.0).alias("total")
     )
+
+
+@register(
+    "scd2_build_from_history",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    ins(k, p) AS (VALUES (CAST(99000001 AS BIGINT), CAST(11.5 AS DOUBLE)),
+                         (99000002, 22.5), (99000003, 33.5)),
+    merged AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN ROUND(o_totalprice + 1000.0, 2)
+                  ELSE o_totalprice END AS p
+      FROM base
+      UNION ALL SELECT k, p FROM ins),
+    final AS (SELECT k, p FROM merged WHERE k % 37 <> 1),
+    ver AS (
+      SELECT o_orderkey AS k, o_totalprice AS p, 1 AS v FROM base
+      UNION ALL SELECT k, p, 2 AS v FROM merged
+      UNION ALL SELECT k, p, 3 AS v FROM final
+    ),
+    marked AS (
+      SELECT k, p, v,
+             CASE WHEN LAG(p) OVER w IS NULL
+                       OR LAG(p) OVER w <> p
+                       OR LAG(v) OVER w <> v - 1
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ver
+      WINDOW w AS (PARTITION BY k ORDER BY v)
+    ),
+    grp AS (
+      SELECT k, p, v,
+             SUM(is_start) OVER (PARTITION BY k ORDER BY v) AS g
+      FROM marked
+    )
+    SELECT k AS o_orderkey, MIN(p) AS o_totalprice,
+           CAST(MIN(v) AS BIGINT) AS valid_from_version,
+           CAST(MAX(v) AS BIGINT) AS valid_to_version,
+           (MAX(v) = 3) AS is_current
+    FROM grp GROUP BY k, g
+    """,
+)
+def scd2_build_from_history(spark, sf_dir):
+    """Build the SCD type-2 dimension FROM table-format history: walk
+    every committed txlog version of the orders table (v1 init → v2
+    MERGE → v3 COW delete) and emit one validity interval per
+    (key, value) run — valid_from/valid_to in version numbers,
+    is_current for rows alive at the head. This closes the loop with
+    `join_dim_scd2` (which CONSUMES such a dimension): time travel
+    is the source of truth for dimension history, no hand-maintained
+    effective-date columns.
+
+    Interval derivation is the classic gaps-and-islands: a run
+    starts where the value changes, the key (re)appears, or the
+    version sequence has a hole (delete + re-insert of the same
+    value stays two intervals). Per-key windows over |versions| rows
+    — at 100 TB the cost is reading the kept manifests (bounded by
+    the vacuum retention), and each version image prunes to its own
+    files."""
+    import os
+    import shutil
+
+    from ..sources.txlog import txlog_delete, txlog_init, txlog_merge, txlog_read
+    from pyspark.sql import Window
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+    )
+    target = os.path.join(scratch, "txlog_scd2_orders")
+    shutil.rmtree(target, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    txlog_init(o.repartitionByRange(8, "o_orderkey"), target)
+    delta = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(99000001, 11.5), (99000002, 22.5), (99000003, 33.5)],
+                "o_orderkey long, o_totalprice double",
+            )
+        )
+    )
+    txlog_merge(spark, target, delta, "o_orderkey")
+    txlog_delete(spark, target, "o_orderkey % 37 = 1")
+    ver = None
+    for v in (1, 2, 3):
+        img = txlog_read(spark, target, version=v).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("p"),
+            F.lit(v).alias("v"),
+        )
+        ver = img if ver is None else ver.unionByName(img)
+    w = Window.partitionBy("k").orderBy("v")
+    lag_p, lag_v = F.lag("p").over(w), F.lag("v").over(w)
+    marked = ver.withColumn(
+        "is_start",
+        F.when(
+            lag_p.isNull() | (lag_p != F.col("p")) | (lag_v != F.col("v") - 1), 1
+        ).otherwise(0),
+    )
+    grp = marked.withColumn(
+        "g",
+        F.sum("is_start").over(
+            Window.partitionBy("k").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return grp.groupBy("k", "g").agg(
+        F.min("p").alias("o_totalprice"),
+        F.min("v").cast("bigint").alias("valid_from_version"),
+        F.max("v").cast("bigint").alias("valid_to_version"),
+        (F.max("v") == 3).alias("is_current"),
+    ).select(
+        F.col("k").alias("o_orderkey"),
+        "o_totalprice",
+        "valid_from_version",
+        "valid_to_version",
+        "is_current",
+    )
