@@ -67,3 +67,65 @@ def test_aqe_promotes_small_shuffle_side_to_broadcast(aqe_tuned):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "AdaptiveSparkPlan isFinalPlan=true" in plan, plan
+
+
+@pytest.fixture()
+def bloom_tuned(spark):
+    """Enable runtime bloom-filter injection with thresholds shrunk
+    to toy scale; force SMJ (a broadcast side gets no bloom — the
+    hash build IS its filter); restore after."""
+    keys = [
+        ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+        ("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"),
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+    ]
+    old = {}
+    for k, v in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(bloom_tuned, sf_dir):
+    """The 100-TB fact-fact lever beyond partition pruning: when a
+    selective dimension side CANNOT broadcast, Spark can still inject
+    a bloom_filter_agg on the dim keys and push might_contain into
+    the fact scan, pruning most fact rows before the shuffle.
+    Asserts the injection appears in the optimized plan AND that
+    results are identical with the filter on and off."""
+    from hbase_support_spark.io import load_table
+
+    spark = bloom_tuned
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .filter(F.col("o_totalprice") > 200000)
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan, plan
+    with_bloom = {(r.o_orderpriority, r.n) for r in j.collect()}
+
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    j2 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    plan2 = j2._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" not in plan2
+    assert with_bloom == {(r.o_orderpriority, r.n) for r in j2.collect()}
