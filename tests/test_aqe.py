@@ -129,3 +129,33 @@ def test_runtime_bloom_filter_prunes_fact_side(bloom_tuned, sf_dir):
     plan2 = j2._jdf.queryExecution().optimizedPlan().toString()
     assert "bloom_filter_agg" not in plan2
     assert with_bloom == {(r.o_orderpriority, r.n) for r in j2.collect()}
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark, sf_dir, tmp_path):
+    """The partitioned-layout complement of the bloom test: a
+    hive-partitioned fact joined to a filtered dim must carry a
+    dynamicpruning#N subquery on the fact's PartitionFilters — the
+    fact directories outside the dim's surviving keys are never
+    listed, the first lever a 100 TB date/tenant-partitioned table
+    pulls. Result checked against a static IN-filter rewrite."""
+    from hbase_support_spark.io import load_table
+
+    fact_dir = str(tmp_path / "li_by_month")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        li.select("ship_month")
+        .distinct()
+        .filter(F.col("ship_month").between("1997-01", "1997-03"))
+    )
+    j = fact.join(dim.hint("broadcast"), "ship_month").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    phys = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in phys.lower(), phys
+    got = j.collect()[0].n
+    want = fact.filter(F.col("ship_month").between("1997-01", "1997-03")).count()
+    assert got == want and got > 0
