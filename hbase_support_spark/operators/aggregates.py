@@ -2975,3 +2975,217 @@ def agg_decay_weighted_ltv(spark, sf_dir):
             (F.sum(decayed).cast("bigint") / 100.0).alias("decayed_value"),
         )
     )
+
+
+@register(
+    "agg_bitmap_audience_overlap",
+    oracle="""
+    WITH words AS (
+      SELECT event_type, user_id // 32 AS word_idx,
+             BIT_OR(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+      FROM events GROUP BY event_type, user_id // 32
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+      SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+             w.word_idx,
+             COALESCE(wa.bits, 0) AS ba, COALESCE(wb.bits, 0) AS bb
+      FROM types ta
+      JOIN types tb ON ta.event_type < tb.event_type
+      JOIN (SELECT DISTINCT word_idx FROM words) w ON TRUE
+      LEFT JOIN words wa ON wa.event_type = ta.event_type
+                        AND wa.word_idx = w.word_idx
+      LEFT JOIN words wb ON wb.event_type = tb.event_type
+                        AND wb.word_idx = w.word_idx
+    ),
+    agg AS (
+      SELECT type_a, type_b,
+             SUM(bit_count(ba & bb)) AS n_both,
+             SUM(bit_count(ba | bb)) AS n_either
+      FROM pairs GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_either AS BIGINT) AS n_either,
+           CAST(FLOOR(n_both * 1000000.0 / n_either) AS BIGINT) AS jaccard_ppm
+    FROM agg
+    """,
+)
+def agg_bitmap_audience_overlap(spark, sf_dir):
+    """Audience overlap via BITMAP INDEX words — the ClickHouse/Druid
+    segment-bitmap technique: each audience (event type) compresses
+    to one word per 32-user block (BIT_OR of 1<<(id%32) — bit 63 is
+    unusable because DuckDB overflow-checks signed shifts), and
+    every set operation becomes bit_count over ANDed/ORed words. A
+    100 TB event log reduces to |users|/64 longs per audience —
+    intersections/unions cost bit-ops over co-partitioned words, not
+    joins over user sets (the exact-distinct formulation is
+    `events_audience_overlap`; same membership math, 32x less
+    state). The audience-pair grid comes from two broadcast-size
+    type dims over the word spine so the union counts words either
+    side touches. All-integer end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    # F.shiftleft takes a literal bit count; a per-row shift needs
+    # the SQL form
+    # 32 users per BIGINT word: bit 63 is unusable (DuckDB checks
+    # signed-shift overflow at 1<<63), so words hold half a long
+    word_bit = F.expr("shiftleft(1L, cast(user_id % 32 AS int))")
+    words = ev.groupBy(
+        "event_type", (F.col("user_id") / 32).cast("long").alias("word_idx")
+    ).agg(F.bit_or(word_bit).alias("bits"))
+    # true Jaccard needs the union over ALL words either audience
+    # touches: dense (type_a, type_b, word) grid from two broadcast-
+    # size dims x the word spine, missing words as 0-bits
+    types = words.select("event_type").distinct()
+    spine = words.select("word_idx").distinct()
+    ta = types.select(F.col("event_type").alias("type_a"))
+    tb = types.select(F.col("event_type").alias("type_b"))
+    grid = (
+        ta.join(tb, F.col("type_a") < F.col("type_b"))
+        .crossJoin(spine)
+    )
+    wa = words.select(
+        F.col("event_type").alias("type_a"),
+        F.col("word_idx"),
+        F.col("bits").alias("ba"),
+    )
+    wb = words.select(
+        F.col("event_type").alias("type_b"),
+        F.col("word_idx"),
+        F.col("bits").alias("bb"),
+    )
+    pairs = (
+        grid.join(wa, ["type_a", "word_idx"], "left")
+        .join(wb, ["type_b", "word_idx"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce(F.col("ba"), F.lit(0).cast("long")).alias("ba"),
+            F.coalesce(F.col("bb"), F.lit(0).cast("long")).alias("bb"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+            .cast("bigint")
+            .alias("n_both"),
+            F.sum(F.bit_count(F.col("ba").bitwiseOR(F.col("bb"))))
+            .cast("bigint")
+            .alias("n_either"),
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        "n_either",
+        F.floor(F.col("n_both") * 1000000.0 / F.col("n_either"))
+        .cast("bigint")
+        .alias("jaccard_ppm"),
+    )
+
+
+@register(
+    "events_day_completion_mask",
+    oracle="""
+    WITH masks AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             BIT_OR(CASE event_type WHEN 'view' THEN 1
+                                    WHEN 'click' THEN 2
+                                    WHEN 'purchase' THEN 4
+                                    ELSE 0 END) AS mask
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users,
+           CAST(SUM(CASE WHEN mask = 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_completed_all,
+           CAST(SUM(CASE WHEN mask & 4 = 4 AND mask <> 7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase_without_full_path
+    FROM masks GROUP BY day
+    """,
+)
+def events_day_completion_mask(spark, sf_dir):
+    """Any-order daily completion via BITMASK aggregation: each user-
+    day folds its event types into a 3-bit mask (view|click|purchase)
+    and 'did all three, any order' is mask == 7 — the unordered
+    complement of the strict-sequence funnels (events_funnel_24h /
+    events_cep_3step order; this one doesn't). One user-day agg with
+    map-side BIT_OR (associative integer state), then a per-day
+    census. The odd segment — purchasers who never viewed or clicked
+    that day — falls out of the same mask for free."""
+    ev = load_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .otherwise(0)
+    )
+    masks = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.bit_or(bit).alias("mask")
+    )
+    return masks.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_users"),
+        F.sum(F.when(F.col("mask") == 7, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_completed_all"),
+        F.sum(
+            F.when(
+                (F.col("mask").bitwiseAND(4) == 4) & (F.col("mask") != 7), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_purchase_without_full_path"),
+    )
+
+
+@register(
+    "orders_cycle_time_stats",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                      CAST(MAX(l.l_shipdate) AS DATE)) AS cycle_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cycle_days) AS BIGINT) AS total_days,
+           ROUND(quantile_cont(CAST(cycle_days AS DOUBLE), 0.5), 6) AS p50_days,
+           ROUND(quantile_cont(CAST(cycle_days AS DOUBLE), 0.95), 6) AS p95_days,
+           CAST(MAX(cycle_days) AS BIGINT) AS max_days
+    FROM per_order GROUP BY o_orderpriority
+    """,
+)
+def orders_cycle_time_stats(spark, sf_dir):
+    """Order-to-fulfillment cycle time by priority — the supply-chain
+    SLA readout: per order, days from placement to its LAST shipped
+    line (the order isn't done until the last line ships — a MAX
+    aggregate per order, not a line-level average), then exact
+    integer-day distribution stats per priority class. Two-level
+    aggregation: order-keyed partial (co-keyed with the join), then
+    a 5-group rollup; exact interpolated percentiles over integer
+    days (the layout_split_points contract — percentile_approx at
+    100 TB)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.max("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("cycle_days")
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cycle_days").cast("bigint").alias("total_days"),
+        F.round(
+            F.percentile(F.col("cycle_days").cast("double"), F.lit(0.5)), 6
+        ).alias("p50_days"),
+        F.round(
+            F.percentile(F.col("cycle_days").cast("double"), F.lit(0.95)), 6
+        ).alias("p95_days"),
+        F.max("cycle_days").cast("bigint").alias("max_days"),
+    )
