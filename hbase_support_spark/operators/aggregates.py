@@ -3189,3 +3189,116 @@ def orders_cycle_time_stats(spark, sf_dir):
         ).alias("p95_days"),
         F.max("cycle_days").cast("bigint").alias("max_days"),
     )
+
+
+@register(
+    "events_rolling_uniques_bitmap",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, user_id // 32 AS word_idx,
+             BIT_OR(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    spine AS (
+      SELECT d.day, w.word_idx FROM days d
+      CROSS JOIN (SELECT DISTINCT word_idx FROM daily) w
+    ),
+    dense AS (
+      SELECT s.day, s.word_idx, COALESCE(x.bits, 0) AS bits
+      FROM spine s LEFT JOIN daily x
+        ON x.day = s.day AND x.word_idx = s.word_idx
+    ),
+    rolled AS (
+      SELECT day, word_idx, bits,
+             BIT_OR(bits) OVER (PARTITION BY word_idx ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS win_bits
+      FROM dense
+    )
+    SELECT day,
+           CAST(SUM(bit_count(bits)) AS BIGINT) AS dau,
+           CAST(SUM(bit_count(win_bits)) AS BIGINT) AS uniques_7d
+    FROM rolled GROUP BY day
+    """,
+)
+def events_rolling_uniques_bitmap(spark, sf_dir):
+    """EXACT rolling 7-day unique users per day — the WAU curve a
+    sketch only approximates. Rolling distinct is the hard case
+    (set-union is not invertible, so no sliding-sum trick); the
+    segment-bitmap answer: daily 32-user words, densified over the
+    day spine, a 7-row BIT_OR window per word, and bit_count sums
+    per day. State is |users|/32 longs per day — the Druid/
+    ClickHouse bitmap play; at extreme user counts the same query
+    swaps bit_count for HLL-merge and tolerates the error. The
+    cumulative twin (`events_cumulative_uniques`) needs none of
+    this — union-to-date degenerates to first-seen counting."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        (F.col("user_id") / 32).cast("long").alias("word_idx"),
+    ).agg(F.bit_or(F.expr("shiftleft(1L, cast(user_id % 32 AS int))")).alias("bits"))
+    days = daily.select("day").distinct()
+    word_spine = daily.select("word_idx").distinct()
+    dense = (
+        days.crossJoin(word_spine)
+        .join(daily, ["day", "word_idx"], "left")
+        .select(
+            "day", "word_idx", F.coalesce(F.col("bits"), F.lit(0).cast("long")).alias("bits")
+        )
+    )
+    w = Window.partitionBy("word_idx").orderBy("day").rowsBetween(-6, Window.currentRow)
+    rolled = dense.withColumn("win_bits", F.bit_or("bits").over(w))
+    return rolled.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("dau"),
+        F.sum(F.bit_count("win_bits")).cast("bigint").alias("uniques_7d"),
+    )
+
+
+@register(
+    "events_cumulative_uniques",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    new_per_day AS (
+      SELECT d.day, CAST(COALESCE(f.n, 0) AS BIGINT) AS n_new
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+      LEFT JOIN (SELECT first_day, COUNT(*) AS n FROM first_seen GROUP BY first_day) f
+        ON f.first_day = d.day
+    )
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cumulative_uniques
+    FROM new_per_day
+    """,
+)
+def events_cumulative_uniques(spark, sf_dir):
+    """Cumulative unique users per day — deliberately NOT a
+    distinct-over-growing-window: union-to-date equals counting each
+    user once on their FIRST day, so the whole curve is one user-
+    keyed MIN, a per-day count, and a running sum over the ~|days|
+    frame. The contrast op to `events_rolling_uniques_bitmap` (where
+    the window slides and the first-seen trick no longer applies).
+    Scales as one agg + metadata-frame window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    new_per_day = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .join(
+            first_seen.groupBy("first_day").agg(F.count(F.lit(1)).alias("n")),
+            F.col("first_day") == F.col("day"),
+            "left",
+        )
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return new_per_day.withColumn(
+        "cumulative_uniques", F.sum("n_new").over(w).cast("bigint")
+    )
