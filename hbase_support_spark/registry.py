@@ -270,6 +270,40 @@ GRADING_PRIORITY: list[str] = [
     "sim_rerank_rrf",
     "text_keyphrase_rake",
     "events_retention_matrix",
+    # ---- round-5 additions (graded after the r06 closing head above;
+    #      ~13 fit r06 slots 38-50, remainder opens the r07 window).
+    #      Ordered showpiece-first: multimodal/dedup/embedding bridge
+    #      ops, then experimentation/analytics, then the rest.
+    "multimodal_phash_near_dup",
+    "dedup_source_overlap_matrix",
+    "dedup_text_normalized",
+    "sim_centroid_classify",
+    "embedding_centroid_drift",
+    "multimodal_coverage_audit",
+    "multimodal_modality_mix_report",
+    "sample_train_test_split",
+    "pipeline_filter_funnel_report",
+    "text_vocab_coverage_oov",
+    "events_diff_in_diff",
+    "scd2_build_from_history",
+    "agg_bitmap_audience_overlap",
+    "events_rolling_uniques_bitmap",
+    "events_cep_3step",
+    "graph_bfs_hops",
+    "win_anchored_vwap",
+    "win_rolling_median_7",
+    "win_rolling_zscore",
+    "text_char_entropy",
+    "text_code_detect",
+    "text_readability_fk",
+    "agg_decay_weighted_ltv",
+    "agg_heavy_hitters_exact",
+    "events_wow_growth",
+    "events_day_completion_mask",
+    "events_cumulative_uniques",
+    "orders_backlog_aging",
+    "orders_cycle_time_stats",
+    "privacy_l_diversity",
 ]
 
 
