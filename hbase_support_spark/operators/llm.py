@@ -3832,7 +3832,7 @@ def _d_cosine_prefix(a: str, b: str) -> str:
 @register(
     "embedding_truncation_recall",
     oracle=f"""
-    WITH q AS (
+    WITH q AS MATERIALIZED (
       SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
     ),
     full_rank AS (
@@ -4848,7 +4848,7 @@ def sim_users_behavioral(spark, sf_dir):
 @register(
     "pipeline_preference_pairs",
     oracle=f"""
-    WITH q AS (
+    WITH q AS MATERIALIZED (
       SELECT doc_id, lang,
              ROUND(0.5 * (len(list_distinct({D_TOKENS})) * 1.0 / len({D_TOKENS}))
                    + 0.5 * (1 - len(list_filter({D_TOKENS},
@@ -6066,4 +6066,222 @@ def text_readability_fk(spark, sf_dir):
             )
         )
         .alias("fk_grade"),
+    )
+
+
+def _pca_oracle(iters: int = 8) -> str:
+    """Programmatic SQL twin of embedding_pca_power_top1 — one CTE
+    pair per power-iteration superstep (the _pagerank_oracle
+    pattern). Every quantity is integer-exact; see the operator
+    docstring for the scaling proof."""
+    parts = [
+        """
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 4096.0) AS BIGINT) AS qi
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    s AS (SELECT i, CAST(SUM(qi) AS BIGINT) AS si FROM q GROUP BY i),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    m AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.qi * b.qi) AS BIGINT) AS mij
+      FROM q a JOIN q b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    c AS (
+      SELECT m.i, m.j, nn.n * m.mij - sa.si * sb.si AS c
+      FROM m CROSS JOIN nn
+      JOIN s sa ON sa.i = m.i
+      JOIN s sb ON sb.i = m.j
+    ),
+    sh AS (
+      SELECT GREATEST(LENGTH(bin(MAX(ABS(c)))) - 30, 0) AS sb,
+             (1::BIGINT << CAST(GREATEST(LENGTH(bin(MAX(ABS(c)))) - 30, 0) AS INT))
+               AS p
+      FROM c
+    ),
+    cs AS MATERIALIZED (
+      SELECT i, j,
+             CAST((c - (((c % p) + p) % p)) // p AS BIGINT) AS cs
+      FROM c, sh
+    ),
+    v0 AS (SELECT CAST(i AS INT) AS j, 4096::BIGINT AS v FROM range(1, 65) r(i))"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    mv{k} AS MATERIALIZED (
+      SELECT cs.i, CAST(SUM(cs.cs * v{k - 1}.v) AS BIGINT) AS mv
+      FROM cs JOIN v{k - 1} ON v{k - 1}.j = cs.j GROUP BY cs.i
+    ),
+    mx{k} AS (
+      SELECT (1::BIGINT << CAST(GREATEST(
+               LENGTH(bin(GREATEST(MAX(ABS(mv)), 1))) - 12, 0) AS INT)) AS p2
+      FROM mv{k}
+    ),
+    v{k} AS (
+      SELECT CAST(i AS INT) AS j,
+             CAST((mv - (((mv % p2) + p2) % p2)) // p2 AS BIGINT) AS v
+      FROM mv{k}, mx{k}
+    )""")
+    parts.append(f""",
+    w AS (
+      SELECT cs.i, CAST(SUM(cs.cs * v{iters}.v) AS BIGINT) AS w
+      FROM cs JOIN v{iters} ON v{iters}.j = cs.j GROUP BY cs.i
+    ),
+    wq AS (
+      SELECT i,
+             CAST((w - (((w % 1048576) + 1048576) % 1048576)) // 1048576
+                  AS BIGINT) AS wq
+      FROM w
+    ),
+    ray AS (
+      SELECT CAST(SUM(v.v * wq.wq) AS BIGINT) AS num,
+             CAST(SUM(v.v * v.v) AS BIGINT) AS den
+      FROM v{iters} v JOIN wq ON wq.i = v.j
+    ),
+    tr AS (SELECT CAST(SUM(cs) AS BIGINT) AS trace FROM cs WHERE i = j)
+    SELECT v.j AS dim, v.v AS component,
+           ROUND(ray.num * 1048576.0 / ray.den, 6) AS eigval_scaled,
+           ROUND(ray.num * 1048576.0 / ray.den / tr.trace, 6) AS explained_share
+    FROM v{iters} v CROSS JOIN ray CROSS JOIN tr""")
+    return "".join(parts)
+
+
+@register("embedding_pca_power_top1", oracle=_pca_oracle())
+def embedding_pca_power_top1(spark, sf_dir):
+    """Top principal component of the embedding corpus by POWER
+    ITERATION — run entirely in integer arithmetic so the result is
+    bit-identical across engines, replicas, and partitionings. The
+    consumer is embedding-store ops: the dominant direction drives
+    whitening decisions, anisotropy diagnostics (embeddings
+    collapsing toward one axis), and matryoshka-style truncation
+    calls; `explained_share` (λ₁/trace) is the one-number anisotropy
+    score.
+
+    Determinism by construction (every step exact):
+    - values quantize to 12-bit fixed point (FLOOR(x·4096) — float32
+      → double is exact, ·2¹² shifts the exponent);
+    - the centered scatter matrix C = n·Σqqᵀ − (Σq)(Σq)ᵀ is pure
+      BIGINT (no means, no float subtraction);
+    - C rescales by a power of two chosen from its own max bit
+      length (LENGTH(bin(max|C|)) − 30 — integer, data-derived) so
+      every later product stays < 2⁶³;
+    - each superstep is an integer matvec + renormalize-to-4096 via
+      floor division (the ((x%m)+m)%m floor-mod identity — both
+      engines truncate `%` toward the dividend, the identity makes
+      it a true floor);
+    - the Rayleigh quotient is a ratio of two exact BIGINTs (w
+      pre-scaled by 2²⁰ to keep the inner product < 2⁶³), evaluated
+      with one identical double expression.
+
+    Scale shape: the data-sized work is ONE pass — partial Gram
+    q'q, column sums, and counts accumulate per Arrow batch in
+    int64 (mapInPandas; integer partials are order-independent, so
+    any partitioning gives the same matrix), then reduce to a 64×64
+    frame. The 8 supersteps run as exact arbitrary-precision
+    integer math on that constant-size state (graph.py keeps
+    PageRank's supersteps distributed because its state is
+    graph-sized; here the state is 4096 integers, and a
+    DataFrame-superstep variant measured ~10 s of pure job
+    overhead for the same bits)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    part_schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("val", LongType()),
+        ]
+    )
+
+    def partial_moments(batches):
+        # self-contained closure (executors can't import the package);
+        # emits per-batch integer partials: (i,j)->Gram, (i,0 w/ j=-1)
+        # -> column sum, (-1,-1)->count. Integer partials commute, so
+        # the downstream SUM is partitioning-independent.
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            q = np.floor(x * 4096.0).astype("int64")
+            g = q.T @ q  # 64x64 int64, exact (|q|<=2^12+, n<=batch)
+            s = q.sum(axis=0)
+            ii, jj = np.indices(g.shape)
+            out = pd.DataFrame(
+                {
+                    "i": (ii.ravel() + 1).astype("int32"),
+                    "j": (jj.ravel() + 1).astype("int32"),
+                    "val": g.ravel(),
+                }
+            )
+            sums = pd.DataFrame(
+                {
+                    "i": np.arange(1, 65, dtype="int32"),
+                    "j": np.full(64, -1, dtype="int32"),
+                    "val": s,
+                }
+            )
+            cnt = pd.DataFrame({"i": [-1], "j": [-1], "val": [len(pdf)]})
+            yield pd.concat([out, sums, cnt], ignore_index=True)
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    moments = (
+        e.mapInPandas(partial_moments, part_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("val").cast("long").alias("val"))
+    ).localCheckpoint(eager=False)
+    mfr = moments.filter((F.col("i") > 0) & (F.col("j") > 0)).select(
+        "i", "j", F.col("val").alias("mij")
+    )
+    sfr = moments.filter((F.col("i") > 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("si_i"), F.col("val").alias("si")
+    )
+    nfr = moments.filter(F.col("i") == -1).select(F.col("val").alias("n"))
+
+    # The scatter matrix is CONSTANT-size (64x64) — everything after
+    # the one-pass distributed moments reduction is metadata-scale,
+    # so the supersteps run as exact Python-integer driver math (the
+    # ann_index-centroid precedent: bounded driver round-trips are
+    # legitimate; a DataFrame-superstep variant measured ~10 s of
+    # pure per-job overhead on 64-row frames). Python ints are
+    # arbitrary-precision, so no overflow analysis is even needed —
+    # but the SQL oracle's BIGINT path is kept in-range by the same
+    # power-of-two scaling.
+    rows = mfr.collect()
+    s_rows = {r["si_i"]: r["si"] for r in sfr.collect()}
+    n = nfr.collect()[0]["n"]
+    C = {}
+    for r in rows:
+        C[(r["i"], r["j"])] = n * r["mij"] - s_rows[r["i"]] * s_rows[r["j"]]
+    maxabs = max(abs(v) for v in C.values())
+    shift = max(maxabs.bit_length() - 30, 0)
+    p = 1 << shift
+    cs = {k: v // p for k, v in C.items()}  # Python // IS floor division
+    v = {j: 4096 for j in range(1, 65)}
+    for _ in range(8):
+        mv = {
+            i: sum(cs[(i, j)] * v[j] for j in range(1, 65)) for i in range(1, 65)
+        }
+        mnorm = max(max(abs(x) for x in mv.values()), 1)
+        p2 = 1 << max(mnorm.bit_length() - 12, 0)
+        v = {i: mv[i] // p2 for i in range(1, 65)}
+    w = {i: sum(cs[(i, j)] * v[j] for j in range(1, 65)) for i in range(1, 65)}
+    wq = {i: w[i] // 1048576 for i in range(1, 65)}
+    num = sum(v[i] * wq[i] for i in range(1, 65))
+    den = sum(v[i] * v[i] for i in range(1, 65))
+    trace = sum(cs[(i, i)] for i in range(1, 65))
+    out = spark.createDataFrame(
+        [(i, v[i]) for i in range(1, 65)], "dim int, component long"
+    )
+    # the two rounded doubles round IN-ENGINE (Spark ROUND is half-up
+    # like the oracle's; Python round() is banker's and disagrees)
+    return out.select(
+        "dim",
+        "component",
+        F.round(F.lit(num) * 1048576.0 / F.lit(den), 6).alias("eigval_scaled"),
+        F.round(F.lit(num) * 1048576.0 / F.lit(den) / F.lit(trace), 6).alias(
+            "explained_share"
+        ),
     )

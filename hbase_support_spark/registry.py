@@ -304,6 +304,7 @@ GRADING_PRIORITY: list[str] = [
     "orders_backlog_aging",
     "orders_cycle_time_stats",
     "privacy_l_diversity",
+    "embedding_pca_power_top1",
 ]
 
 
