@@ -6155,8 +6155,15 @@ def embedding_pca_power_top1(spark, sf_dir):
     consumer is embedding-store ops: the dominant direction drives
     whitening decisions, anisotropy diagnostics (embeddings
     collapsing toward one axis), and matryoshka-style truncation
-    calls; `explained_share` (λ₁/trace) is the one-number anisotropy
-    score.
+    calls; `explained_share` (Rayleigh/trace) is the one-number
+    anisotropy score. Honest convergence framing: 8 fixed supersteps
+    report the power-iteration ESTIMATE — on a near-isotropic corpus
+    (flat spectrum, like these fixtures) no small iteration count
+    isolates the top eigenvector, and the ~1/64-flat share is
+    precisely the 'no collapse' diagnostic; on a genuinely
+    anisotropic corpus the gap drives fast convergence. The exact
+    replication test (tests/test_round5_ops.py) pins the algorithm
+    bit-for-bit and bounds the share by numpy's true λ₁/trace.
 
     Determinism by construction (every step exact):
     - values quantize to 12-bit fixed point (FLOOR(x·4096) — float32

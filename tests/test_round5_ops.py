@@ -160,3 +160,50 @@ def test_bfs_hops_sound_and_minimal(spark, sf_dir):
     assert got[src] == 0
     assert {p for p, h in got.items() if h == 1} == direct
     assert all(h >= 2 for p, h in got.items() if p not in direct and p != src)
+
+
+def test_pca_power_top1_replicates_exactly_and_bounds(spark, sf_dir):
+    """Replicate the ENTIRE integer algorithm in pure Python on the
+    same data and require bit-identical components — the algorithm
+    is deterministic by construction, so any drift is a bug. The
+    convergence CLAIM is bounded, not assumed: the Rayleigh share
+    must lie between the flat-spectrum floor and numpy's true
+    lambda1 share (on these near-isotropic fixtures 8 steps cannot
+    isolate the top eigenvector; the ~1/64-flat share is exactly
+    the anisotropy diagnostic the op exists to report)."""
+    rows = QUERIES["embedding_pca_power_top1"](spark, sf_dir).collect()
+    got = {r.dim: r.component for r in rows}
+    x = np.stack(
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype("float64")
+    q = np.floor(x * 4096.0).astype(object)  # python ints: exact
+    n = len(q)
+    s = q.sum(axis=0)
+    m = q.T @ q
+    c = {(i, j): n * int(m[i - 1][j - 1]) - int(s[i - 1]) * int(s[j - 1])
+         for i in range(1, 65) for j in range(1, 65)}
+    p = 1 << max(max(abs(v) for v in c.values()).bit_length() - 30, 0)
+    cs = {k: v // p for k, v in c.items()}
+    v = {j: 4096 for j in range(1, 65)}
+    for _ in range(8):
+        mv = {i: sum(cs[(i, j)] * v[j] for j in range(1, 65)) for i in range(1, 65)}
+        p2 = 1 << max(max(max(abs(t) for t in mv.values()), 1).bit_length() - 12, 0)
+        v = {i: mv[i] // p2 for i in range(1, 65)}
+    assert got == v  # bit-identical replication
+    w = {i: sum(cs[(i, j)] * v[j] for j in range(1, 65)) for i in range(1, 65)}
+    wq = {i: w[i] // 1048576 for i in range(1, 65)}
+    num = sum(v[i] * wq[i] for i in range(1, 65))
+    den = sum(v[i] * v[i] for i in range(1, 65))
+    trace = sum(cs[(i, i)] for i in range(1, 65))
+    share = rows[0].explained_share
+    assert abs(share - num * 1048576.0 / den / trace) < 1e-6
+    cf = np.array([[c[(i, j)] for j in range(1, 65)] for i in range(1, 65)],
+                  dtype="float64")
+    evals = np.linalg.eigvalsh(cf)
+    top_share = evals[-1] / np.trace(cf)
+    # Rayleigh quotient of ANY vector is <= lambda1 and the iterate
+    # can only improve on the flat floor
+    assert 0.5 / 64 < share <= top_share + 1e-6
