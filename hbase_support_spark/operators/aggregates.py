@@ -3302,3 +3302,113 @@ def events_cumulative_uniques(spark, sf_dir):
     return new_per_day.withColumn(
         "cumulative_uniques", F.sum("n_new").over(w).cast("bigint")
     )
+
+
+@register(
+    "events_activity_deciles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT n_events,
+             ROW_NUMBER() OVER (ORDER BY n_events, user_id) AS rk,
+             COUNT(*) OVER () AS n_users
+      FROM per_user
+    ),
+    deciled AS (
+      SELECT CAST(((rk - 1) * 10) // n_users + 1 AS BIGINT) AS decile, n_events
+      FROM ranked
+    ),
+    tot AS (SELECT SUM(n_events) AS t FROM per_user)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(FLOOR(SUM(n_events) * 10000.0 / tot.t) AS BIGINT) AS share_bps
+    FROM deciled, tot GROUP BY decile, tot.t
+    """,
+)
+def events_activity_deciles(spark, sf_dir):
+    """Activity concentration by decile — the Lorenz-curve table
+    behind the Gini score (`agg_gini_concentration` gives the one
+    number; this gives the distribution the number summarizes:
+    'the top decile produces X% of events'). Users rank by activity
+    on the DISTRIBUTED rank kernel (a billion users never sort on
+    one task), the decile index is exact integer arithmetic on
+    (rank, n), and shares are exact basis points. One user-keyed
+    agg + the rank pass + a 10-row census."""
+    from .ranking import with_global_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    ranked = with_global_rank(per_user, [F.col("n_events").asc(), "user_id"], "rk")
+    n_users = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    tot = per_user.agg(F.sum("n_events").alias("t"))
+    deciled = ranked.crossJoin(F.broadcast(n_users)).select(
+        (F.floor((F.col("rk") - 1) * 10 / F.col("n_users")) + 1)
+        .cast("bigint")
+        .alias("decile"),
+        "n_events",
+    )
+    return (
+        deciled.crossJoin(F.broadcast(tot))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.floor(F.sum("n_events") * 10000.0 / F.min("t"))
+            .cast("bigint")
+            .alias("share_bps"),
+        )
+    )
+
+
+@register(
+    "supplier_sla_report",
+    oracle="""
+    WITH lines AS (
+      SELECT l.l_suppkey,
+             CASE WHEN DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) > 30
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(is_late) AS BIGINT) AS n_late,
+           CAST(FLOOR(SUM(is_late) * 10000.0 / COUNT(*)) AS BIGINT) AS late_bps
+    FROM lines GROUP BY l_suppkey
+    HAVING SUM(is_late) * 4 > COUNT(*)
+    """,
+)
+def supplier_sla_report(spark, sf_dir):
+    """Supplier SLA scorecard: lines shipped more than 30 days after
+    order placement count as late; suppliers with a late rate over
+    25% (integer cross-multiply, never a float threshold) make the
+    escalation report with their exact late basis points. One
+    fact-fact equi-join (orderkey — the bucketed-layout candidate)
+    + a supplier-keyed agg."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    is_late = F.when(
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        > 30,
+        1,
+    ).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(is_late).cast("bigint").alias("n_late"),
+            F.floor(F.sum(is_late) * 10000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("late_bps"),
+        )
+        .filter(F.col("n_late") * 4 > F.col("n_lines"))
+    )

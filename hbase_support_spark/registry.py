@@ -305,6 +305,8 @@ GRADING_PRIORITY: list[str] = [
     "orders_cycle_time_stats",
     "privacy_l_diversity",
     "embedding_pca_power_top1",
+    "events_activity_deciles",
+    "supplier_sla_report",
 ]
 
 
