@@ -3412,3 +3412,119 @@ def supplier_sla_report(spark, sf_dir):
         )
         .filter(F.col("n_late") * 4 > F.col("n_lines"))
     )
+
+
+@register(
+    "events_new_vs_returning_revenue",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    )
+    SELECT CAST(e.ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_events,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                         THEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) / 100.0 AS new_revenue,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_events,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) > f.first_day
+                         THEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) / 100.0 AS returning_revenue
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    GROUP BY CAST(e.ts AS DATE)
+    """,
+)
+def events_new_vs_returning_revenue(spark, sf_dir):
+    """Daily revenue split by NEW vs RETURNING users — the growth-
+    accounting companion to `events_lifecycle_states` in money terms
+    (is growth acquisition or retention?). A user is 'new' on their
+    first-seen day and 'returning' after; revenue accumulates in
+    exact integer cents. One user-keyed MIN, one user-keyed join
+    back (co-partitioned at 100 TB), one per-day conditional agg."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    day = F.col("ts").cast("date")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    is_new = day == F.col("first_day")
+    is_ret = day > F.col("first_day")
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(day.alias("day"))
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("new_events"),
+            (
+                F.sum(F.when(is_new, cents).otherwise(0)).cast("bigint") / 100.0
+            ).alias("new_revenue"),
+            F.sum(F.when(is_ret, 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_events"),
+            (
+                F.sum(F.when(is_ret, cents).otherwise(0)).cast("bigint") / 100.0
+            ).alias("returning_revenue"),
+        )
+    )
+
+
+@register(
+    "orders_repeat_purchase_curve",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS order_idx,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    gaps AS (
+      SELECT LEAST(a.order_idx, 5) AS transition,
+             DATEDIFF('day', a.d, b.d) AS gap_days
+      FROM seq a JOIN seq b
+        ON b.o_custkey = a.o_custkey AND b.order_idx = a.order_idx + 1
+      WHERE a.order_idx <= 9
+    )
+    SELECT CAST(transition AS BIGINT) AS transition,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(quantile_cont(CAST(gap_days AS DOUBLE), 0.5), 6) AS p50_gap_days,
+           ROUND(quantile_cont(CAST(gap_days AS DOUBLE), 0.9), 6) AS p90_gap_days
+    FROM gaps GROUP BY transition
+    """,
+)
+def orders_repeat_purchase_curve(spark, sf_dir):
+    """Repeat-purchase cadence: the gap distribution between a
+    customer's Nth and (N+1)th orders, bucketed by transition (1st→
+    2nd ... 5th+→next) — the curve that prices win-back campaigns
+    (how long is 'overdue' after a 2nd order?). Per-customer order
+    sequence from one window (customer-keyed — never global), gaps
+    via a self-equi-join on (customer, idx+1), exact integer days
+    with exact interpolated percentiles per transition bucket."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.row_number().over(w).alias("order_idx"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = seq.alias("a").filter(F.col("order_idx") <= 9)
+    b = seq.alias("b")
+    gaps = a.join(
+        b,
+        (F.col("b.o_custkey") == F.col("a.o_custkey"))
+        & (F.col("b.order_idx") == F.col("a.order_idx") + 1),
+    ).select(
+        F.least(F.col("a.order_idx"), F.lit(5)).alias("transition"),
+        F.datediff(F.col("b.d"), F.col("a.d")).alias("gap_days"),
+    )
+    return gaps.groupBy(F.col("transition").cast("bigint").alias("transition")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.percentile(F.col("gap_days").cast("double"), F.lit(0.5)), 6).alias(
+            "p50_gap_days"
+        ),
+        F.round(F.percentile(F.col("gap_days").cast("double"), F.lit(0.9)), 6).alias(
+            "p90_gap_days"
+        ),
+    )

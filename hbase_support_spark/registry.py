@@ -307,6 +307,8 @@ GRADING_PRIORITY: list[str] = [
     "embedding_pca_power_top1",
     "events_activity_deciles",
     "supplier_sla_report",
+    "events_new_vs_returning_revenue",
+    "orders_repeat_purchase_curve",
 ]
 
 
