@@ -1005,3 +1005,39 @@ def scd2_build_from_history(spark, sf_dir):
         "valid_to_version",
         "is_current",
     )
+
+
+@register(
+    "cells_family_stats",
+    oracle="""
+    SELECT event_type AS family,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_rows,
+           CAST(FLOOR(COUNT(*) * 10000.0 / COUNT(DISTINCT user_id)) AS BIGINT)
+             AS versions_per_row_bps,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS latest_ts_us,
+           CAST(SUM(OCTET_LENGTH(ENCODE(props))) AS BIGINT) AS value_bytes
+    FROM events GROUP BY event_type
+    """,
+)
+def cells_family_stats(spark, sf_dir):
+    """Column-family storage census over the cell log — the `hbase
+    hfile -stats` / table-description readout an operator checks
+    before tuning TTLs and max-versions: cells, distinct rowkeys,
+    the versions-per-row ratio (exact integer basis points — the
+    number that says whether VERSIONS=3 would shrink this family),
+    newest cell timestamp in integer µs, and value-payload bytes.
+    One scan, one family-keyed agg; the distinct collapses map-side
+    per family."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("family")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.countDistinct("user_id").cast("bigint").alias("n_rows"),
+        F.floor(F.count(F.lit(1)) * 10000.0 / F.countDistinct("user_id"))
+        .cast("bigint")
+        .alias("versions_per_row_bps"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("latest_ts_us"),
+        F.sum(F.octet_length(F.encode("props", "utf-8")))
+        .cast("bigint")
+        .alias("value_bytes"),
+    )

@@ -675,3 +675,27 @@ def layout_bloom_point_lookup(spark, sf_dir):
     return back.filter(F.col("user_id") == 7).select(
         "event_id", "user_id", "event_type"
     )
+
+
+@register(
+    "scan_multi_range",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE (c_custkey BETWEEN 100 AND 199)
+       OR (c_custkey BETWEEN 500 AND 549)
+       OR (c_custkey BETWEEN 1200 AND 1249)
+    """,
+)
+def scan_multi_range(spark, sf_dir):
+    """Multi-range scan: one pass serving a UNION of disjoint rowkey
+    ranges (the HBase MultiRowRangeFilter — a batch Get of ranges) —
+    expressed as one OR predicate so Catalyst pushes the whole
+    disjunction into the Parquet scan (PushedFilters shows the Or;
+    row groups outside every range are skipped via min/max on the
+    sorted key layout). The anti-pattern is one scan per range
+    unioned after the fact — N passes over the same files."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.filter(
+        k.between(100, 199) | k.between(500, 549) | k.between(1200, 1249)
+    ).select("c_custkey", "c_name", "c_acctbal")

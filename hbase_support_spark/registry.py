@@ -309,6 +309,8 @@ GRADING_PRIORITY: list[str] = [
     "supplier_sla_report",
     "events_new_vs_returning_revenue",
     "orders_repeat_purchase_curve",
+    "cells_family_stats",
+    "scan_multi_range",
 ]
 
 
