@@ -3031,7 +3031,7 @@ def agg_bitmap_audience_overlap(spark, sf_dir):
     # signed-shift overflow at 1<<63), so words hold half a long
     word_bit = F.expr("shiftleft(1L, cast(user_id % 32 AS int))")
     words = ev.groupBy(
-        "event_type", (F.col("user_id") / 32).cast("long").alias("word_idx")
+        "event_type", F.expr("user_id div 32").alias("word_idx")
     ).agg(F.bit_or(word_bit).alias("bits"))
     # true Jaccard needs the union over ALL words either audience
     # touches: dense (type_a, type_b, word) grid from two broadcast-
@@ -3238,7 +3238,7 @@ def events_rolling_uniques_bitmap(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.col("ts").cast("date").alias("day"),
-        (F.col("user_id") / 32).cast("long").alias("word_idx"),
+        F.expr("user_id div 32").alias("word_idx"),
     ).agg(F.bit_or(F.expr("shiftleft(1L, cast(user_id % 32 AS int))")).alias("bits"))
     days = daily.select("day").distinct()
     word_spine = daily.select("word_idx").distinct()

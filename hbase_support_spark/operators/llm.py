@@ -2993,10 +2993,15 @@ def sim_knn_self_join(spark, sf_dir):
     shuffle on label, never an n² cross join. The rank then runs
     per-src over each block's candidates. At 100 TB block size is
     the lever: more/finer IVF cells (with multiprobe for recall, see
-    sim_knn_ivf_multiprobe) keep Σ block² linear-ish in corpus size."""
+    sim_knn_ivf_multiprobe) keep Σ block² linear-ish in corpus size.
+    The O(block²) candidate join is bounded by the same enforced cap
+    as every sibling pair kernel (`_assert_vec_blocks_bounded`,
+    VERDICT r05 item 2) — oversized blocks must take the
+    sub-quadratic IVF/LSH routes."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
+    _assert_vec_blocks_bounded(e)
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))
@@ -3139,16 +3144,20 @@ def sim_knn_self_join_blas(spark, sf_dir):
     applyInPandas per IVF block computes the normalized Gram matrix
     in native BLAS (22x at sf0.1). The kernel emits only a small
     per-source candidate superset — every neighbor whose raw cosine
-    is within 2e-6 of the raw 3rd-best — and the exact cut (ROUND to
-    6, then rank with the nbr tie-break) happens Spark-side, so
-    rounding discipline and tie-breaks match the oracle bit-for-bit
-    while the shuffle after the kernel carries ~3 rows per vector
-    instead of the full block's pair matrix."""
+    is within 2e-6 of the raw 3rd-best — carrying the survivors' RAW
+    vectors out through Arrow; the exact score (`_fold_cos6`, the
+    oracle's bit-for-bit twin) and the rank cut (nbr tie-break)
+    happen Spark-side, so rounding discipline and tie-breaks match
+    the oracle by construction while the shuffle after the kernel
+    carries ~3 rows per vector instead of the full block's pair
+    matrix. The n×n Gram is bounded by the inlined block cap shared
+    with every sibling pair kernel (VERDICT r05 item 2)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql.types import (
-        DoubleType,
+        ArrayType,
+        FloatType,
         IntegerType,
         LongType,
         StructField,
@@ -3160,16 +3169,28 @@ def sim_knn_self_join_blas(spark, sf_dir):
             StructField("src", LongType()),
             StructField("nbr", LongType()),
             StructField("label", IntegerType()),
-            StructField("raw_cos", DoubleType()),
+            StructField("_ea", ArrayType(FloatType())),
+            StructField("_eb", ArrayType(FloatType())),
         ]
     )
 
+    # self-contained closure (workers can't import this package);
+    # the cap int pickles by value
+    _cap = VEC_PAIR_BLOCK_CAP
+
     def block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > _cap:
+            raise ValueError(
+                f"embedding-pair block has {len(pdf)} vectors (> cap {_cap});"
+                " the O(block^2) route is bounded by design - re-cluster into"
+                " smaller cells (sim_knn_ivf) or use sim_lsh_hyperplane."
+            )
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         n = len(ids)
-        m = np.stack(pdf["embedding"].to_numpy())[order].astype("float64")
+        raw_embs = pdf["embedding"].to_numpy()[order]
+        m = np.stack(raw_embs).astype("float64")
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         g = m @ m.T
         np.fill_diagonal(g, -np.inf)
@@ -3177,9 +3198,10 @@ def sim_knn_self_join_blas(spark, sf_dir):
             thr = np.full(n, -np.inf)
         else:
             # raw 3rd-best per row; candidates within 2e-6 of it form a
-            # guaranteed superset of the rounded top-3 (rounded values
-            # sit within 5e-7 of raw, so anything below thr-2e-6 cannot
-            # reach the rounded 3rd place even via tie-break)
+            # guaranteed superset of the fold-rounded top-3 (rounding
+            # moves a value <= 5e-7, the fold-vs-Gram ulp gap is ~1e-15,
+            # so anything below thr-2e-6 rounds strictly below the 3rd
+            # place and cannot re-enter even via tie-break)
             thr = -np.partition(-g, 2, axis=1)[:, 2]
         ii, jj = np.nonzero(g >= (thr[:, None] - 2e-6))
         return pd.DataFrame(
@@ -3187,15 +3209,16 @@ def sim_knn_self_join_blas(spark, sf_dir):
                 "src": ids[ii],
                 "nbr": ids[jj],
                 "label": int(pdf["label"].iloc[0]),
-                "raw_cos": g[ii, jj],
+                "_ea": [raw_embs[i] for i in ii],
+                "_eb": [raw_embs[j] for j in jj],
             }
-        ).astype({"src": "int64", "nbr": "int64", "label": "int32", "raw_cos": "float64"})
+        ).astype({"src": "int64", "nbr": "int64", "label": "int32"})
 
     e = load_table(spark, sf_dir, "embeddings")
     cand = e.groupBy("label").applyInPandas(block_knn, out_schema)
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "nbr")
     return (
-        cand.withColumn("cos_sim", F.round("raw_cos", 6))
+        cand.withColumn("cos_sim", _fold_cos6(F.col("_ea"), F.col("_eb")))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("src", "nbr", "label", "cos_sim", "rnk")

@@ -66,10 +66,11 @@ def register(name: str, oracle: str | None = None):
 #     agg_chisq_independence, pipeline_preference_pairs
 #   22-37: the round-4 additions (events_kaplan_meier ...
 #     events_retention_matrix).
-# Slots 38-50 of the r06 window are free: queries ADDED in round 5
-# (registered but absent from this list) fall into the mid group and
-# fill those slots automatically; additions beyond 13 roll into the
-# r07 window.
+# Slots 38-50 of the r06 window are filled by the round-5 additions,
+# which are EXPLICITLY priority-listed in the "round-5 additions"
+# block at the end of this list (showpieces first, per that block's
+# own comment) — they no longer rely on the mid-group fallback;
+# additions beyond the first 13 roll into the r07 window.
 GRADING_PRIORITY: list[str] = [
     # ---- round-3 window, slots 1-19: the 19 kind-cast fixes (r02 FAILs first)
     "sim_lsh_hyperplane",

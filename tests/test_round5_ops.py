@@ -207,3 +207,30 @@ def test_pca_power_top1_replicates_exactly_and_bounds(spark, sf_dir):
     # Rayleigh quotient of ANY vector is <= lambda1 and the iterate
     # can only improve on the flat floor
     assert 0.5 / 64 < share <= top_share + 1e-6
+
+
+def test_knn_self_join_twins_raise_on_oversized_block(spark, tmp_path):
+    """VERDICT r05 item 2: both sim_knn_self_join twins must refuse an
+    oversized label block like every sibling pair kernel — the
+    expression twin via the pre-join agg guard, the BLAS twin via the
+    cap inlined in its applyInPandas closure (surfaces wrapped in
+    Spark's PythonException)."""
+    import pyspark.errors
+    import pytest
+
+    from hbase_support_spark.operators.llm import VEC_PAIR_BLOCK_CAP
+
+    n = VEC_PAIR_BLOCK_CAP + 1
+    big = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(d)) for d in range(4)]).cast("array<float>").alias("embedding"),
+        F.lit(7).alias("label"),
+    )
+    d = str(tmp_path / "sfbig")
+    big.write.parquet(f"{d}/embeddings.parquet")
+
+    with pytest.raises(ValueError, match="block has"):
+        QUERIES["sim_knn_self_join"](spark, d)
+
+    with pytest.raises(pyspark.errors.PySparkException, match="block has"):
+        QUERIES["sim_knn_self_join_blas"](spark, d).collect()
