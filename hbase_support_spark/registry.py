@@ -71,6 +71,24 @@ def register(name: str, oracle: str | None = None):
 # block at the end of this list (showpieces first, per that block's
 # own comment) — they no longer rely on the mid-group fallback;
 # additions beyond the first 13 roll into the r07 window.
+#
+# Round-6 dry-run of the r07 window (VERDICT r05 item 5), computed
+# by simulating the staged r06 window green: exactly 25 never-graded
+# names remain, and they open the r07 window in registry order —
+#   1-25: agg_bitmap_audience_overlap, events_rolling_uniques_bitmap,
+#     events_cep_3step, graph_bfs_hops, win_anchored_vwap,
+#     win_rolling_median_7, win_rolling_zscore, text_char_entropy,
+#     text_code_detect, text_readability_fk, agg_decay_weighted_ltv,
+#     agg_heavy_hitters_exact, events_wow_growth,
+#     events_day_completion_mask, events_cumulative_uniques,
+#     orders_backlog_aging, orders_cycle_time_stats,
+#     privacy_l_diversity, embedding_pca_power_top1,
+#     events_activity_deciles, supplier_sla_report,
+#     events_new_vs_returning_revenue, orders_repeat_purchase_curve,
+#     cells_family_stats, scan_multi_range
+# Slots 26-50 are filled by round-6 additions (mid-group order).
+# With a green r06, by r07-close EVERY pre-r6 query has a driver
+# verdict — the three-round completion plan above lands on schedule.
 GRADING_PRIORITY: list[str] = [
     # ---- round-3 window, slots 1-19: the 19 kind-cast fixes (r02 FAILs first)
     "sim_lsh_hyperplane",
