@@ -3528,3 +3528,97 @@ def orders_repeat_purchase_curve(spark, sf_dir):
             "p90_gap_days"
         ),
     )
+
+
+@register(
+    "privacy_t_closeness",
+    oracle="""
+    WITH banded AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+      FROM customer
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM banded GROUP BY c_nationkey, c_mktsegment
+    ),
+    gband AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n_s FROM banded GROUP BY band
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM banded),
+    cb AS (
+      SELECT c_nationkey, c_mktsegment, band, CAST(COUNT(*) AS BIGINT) AS n_cs
+      FROM banded GROUP BY c_nationkey, c_mktsegment, band
+    ),
+    grid AS (
+      SELECT c.c_nationkey, c.c_mktsegment, c.n_c, g.band, g.n_s,
+             COALESCE(x.n_cs, 0) AS n_cs
+      FROM cls c
+      CROSS JOIN gband g
+      LEFT JOIN cb x ON x.c_nationkey = c.c_nationkey
+                    AND x.c_mktsegment = c.c_mktsegment
+                    AND x.band = g.band
+    )
+    SELECT c_nationkey, c_mktsegment,
+           MAX(n_c) AS k_size,
+           CAST(SUM(ABS(n_cs * (SELECT n FROM tot) - n_s * n_c)) AS BIGINT)
+             AS tvd_num,
+           SUM(ABS(n_cs * (SELECT n FROM tot) - n_s * n_c))
+             / CAST(2 * MAX(n_c) * (SELECT n FROM tot) AS DOUBLE) AS t_value,
+           5 * SUM(ABS(n_cs * (SELECT n FROM tot) - n_s * n_c))
+             <= 2 * MAX(n_c) * (SELECT n FROM tot) AS t_close
+    FROM grid
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit — the third rung of the anonymization ladder
+    after privacy_k_anonymity_lattice (group size) and
+    privacy_l_diversity (distinct sensitive values): within each
+    (nation, segment) QI class, the total-variation distance between
+    the class's sensitive-band distribution and the GLOBAL one (Li et
+    al. 2007 with the variational distance instance; a class can be
+    k-anonymous AND l-diverse yet still leak by skew). t <= 0.2 gates
+    the class.
+
+    Exactness: TVD = Sum_s |n_cs/N_c - n_s/N| / 2 is computed over the
+    common denominator — the integer numerator Sum|n_cs*N - n_s*N_c|
+    is an order-proof BIGINT sum, the threshold is the integer
+    cross-multiply 5*T <= 2*N_c*N, and the reported t_value is ONE
+    final fp division. (At true 100-TB counts the products approach
+    int64 range — promote to DECIMAL(38) there; the shape is
+    unchanged.) Plan: three hash aggs off one scan, then a
+    broadcast grid of |classes| x |bands| (both tiny by
+    construction) — no shuffle grows with the table."""
+    c = load_table(spark, sf_dir, "customer")
+    banded = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("band"),
+    )
+    cls = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    glob = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = banded.agg(F.count(F.lit(1)).alias("n"))
+    cb = banded.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("n_cs")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(F.broadcast(cb), ["c_nationkey", "c_mktsegment", "band"], "left")
+        .na.fill({"n_cs": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = F.abs(F.col("n_cs") * F.col("n") - F.col("n_s") * F.col("n_c"))
+    return grid.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n_c").alias("k_size"),
+        F.sum(dev).alias("tvd_num"),
+        (
+            F.sum(dev)
+            / (F.lit(2) * F.max("n_c") * F.max("n")).cast("double")
+        ).alias("t_value"),
+        (F.lit(5) * F.sum(dev) <= F.lit(2) * F.max("n_c") * F.max("n")).alias(
+            "t_close"
+        ),
+    )

@@ -6315,3 +6315,185 @@ def embedding_pca_power_top1(spark, sf_dir):
             "explained_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: BPE merge statistics, corpus novelty, batch length-bucketing
+
+
+@register(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {D_TOKENS} AS toks FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS pair
+      FROM toks WHERE len(toks) >= 2
+    ), counted AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+    )
+    SELECT pair, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rnk
+    FROM counted
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+)
+def text_bpe_merge_candidates(spark, sf_dir):
+    """The BPE tokenizer-training inner step: count every ADJACENT
+    token pair across the corpus (occurrences, not document
+    frequency — a doc repeating a bigram votes once per occurrence,
+    which is what the merge rule optimizes) and emit the top-20 merge
+    candidates. Iterating this query — merge the winner, re-tokenize,
+    recount — IS the BPE training loop (Sennrich et al. 2016); one
+    step is the gradable unit because each iteration's input depends
+    on the previous merge.
+
+    Adjacent pairs come from a zip of two shifted slices of the
+    staged token array (the SHINGLES_FROM_TOKS trick, 2-wide and
+    NON-distinct), so the expression is whole-stage codegen. Plan:
+    explode pipelines into a map-side partial count, one shuffle of
+    |distinct pairs| partials, then TakeOrdered(20) — no global
+    sort. At 100 TB the pair vocabulary, not the corpus, bounds the
+    shuffle."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs_expr = (
+        "CASE WHEN size(toks) >= 2 THEN"
+        " zip_with(slice(toks, 1, size(toks) - 1),"
+        " slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"
+        " ELSE cast(array() as array<string>) END"
+    )
+    counted = (
+        d.select(F.expr(TOKENS).alias("toks"))
+        .select(F.explode(F.expr(pairs_expr)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "pair")
+    return (
+        counted.orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w))
+        .select("pair", "cnt", "rnk")
+    )
+
+
+@register(
+    "text_ngram_novelty_rate",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, unnest({D_SHINGLES}) AS shingle FROM documents
+    ), first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM s GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
+    FROM s JOIN first_seen f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty_rate(spark, sf_dir):
+    """Corpus novelty decay — for each document (in ingestion order =
+    doc_id), the share of its distinct 3-shingles that appear for the
+    FIRST time in that document. The curve over doc_id is the
+    diminishing-returns diagnostic a data-curation pass reads before
+    deciding how much more of a source to crawl (novelty ~0 means the
+    source is exhausted); per-doc it doubles as a staleness score for
+    curriculum ordering.
+
+    novelty_rate is one integer-over-integer division (bit-exact
+    cross-engine). Plan: explode -> min-agg on shingle (first_seen),
+    shuffle-join the shingle stream back on shingle, per-doc agg —
+    three shuffles, each bounded by |shingle occurrences|, no
+    driver state. At 100 TB first_seen is the big intermediate; it
+    prunes to (shingle, first_doc) pairs only."""
+    d = load_table(spark, sf_dir, "documents")
+    s = with_shingles(d, "doc_id").select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    first = s.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        s.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+            (
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+                / F.count("*").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+_LB_LADDER = (16, 32, 64, 128, 256, 512)
+_LB_MAX = 1024  # docs past the ladder are truncated to the max context
+
+
+def _bucket_case(n_expr: str) -> str:
+    """Shared CASE ladder (identical text both engines): next
+    power-of-two batch bucket, integer compares only — no log2
+    boundary float risk at exact powers of two."""
+    arms = " ".join(
+        f"WHEN {n_expr} <= {b} THEN {b}" for b in _LB_LADDER
+    )
+    return f"CASE {arms} ELSE {_LB_MAX} END"
+
+
+@register(
+    "pipeline_length_bucket_batching",
+    oracle=f"""
+    WITH lens AS (
+      SELECT CAST({_bucket_case(f"len({D_TOKENS})")} AS BIGINT) AS bucket,
+             CAST(LEAST(len({D_TOKENS}), {_LB_MAX}) AS BIGINT) AS n_toks
+      FROM documents WHERE len({D_TOKENS}) > 0
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           1.0 - SUM(n_toks) / CAST(COUNT(*) * bucket AS DOUBLE) AS waste_ratio
+    FROM lens
+    GROUP BY bucket
+    """,
+)
+def pipeline_length_bucket_batching(spark, sf_dir):
+    """Length-bucketed batching plan — group documents into
+    power-of-two token-length buckets (the standard trick to keep
+    padding waste bounded when batching variable-length sequences for
+    training), truncating past the max context. Per bucket: document
+    count, real vs padded token volume, and the padding-waste ratio
+    the batcher is paying. A sorted-batching scheduler consumes
+    exactly this table to choose bucket boundaries.
+
+    The bucket is an integer CASE ladder (no pow/log2 float boundary
+    at exact powers of two); waste_ratio is 1 - int/int in one
+    fp divide each engine. Map-only bucketing into a <=7-key hash
+    agg — scan-speed at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = (
+        d.select(F.size(F.expr(TOKENS)).alias("raw_n"))
+        .filter(F.col("raw_n") > 0)
+        .select(
+            F.expr(_bucket_case("raw_n")).cast("bigint").alias("bucket"),
+            F.least(F.col("raw_n"), F.lit(_LB_MAX)).cast("bigint").alias("n_toks"),
+        )
+    )
+    return lens.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("real_tokens"),
+        (F.count("*") * F.col("bucket")).alias("padded_tokens"),
+        (
+            F.lit(1.0)
+            - F.sum("n_toks") / (F.count("*") * F.col("bucket")).cast("double")
+        ).alias("waste_ratio"),
+    )

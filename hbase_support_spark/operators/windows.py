@@ -728,3 +728,73 @@ def win_rolling_zscore(spark, sf_dir):
         .otherwise(round_z(z, 6))
         .alias("rolling_z"),
     )
+
+
+def _ewma_terms(engine_lag):
+    """Shared construction for the 8-tap dyadic EWMA: term k is
+    lag_k(value) * 2^-(k+1); the denominator re-normalizes over the
+    taps that exist (partition heads have fewer). Both engines build
+    the SAME left-to-right sum, and every weight is a power of two,
+    so each term is an exact mantissa-preserving scaling and the
+    sequential sum is IEEE-identical cross-engine — no ROUND needed
+    (the num.py decay-weight contract)."""
+    num = " + ".join(
+        f"coalesce({engine_lag(k)}, 0.0) * {2.0 ** -(k + 1)!r}" for k in range(8)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {engine_lag(k)} IS NULL THEN 0.0 ELSE {2.0 ** -(k + 1)!r} END)"
+        for k in range(8)
+    )
+    return num, den
+
+
+@register(
+    "win_ewma_dyadic",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           ({num}) / ({den}) AS ewma8
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             {lags}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    """.format(
+        lags=", ".join(
+            f"LAG(value, {k}) OVER w AS lag{k}" for k in range(8)
+        ),
+        num=_ewma_terms(lambda k: f"lag{k}")[0],
+        den=_ewma_terms(lambda k: f"lag{k}")[1],
+    ),
+)
+def win_ewma_dyadic(spark, sf_dir):
+    """Finite-horizon exponentially weighted moving average with
+    dyadic weights (1/2, 1/4, ... 1/256) over each user's event
+    stream — the streaming smoother behind rate limiting, anomaly
+    baselines, and engagement scores, truncated at 8 taps so it is a
+    pure window expression (the infinite-horizon form is a recursive
+    scan; at 8 taps the dropped tail weight is < 0.4 %).
+
+    Exactness: powers-of-two weights scale mantissas exactly and both
+    engines evaluate the identical left-to-right sum over the same
+    LAG frame (unique (ts, event_id) order), so the quotient is
+    bit-identical with NO rounding step. Plan: one shuffle on
+    user_id, one in-partition sort, all 8 lags share a single window
+    frame pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        *[F.lag("value", k).over(w).alias(f"lag{k}") for k in range(8)],
+    )
+    num, den = _ewma_terms(lambda k: f"lag{k}")
+    return lagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.expr(f"({num}) / ({den})").alias("ewma8"),
+    )
