@@ -509,3 +509,52 @@ def fn_content_uuid(spark, sf_dir):
             F.substring(h, 21, 12),
         ).alias("content_uuid"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang,
+           CAST(length(url) AS INT) AS url_len
+    FROM urls
+    """,
+)
+def fn_url(spark, sf_dir):
+    """URL function family over a synthesized-but-deterministic URL
+    column (the fixtures carry no native URL; source/lang/doc_id
+    compose one, so the parse targets are known exactly). Spark side
+    uses the native parse_url expression (PROTOCOL/HOST/PATH and the
+    per-key QUERY form); the oracle restates the same extraction as
+    anchored regexes — DuckDB 1.0 has no parse_url. All JVM-side
+    whole-stage codegen; the canonical use is crawl-corpus URL
+    normalization feeding dedup_url-style keys at 100 TB, a pure
+    map expression at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.length("url").cast("int").alias("url_len"),
+    )

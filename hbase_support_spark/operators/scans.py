@@ -699,3 +699,168 @@ def scan_multi_range(spark, sf_dir):
     return c.filter(
         k.between(100, 199) | k.between(500, 549) | k.between(1200, 1249)
     ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "layout_region_balance_plan",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(user_id) AS lo, MAX(user_id) AS hi FROM events
+    ),
+    regions AS (
+      SELECT LEAST(CAST(FLOOR((user_id - lo) * 32 / (hi - lo + 1)) AS BIGINT), 31)
+               AS region,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events, bounds
+      GROUP BY 1
+    ),
+    drafted AS (
+      SELECT region, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, region) - 1 AS rn
+      FROM regions
+    ),
+    assigned AS (
+      SELECT region, n_rows,
+             CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8 ELSE 7 - rn % 8 END
+               AS server_id
+      FROM drafted
+    )
+    SELECT server_id,
+           CAST(COUNT(*) AS BIGINT) AS n_regions,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           ROUND(SUM(n_rows) * 8.0 / (SELECT SUM(n_rows) FROM regions), 6)
+             AS load_factor,
+           CAST(8 * SUM(n_rows) - (SELECT SUM(n_rows) FROM regions) AS BIGINT)
+             AS dev_rows_x8
+    FROM assigned
+    GROUP BY server_id
+    """,
+)
+def layout_region_balance_plan(spark, sf_dir):
+    """Region-to-server balance plan — the assignment step after
+    layout_hotspot_report measures skew: 32 fixed-width rowkey
+    regions are drafted onto 8 servers in a snake order by size
+    (largest first, direction reversing every round), the classic
+    deterministic balancer heuristic that keeps the max/min server
+    load within one region of optimal without the iterative
+    least-loaded loop (which is inherently sequential and has no
+    distributed form). Per server: regions held, projected row load,
+    load factor, and the signed integer deviation from ideal
+    (8*load - total, exact — no float share).
+
+    Plan: one 32-key hash agg over the scan (map-side combined), then
+    window + agg over 32 rows — free. At 100 TB only the first agg
+    touches data volume; the plan itself is metadata-scale, exactly
+    like the real balancer's view of region load reports."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+    regions = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("user_id") - F.col("lo"))
+                    * 32
+                    / (F.col("hi") - F.col("lo") + 1)
+                ),
+                F.lit(31),
+            ).alias("region")
+        )
+        .groupBy("region")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    rn = (
+        F.row_number().over(Window.orderBy(F.col("n_rows").desc(), "region")) - 1
+    )
+    assigned = regions.select("n_rows", rn.alias("rn")).select(
+        "n_rows",
+        F.expr(
+            "CASE WHEN (rn div 8) % 2 = 0 THEN rn % 8 ELSE 7 - rn % 8 END"
+        ).alias("server_id"),
+    )
+    grand = regions.agg(F.sum("n_rows").alias("grand"))
+    return (
+        assigned.groupBy("server_id")
+        .agg(
+            F.count("*").alias("n_regions"),
+            F.sum("n_rows").alias("total_rows"),
+        )
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "server_id",
+            "n_regions",
+            "total_rows",
+            F.round(F.col("total_rows") * 8.0 / F.col("grand"), 6).alias(
+                "load_factor"
+            ),
+            (F.lit(8) * F.col("total_rows") - F.col("grand")).alias("dev_rows_x8"),
+        )
+    )
+
+
+@register(
+    "source_binaryfile_multimodal",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS payload_bytes,
+           {d_h60("text")} AS payload_digest
+    FROM documents
+    """,
+)
+def source_binaryfile_multimodal(spark, sf_dir):
+    """Opaque-payload ingest through Spark's `binaryFile` source —
+    the front door of every multimodal pipeline: image/audio/video
+    assets land as individual files on object storage and enter the
+    engine as (path, length, content binary) rows that downstream
+    decode/feature-extract operators (multimodal_decode_meta,
+    multimodal_feature_extract) consume. Here each document's payload
+    is first materialized as its own `<doc_id>.bin` file by the
+    EXECUTORS (one mapInPandas pass writes its Arrow batch's files —
+    the distributed shape; the driver only clears the target dir),
+    then read back via format("binaryFile"), with the row identity
+    recovered from the filename and the payload verified by length +
+    the portable 60-bit md5 digest the oracle restates from the
+    source table.
+
+    Scale: both directions are embarrassingly parallel (file-per-row
+    write, file-per-task read); binaryFile caps per-file size via
+    spark.sql.sources.binaryFile.maxLength. Listing cost is the real
+    100-TB concern — production groups payloads into a manifest
+    (pipeline_shard_manifest) rather than one flat dir."""
+    import shutil
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dst = os.path.join(_SCRATCH, "binfiles")
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+
+    def write_files(batches):
+        # self-contained closure; dst pickles by value
+        import os as _os
+
+        import pandas as _pd
+
+        n = 0
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                with open(_os.path.join(dst, f"{doc_id}.bin"), "wb") as f:
+                    f.write(str(text).encode("utf-8"))
+            n += len(pdf)
+            yield _pd.DataFrame({"written": [len(pdf)]})
+
+    # materialize the distributed write (local FS stands in for the
+    # shared object store an executor fleet would target)
+    d.mapInPandas(write_files, "written long").agg(F.sum("written")).collect()
+
+    back = spark.read.format("binaryFile").load(dst)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("payload_bytes"),
+        F.expr(
+            "cast(conv(substring(md5(content), 1, 15), 16, 10) AS bigint)"
+        ).alias("payload_digest"),
+    )
