@@ -3622,3 +3622,185 @@ def privacy_t_closeness(spark, sf_dir):
             "t_close"
         ),
     )
+
+
+@register(
+    "events_anova_f_oneway",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    moments AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(v) AS BIGINT) AS s_g,
+             CAST(SUM(v * v) AS BIGINT) AS q_g
+      FROM cents GROUP BY event_type
+    ),
+    terms AS (
+      SELECT n_g, s_g, q_g,
+             SUM((CAST(s_g AS DOUBLE) * s_g) / n_g)
+               OVER (ORDER BY event_type
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_term
+      FROM moments
+    ),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM(q_g) AS BIGINT) AS q,
+             MAX(cum_term) AS between_raw
+      FROM terms
+    )
+    SELECT k, n,
+           ROUND(between_raw - (CAST(s AS DOUBLE) * s) / n, 6) AS ssb_c2,
+           ROUND(q - between_raw, 6) AS ssw_c2,
+           ROUND(((between_raw - (CAST(s AS DOUBLE) * s) / n) / (k - 1))
+                 / ((q - between_raw) / (n - k)), 6) AS f_stat
+    FROM folded
+    """,
+)
+def events_anova_f_oneway(spark, sf_dir):
+    """One-way ANOVA F-statistic across the event-type arms over
+    event value — the >2-arm companion to events_abtest_ztest /
+    events_mannwhitney_arms / events_kstest_arms: is the between-arm
+    variance large relative to within-arm? Classic experimentation
+    readout when a test ships more than two variants.
+
+    Exactness discipline: per-arm moments are exact integer cents
+    (count, sum, sum-of-squares); the only float accumulation —
+    Sum_g s_g^2/n_g — runs as a WINDOWED running sum in event_type
+    order, which both engines evaluate sequentially over identical
+    rows (the repo's running-aggregate contract), and every term is
+    positive so the final value is the MAX of the cumulative column.
+    s_g is cast to double BEFORE squaring (s_g^2 would pass int64 at
+    sf0.01 but not at 100 TB). F itself is one closed-form
+    expression, rounded at 6. Plan: one map-combined 5-key agg, a
+    5-row window, a 1-row reduce — scan-bound at any scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v"),
+    )
+    moments = cents.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("v").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).alias("q_g"),
+    )
+    w = Window.orderBy("event_type").rowsBetween(Window.unboundedPreceding, 0)
+    terms = moments.select(
+        "n_g",
+        "s_g",
+        "q_g",
+        F.sum(
+            (F.col("s_g").cast("double") * F.col("s_g")) / F.col("n_g")
+        ).over(w).alias("cum_term"),
+    )
+    folded = terms.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.max("cum_term").alias("between_raw"),
+    )
+    ssb = F.col("between_raw") - (F.col("s").cast("double") * F.col("s")) / F.col("n")
+    ssw = F.col("q") - F.col("between_raw")
+    return folded.select(
+        "k",
+        "n",
+        F.round(ssb, 6).alias("ssb_c2"),
+        F.round(ssw, 6).alias("ssw_c2"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
+
+
+# SPRT constants precomputed in Python and inlined as identical double
+# literals in BOTH engines' SQL — ln() at query time could differ in
+# the last ulp between libm builds; a shared literal cannot.
+# H0: purchase share p0=0.05, H1: p1=0.07, alpha=0.05, beta=0.2.
+_SPRT_C1 = 0.336472236621213  # ln(p1/p0)
+_SPRT_C2 = -0.021277398447284965  # ln((1-p1)/(1-p0))
+_SPRT_A = 2.772588722239781  # ln((1-beta)/alpha): accept H1 at/above
+_SPRT_B = -1.5581446180465497  # ln(beta/(1-alpha)): accept H0 at/below
+
+
+@register(
+    "events_sprt_sequential_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_d,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k_d
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day,
+             CAST(SUM(n_d) OVER w AS BIGINT) AS n_cum,
+             CAST(SUM(k_d) OVER w AS BIGINT) AS k_cum
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT day, n_cum, k_cum,
+           k_cum * {_SPRT_C1!r}e0 + (n_cum - k_cum) * {_SPRT_C2!r}e0 AS llr,
+           CASE
+             WHEN k_cum * {_SPRT_C1!r}e0 + (n_cum - k_cum) * {_SPRT_C2!r}e0
+                  >= {_SPRT_A!r}e0 THEN 'accept_h1'
+             WHEN k_cum * {_SPRT_C1!r}e0 + (n_cum - k_cum) * {_SPRT_C2!r}e0
+                  <= {_SPRT_B!r}e0 THEN 'accept_h0'
+             ELSE 'continue'
+           END AS decision
+    FROM cum
+    """,
+)
+def events_sprt_sequential_test(spark, sf_dir):
+    """Wald's sequential probability ratio test on the purchase
+    share, evaluated day by day — the always-valid alternative to the
+    fixed-horizon z-test (events_abtest_ztest) that experimentation
+    platforms use to allow continuous peeking: the cumulative
+    log-likelihood ratio walks until it crosses the accept-H1 or
+    accept-H0 boundary, and the decision column replays exactly when
+    the test would have stopped.
+
+    Exactness: the four ln() constants are precomputed ONCE in Python
+    and inlined as identical double literals in both engines (libm
+    vs JVM ln can differ in the last ulp; a shared literal cannot),
+    so the LLR is integer-times-literal products in fixed order —
+    bit-exact with no rounding step. Plan: one date-keyed agg
+    (map-combined), one ~30-row window — scan-bound; at 100 TB the
+    daily pre-agg IS the state a streaming SPRT would checkpoint."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_d"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k_d"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n_d").over(w).alias("n_cum"),
+        F.sum("k_d").over(w).alias("k_cum"),
+    )
+    llr = F.col("k_cum") * F.lit(_SPRT_C1) + (
+        F.col("n_cum") - F.col("k_cum")
+    ) * F.lit(_SPRT_C2)
+    return cum.select(
+        "day",
+        "n_cum",
+        "k_cum",
+        llr.alias("llr"),
+        F.when(llr >= _SPRT_A, "accept_h1")
+        .when(llr <= _SPRT_B, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

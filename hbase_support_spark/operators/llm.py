@@ -6497,3 +6497,281 @@ def pipeline_length_bucket_batching(spark, sf_dir):
             - F.sum("n_toks") / (F.count("*") * F.col("bucket")).cast("double")
         ).alias("waste_ratio"),
     )
+
+
+@register(
+    "embedding_binary_quantize_recall",
+    oracle="""
+    WITH bits AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding,
+               x -> CASE WHEN CAST(x AS DOUBLE) > 0.0 THEN 1 ELSE 0 END) AS b
+      FROM embeddings
+    ),
+    q AS (SELECT b AS qb FROM bits WHERE vec_id = 0),
+    qf AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    iscored AS (
+      SELECT c.vec_id,
+             CAST(SUM(CASE WHEN c.b[r.i] = q.qb[r.i] THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_match_bits
+      FROM bits c, q, range(1, 65) r(i)
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id
+    ),
+    itop AS (
+      SELECT vec_id, n_match_bits,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_match_bits DESC, vec_id)
+                  AS BIGINT) AS q_rank
+      FROM iscored ORDER BY n_match_bits DESC, vec_id LIMIT 10
+    ),
+    fscored AS (
+      SELECT e.vec_id,
+             ROUND(SUM(CAST(e.embedding[r.i] AS DOUBLE) * CAST(qf.qv[r.i] AS DOUBLE)) /
+                   (SQRT(SUM(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE))) *
+                    SQRT(SUM(CAST(qf.qv[r.i] AS DOUBLE) * CAST(qf.qv[r.i] AS DOUBLE)))), 6)
+               AS cos_sim
+      FROM embeddings e, qf, range(1, 65) r(i)
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    ),
+    ftop AS (
+      SELECT vec_id FROM fscored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    )
+    SELECT i.q_rank, i.vec_id, i.n_match_bits,
+           (f.vec_id IS NOT NULL) AS in_exact_top10
+    FROM itop i LEFT JOIN ftop f ON f.vec_id = i.vec_id
+    """,
+)
+def embedding_binary_quantize_recall(spark, sf_dir):
+    """Binary (1-bit-per-dim) quantization kNN + in-engine recall
+    audit — the most aggressive rung of the quantization ladder after
+    `embedding_quantize_int8` / `sim_knn_int8_recall`: keep only each
+    dimension's sign bit (32x smaller than float32), score candidates
+    by matching-bit count (64 - Hamming distance), and flag which of
+    the binary top-10 survive in the exact float top-10. Production
+    vector stores ship exactly this as the first-pass filter (scan
+    the packed bits at memory bandwidth, rescore survivors in float);
+    the recall column is the in-engine evidence for how much the
+    rescore pass must widen.
+
+    Determinism: sign bits are exact integer comparisons (ties at 0.0
+    map to 0 in both engines), the score is an associative INTEGER
+    sum, ranking ties break on vec_id; only the audit cosine touches
+    floats (rounded to 6 before its own deterministic order). Plan:
+    broadcast the 64-bit query pattern, map-side popcount-style
+    scoring, TakeOrdered 10 — at 100 TB this is a packed-uint64
+    XOR+popcount scan; the expression form here is its semantic
+    twin."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bits = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.when(x.cast("double") > 0.0, 1).otherwise(0),
+        ).alias("b"),
+    )
+    q = bits.filter(F.col("vec_id") == 0).select(F.col("b").alias("qb"))
+    n_match = F.aggregate(
+        F.zip_with(F.col("b"), F.col("qb"), lambda a, c: F.when(a == c, 1).otherwise(0)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    itop = (
+        bits.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", n_match.alias("n_match_bits"))
+        .orderBy(F.col("n_match_bits").desc(), "vec_id")
+        .limit(10)
+        .withColumn(
+            "q_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_match_bits").desc(), "vec_id"))
+            .cast("bigint"),
+        )
+    )
+    qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    ftop = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qf))
+        .select(
+            F.col("vec_id").alias("f_vec"),
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "f_vec")
+        .limit(10)
+        .select("f_vec")
+    )
+    return itop.join(ftop, itop.vec_id == ftop.f_vec, "left").select(
+        "q_rank",
+        "vec_id",
+        "n_match_bits",
+        F.col("f_vec").isNotNull().alias("in_exact_top10"),
+    )
+
+
+@register(
+    "sim_kmeans_assign_step",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT e.vec_id, s.cid,
+             ROUND({_d_cosine('e.embedding', 's.cv')}, 6) AS cos_sim
+      FROM embeddings e CROSS JOIN seeds s, range(1, 65) r(i)
+      GROUP BY e.vec_id, s.cid
+    ),
+    best AS (
+      SELECT vec_id, cid, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT cid AS centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           MIN(vec_id) AS min_vec,
+           MAX(vec_id) AS max_vec
+    FROM best WHERE rn = 1
+    GROUP BY cid
+    """,
+)
+def sim_kmeans_assign_step(spark, sf_dir):
+    """One k-means ASSIGNMENT step with deterministic seeds (the
+    first 8 vectors): every vector goes to the seed centroid with the
+    highest rounded cosine (tie -> lowest centroid id), reported as
+    per-centroid membership counts and id ranges. This is the
+    gradable unit of Lloyd's iteration — like text_bpe_merge_candidates,
+    each further iteration's input depends on the previous step's
+    output (new centroids = member means), so the loop runs this
+    query, recomputes centroids, and repeats; it is also exactly how
+    an IVF index (sim_knn_ivf) trains its cell list.
+
+    Plan: broadcast the 8 seed vectors, map-side 8 cosines per
+    vector (whole-stage codegen fold), per-vector argmax via
+    row_number over 8 rows, then an 8-key count — one shuffle of
+    (vec_id, best) assignments. Linear in corpus size at any scale;
+    k bounds the per-row work, never the data."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cid",
+        _fold_cos6(F.col("embedding"), F.col("cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "cid")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count("*").alias("n_assigned"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+
+
+@register(
+    "text_bpe_apply_merge",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {D_TOKENS} AS toks FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS pair
+      FROM toks WHERE len(toks) >= 2
+    ), top1 AS (
+      SELECT pair FROM pairs GROUP BY pair
+      ORDER BY COUNT(*) DESC, pair LIMIT 1
+    ), applied AS (
+      SELECT t.doc_id,
+             CAST(len(t.toks) AS BIGINT) AS n_toks_before,
+             p.pair AS merged_pair,
+             TRIM(REPLACE(' ' || array_to_string(t.toks, ' ') || ' ',
+                          ' ' || p.pair || ' ',
+                          ' ' || REPLACE(p.pair, ' ', '_') || ' ')) AS merged
+      FROM toks t CROSS JOIN top1 p
+      WHERE len(t.toks) >= 2
+    )
+    SELECT doc_id, merged_pair, n_toks_before,
+           CAST(len(list_filter(string_split(merged, ' '), w -> w <> ''))
+                AS BIGINT) AS n_toks_after,
+           n_toks_before
+             - CAST(len(list_filter(string_split(merged, ' '), w -> w <> ''))
+                    AS BIGINT) AS n_merges
+    FROM applied
+    WHERE n_toks_before
+          <> CAST(len(list_filter(string_split(merged, ' '), w -> w <> ''))
+                  AS BIGINT)
+    """,
+)
+def text_bpe_apply_merge(spark, sf_dir):
+    """The second half of the BPE training loop: take the winning
+    merge candidate from `text_bpe_merge_candidates` (computed
+    in-query as a one-row broadcast) and APPLY it — every
+    left-to-right non-overlapping occurrence of the adjacent pair
+    becomes one fused token — reporting per affected document the
+    token count before/after and the number of merges. Iterating
+    (candidates -> apply -> recount) trains the tokenizer; one
+    application is the gradable unit.
+
+    The rewrite runs on the space-joined token string with sentinel
+    padding, so `REPLACE` gives both engines the identical greedy
+    non-overlapping semantics (a run like "a a a" under pair "a a"
+    merges once, leaving the trailing "a" — the BPE rule). Plan: the
+    pair count reuses the merge-candidate shuffle, the winner
+    broadcasts as a single row, and the rewrite is a map-only string
+    pass — at 100 TB each BPE iteration costs one pair-vocabulary
+    shuffle plus one scan, which is why production tokenizer
+    training samples the corpus first (sample_stratified)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(TOKENS).alias("toks"))
+    pairs_expr = (
+        "CASE WHEN size(toks) >= 2 THEN"
+        " zip_with(slice(toks, 1, size(toks) - 1),"
+        " slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"
+        " ELSE cast(array() as array<string>) END"
+    )
+    top1 = (
+        toks.select(F.explode(F.expr(pairs_expr)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select("pair")
+    )
+    applied = (
+        toks.filter(F.size("toks") >= 2)
+        .crossJoin(F.broadcast(top1))
+        .select(
+            "doc_id",
+            F.col("pair").alias("merged_pair"),
+            F.size("toks").cast("bigint").alias("n_toks_before"),
+            F.trim(
+                F.expr(
+                    "replace(' ' || array_join(toks, ' ') || ' ',"
+                    " ' ' || pair || ' ',"
+                    " ' ' || replace(pair, ' ', '_') || ' ')"
+                )
+            ).alias("merged"),
+        )
+    )
+    n_after = F.size(
+        F.filter(F.split(F.col("merged"), " "), lambda wd: wd != "")
+    ).cast("bigint")
+    return (
+        applied.select(
+            "doc_id",
+            "merged_pair",
+            "n_toks_before",
+            n_after.alias("n_toks_after"),
+            (F.col("n_toks_before") - n_after).alias("n_merges"),
+        )
+        .filter(F.col("n_merges") != 0)
+    )

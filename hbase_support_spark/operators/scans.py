@@ -864,3 +864,78 @@ def source_binaryfile_multimodal(spark, sf_dir):
             "cast(conv(substring(md5(content), 1, 15), 16, 10) AS bigint)"
         ).alias("payload_digest"),
     )
+
+
+@register(
+    "source_csv_malformed_audit",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+                    THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) / 100.0 AS good_total,
+           MAX(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey END)
+             AS max_good_key
+    FROM orders
+    """,
+)
+def source_csv_malformed_audit(spark, sf_dir):
+    """Dirty-ingest resilience: a CSV feed where ~1% of lines are
+    corrupted (unparseable key field — the deterministic stand-in for
+    truncated uploads and encoding damage every real ingest meets) is
+    read back under PERMISSIVE mode with a columnNameOfCorruptRecord
+    side channel, and the audit reports good/corrupt counts plus a
+    checksum over the rows that survived — the accept/quarantine
+    split a production loader writes to its dead-letter queue.
+
+    Money rides as integer cents in the CSV (never a formatted
+    double — writer float formatting is not a portable contract);
+    corruption is keyed on o_orderkey % 97 so the oracle re-derives
+    the exact split from the source table. Both directions are
+    distributed (text write, schema-on-read CSV scan); the corrupt
+    branch costs nothing extra at scale — PERMISSIVE parsing is the
+    same single pass."""
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.concat(F.lit("BAD_"), F.col("o_orderkey").cast("string"), F.lit(",oops")),
+        )
+        .otherwise(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(","),
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("bigint")
+                .cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    dst = os.path.join(_SCRATCH, "orders_dirty_csv")
+    lines.write.mode("overwrite").text(dst)
+
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("cents", LongType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(dst)
+    )
+    good = F.col("_bad").isNull()
+    return back.agg(
+        F.sum(F.when(good, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(F.when(good, 0).otherwise(1)).cast("bigint").alias("n_corrupt"),
+        (
+            F.sum(F.when(good, F.col("cents")).otherwise(0)).cast("bigint") / 100.0
+        ).alias("good_total"),
+        F.max(F.when(good, F.col("o_orderkey"))).alias("max_good_key"),
+    )
