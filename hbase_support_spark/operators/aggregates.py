@@ -3804,3 +3804,187 @@ def events_sprt_sequential_test(spark, sf_dir):
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+@register(
+    "events_srm_check",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CAST('0x' || substring(md5('srm|' || CAST(user_id AS VARCHAR)),
+                  1, 15) AS BIGINT) % 2 AS arm
+      FROM events
+      GROUP BY user_id
+    ),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM assign
+    )
+    SELECT n_a, n_b,
+           ROUND((n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE), 6)
+             AS chi2,
+           (n_a - n_b) * (n_a - n_b) * 10000 > 38415 * (n_a + n_b)
+             AS srm_detected
+    FROM counts
+    """,
+)
+def events_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail — the FIRST check any
+    experimentation platform runs before reading a test (a
+    significant z/F/SPRT result is garbage if the 50/50 assignment
+    itself is broken by bot filtering, logging loss, or redirect
+    bugs): chi-square goodness-of-fit of the observed arm counts
+    against the designed equal split. For two arms the statistic
+    collapses to (n_a-n_b)^2/(n_a+n_b), and the 5% decision is the
+    INTEGER cross-multiply (n_a-n_b)^2 * 10000 > 38415 * n — no float
+    threshold can flip it. Assignment is the portable md5 hash so
+    both engines derive identical arms. One user-keyed agg + a 1-row
+    reduce: scan-bound at 100 TB, exactly like the ztest it gates."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            (
+                F.expr(
+                    "cast(conv(substring(md5('srm|' || cast(user_id AS string)),"
+                    " 1, 15), 16, 10) AS bigint)"
+                )
+                % 2
+            ).alias("arm")
+        )
+    )
+    counts = assign.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    n = F.col("n_a") + F.col("n_b")
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.round(d * d / n.cast("double"), 6).alias("chi2"),
+        (d * d * 10000 > 38415 * n).alias("srm_detected"),
+    )
+
+
+@register(
+    "privacy_masking_view",
+    oracle="""
+    SELECT 'cust_' || CAST(CAST('0x' || substring(
+             md5('pseud|' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+             % 100000000 AS VARCHAR) AS pseudonym,
+           c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 500.0) AS BIGINT) * 500 AS acctbal_band,
+           CAST(length(c_name) AS INT) AS name_len
+    FROM customer
+    """,
+)
+def privacy_masking_view(spark, sf_dir):
+    """Dynamic masking view — the serving-side companion to the
+    anonymization audits (privacy_k_anonymity_lattice /
+    _l_diversity / _t_closeness): direct identifiers become a STABLE
+    pseudonym (keyed portable hash, so joins across masked datasets
+    still link the same customer without revealing the key),
+    quasi-identifiers coarsen to bands, and free-text shrinks to a
+    length. This is what the analyst role actually queries; the raw
+    table stays behind the view boundary.
+
+    Pure map expressions at scan speed — masking 100 TB costs one
+    pass, and because the pseudonym is deterministic the view can be
+    materialized incrementally (matview_incremental_refresh) without
+    re-keying history. In production the hash gains a secret salt
+    from the key-management seam; the public salt here keeps the
+    query oracle-checkable."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.concat(
+            F.lit("cust_"),
+            (
+                F.expr(
+                    "cast(conv(substring(md5('pseud|' || cast(c_custkey AS string)),"
+                    " 1, 15), 16, 10) AS bigint)"
+                )
+                % 100000000
+            ).cast("string"),
+        ).alias("pseudonym"),
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 500.0).cast("bigint") * 500).alias(
+            "acctbal_band"
+        ),
+        F.length("c_name").cast("int").alias("name_len"),
+    )
+
+
+@register(
+    "pipeline_curriculum_order",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> w <> '')) AS BIGINT) AS n_toks,
+             CAST(list_sum(list_transform(list_filter(string_split(lower(text),
+                  ' '), w -> w <> ''), w -> length(w))) AS BIGINT) * 100
+               // CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> w <> '')) AS BIGINT) AS avg_len_x100
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+    ),
+    staged AS (
+      SELECT doc_id, n_toks, avg_len_x100,
+             CAST(NTILE(4) OVER (ORDER BY avg_len_x100, doc_id) AS INT) AS stage
+      FROM feats
+    )
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           MIN(avg_len_x100) AS min_avg_len_x100,
+           MAX(avg_len_x100) AS max_avg_len_x100
+    FROM staged GROUP BY stage
+    """,
+)
+def pipeline_curriculum_order(spark, sf_dir):
+    """Curriculum staging: order the corpus by an integer lexical-
+    difficulty proxy (mean token length in fixed-point x100 — short
+    words first, the 'easy' end) and cut it into 4 equal NTILE
+    stages, reporting each stage's document count and token budget —
+    the schedule a curriculum-learning trainer consumes stage by
+    stage (feeding into pipeline_epoch_order for intra-stage
+    shuffling).
+
+    The difficulty score is pure integer arithmetic (char-sum x100
+    integer-divided by token count — no float mean), NTILE runs over
+    a total order with the doc_id tiebreak, and the report is a
+    4-key agg. The global sort behind NTILE is the one scale cost —
+    at 100 TB replace it with range-partitioned bucketing on the
+    score (layout_split_points gives the cut points) exactly as a
+    sort-based shuffle would."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = (
+        d.select("doc_id", F.expr(
+            "filter(split(lower(text), ' '), w -> w <> '')").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_toks"),
+            F.expr(
+                "aggregate(toks, 0L, (a, x) -> a + length(x)) * 100"
+                " div size(toks)"
+            ).alias("avg_len_x100"),
+        )
+    )
+    staged = feats.select(
+        "n_toks",
+        "avg_len_x100",
+        F.ntile(4).over(Window.orderBy("avg_len_x100", "doc_id")).alias("stage"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.min("avg_len_x100").alias("min_avg_len_x100"),
+        F.max("avg_len_x100").alias("max_avg_len_x100"),
+    )
