@@ -3988,3 +3988,106 @@ def pipeline_curriculum_order(spark, sf_dir):
         F.min("avg_len_x100").alias("min_avg_len_x100"),
         F.max("avg_len_x100").alias("max_avg_len_x100"),
     )
+
+
+@register(
+    "orders_littles_law_audit",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS start_day,
+             DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                      CAST(MAX(l.l_shipdate) AS DATE)) AS cycle_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    w AS (
+      SELECT MIN(start_day) AS wlo, MAX(start_day) AS whi FROM per_order
+    ),
+    clipped AS (
+      SELECT p.o_orderkey, p.cycle_days,
+             LEAST(CAST(p.cycle_days AS BIGINT),
+                   CAST(DATEDIFF('day', p.start_day, w.whi) + 1 AS BIGINT))
+               AS occ_days
+      FROM per_order p, w
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST((SELECT DATEDIFF('day', wlo, whi) + 1 FROM w) AS BIGINT)
+             AS window_days,
+           CAST(SUM(cycle_days) AS BIGINT) AS total_cycle_days,
+           CAST(SUM(occ_days) AS BIGINT) AS occupancy_days,
+           ROUND(COUNT(*) / CAST((SELECT DATEDIFF('day', wlo, whi) + 1 FROM w)
+                                 AS DOUBLE), 6) AS lambda_per_day,
+           ROUND(SUM(cycle_days) / CAST(COUNT(*) AS DOUBLE), 6) AS w_mean_days,
+           ROUND((COUNT(*) / CAST((SELECT DATEDIFF('day', wlo, whi) + 1 FROM w)
+                                  AS DOUBLE))
+                 * (SUM(cycle_days) / CAST(COUNT(*) AS DOUBLE)), 6)
+             AS l_littles,
+           ROUND(SUM(occ_days)
+                 / CAST((SELECT DATEDIFF('day', wlo, whi) + 1 FROM w)
+                        AS DOUBLE), 6) AS l_observed
+    FROM clipped
+    """,
+)
+def orders_littles_law_audit(spark, sf_dir):
+    """Little's law audit on the order pipeline: arrival rate
+    (lambda = orders/day over the observed window), mean time in
+    system (W = mean order-to-last-ship days), and average
+    work-in-progress measured two ways — the law's prediction
+    L = lambda x W versus the time-averaged occupancy actually
+    integrated over the window (per-order occupancy CLIPPED at the
+    window edge, computed closed-form as LEAST(cycle, window_end -
+    start + 1) — no per-day explode). The gap between l_littles and
+    l_observed is exactly the finite-window edge effect; on an
+    infinite window they coincide, which is the law. Operations
+    teams run this to sanity-check backlog dashboards
+    (orders_backlog_aging) against throughput.
+
+    Integer aggregates end-to-end (day diffs, clipped occupancy);
+    the four reported rates are single closed-form fp expressions
+    rounded at 6. One order-grain agg + a broadcast 1-row window
+    bound — two scans, scan-bound at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("start_day"),
+            F.datediff(
+                F.col("last_ship").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("cycle_days"),
+        )
+    )
+    w = per_order.agg(
+        F.min("start_day").alias("wlo"), F.max("start_day").alias("whi")
+    )
+    clipped = per_order.crossJoin(F.broadcast(w)).select(
+        "cycle_days",
+        F.least(
+            F.col("cycle_days").cast("bigint"),
+            (F.datediff(F.col("whi"), F.col("start_day")) + 1).cast("bigint"),
+        ).alias("occ_days"),
+        (F.datediff(F.col("whi"), F.col("wlo")) + 1).cast("bigint").alias("wdays"),
+    )
+    agg = clipped.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.max("wdays").alias("window_days"),
+        F.sum("cycle_days").cast("bigint").alias("total_cycle_days"),
+        F.sum("occ_days").alias("occupancy_days"),
+    )
+    lam = F.col("n_orders") / F.col("window_days").cast("double")
+    wm = F.col("total_cycle_days") / F.col("n_orders").cast("double")
+    return agg.select(
+        "n_orders",
+        "window_days",
+        "total_cycle_days",
+        "occupancy_days",
+        F.round(lam, 6).alias("lambda_per_day"),
+        F.round(wm, 6).alias("w_mean_days"),
+        F.round(lam * wm, 6).alias("l_littles"),
+        F.round(
+            F.col("occupancy_days") / F.col("window_days").cast("double"), 6
+        ).alias("l_observed"),
+    )

@@ -6775,3 +6775,120 @@ def text_bpe_apply_merge(spark, sf_dir):
         )
         .filter(F.col("n_merges") != 0)
     )
+
+
+@register(
+    "text_hashed_feature_vector",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({D_TOKENS}) AS w FROM documents
+    )
+    SELECT doc_id,
+           {_d_h60("w")} % 32 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM t GROUP BY doc_id, bucket
+    """,
+)
+def text_hashed_feature_vector(spark, sf_dir):
+    """The hashing trick (Weinberger et al. 2009 / Vowpal Wabbit /
+    fastText featurization): project every token into a FIXED 32-slot
+    feature space by portable hash, emitting per-document sparse
+    (bucket, count) features — the vocabulary-free vectorizer that
+    needs no fitted dictionary, so featurizing 100 TB is one
+    stateless pass (no vocab build, no broadcast, no OOV). Collisions
+    are the accepted trade (two tokens sharing a slot), which is why
+    the slot count is the capacity knob.
+
+    The portable md5-h60 bucket makes the features themselves
+    hash-graded (same md5 both engines — the hashutil contract).
+    Plan: explode pipelines into one map-side-combined
+    (doc, bucket)-keyed agg; output is bounded by docs x 32."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.expr(TOKENS)).alias("w"))
+    return t.groupBy(
+        "doc_id", (F.expr(_h60("w")) % 32).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "sim_knn_filtered_vs_postfilter",
+    oracle=f"""
+    WITH qf AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND({_d_cosine('e.embedding', 'qf.qv')}, 6) AS cos_sim
+      FROM embeddings e, qf, range(1, 65) r(i)
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id, e.label
+    ),
+    pre AS (
+      SELECT vec_id, label, cos_sim,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT)
+               AS rnk
+      FROM scored WHERE label % 3 = 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 10
+    ),
+    unfiltered AS (
+      SELECT vec_id, label FROM scored
+      ORDER BY cos_sim DESC, vec_id LIMIT 10
+    )
+    SELECT p.rnk, p.vec_id, p.label, p.cos_sim,
+           (u.vec_id IS NOT NULL) AS found_by_postfilter
+    FROM pre p LEFT JOIN (SELECT vec_id FROM unfiltered WHERE label % 3 = 0) u
+      ON u.vec_id = p.vec_id
+    """,
+)
+def sim_knn_filtered_vs_postfilter(spark, sf_dir):
+    """Attribute-filtered vector search — the named hard problem of
+    every vector store: top-10 under a metadata predicate
+    (label % 3 = 0, a stand-in for tenant/language/date filters) done
+    the RIGHT way (pre-filter: score only qualifying vectors), with a
+    per-row audit of whether post-filtering (take the UNFILTERED
+    top-10, then apply the predicate) would have found it. Rows with
+    found_by_postfilter = false are exactly the results a naive
+    post-filter silently loses — the evidence for why selective
+    filters must push INTO the index (IVF cells per filter value /
+    filter-aware traversal) rather than truncate after it.
+
+    Plan: broadcast probe, map-side fold cosine over the filtered
+    scan (predicate pushed to parquet), TakeOrdered 10 both arms —
+    two scans, no shuffle. At 100 TB the filtered arm reads only the
+    predicate's partitions; the unfiltered audit arm is the one you
+    delete in production."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qf))
+        .select(
+            "vec_id",
+            "label",
+            _fold_cos6(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    pre = (
+        scored.filter(F.col("label") % 3 == 0)
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .cast("bigint"),
+        )
+    )
+    post = (
+        scored.orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .filter(F.col("label") % 3 == 0)
+        .select(F.col("vec_id").alias("p_vec"))
+    )
+    return pre.join(post, pre.vec_id == post.p_vec, "left").select(
+        "rnk",
+        "vec_id",
+        "label",
+        "cos_sim",
+        F.col("p_vec").isNotNull().alias("found_by_postfilter"),
+    )
