@@ -4091,3 +4091,52 @@ def orders_littles_law_audit(spark, sf_dir):
             F.col("occupancy_days") / F.col("window_days").cast("double"), 6
         ).alias("l_observed"),
     )
+
+
+@register(
+    "privacy_dp_sensitivity_report",
+    oracle="""
+    WITH per_user_day AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_u
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(SUM(n_u) AS BIGINT) AS raw_count,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           MAX(n_u) AS max_user_contribution,
+           CAST(SUM(LEAST(n_u, 20)) AS BIGINT) AS clipped_count_c20,
+           CAST(SUM(n_u) - SUM(LEAST(n_u, 20)) AS BIGINT) AS clipping_loss
+    FROM per_user_day GROUP BY day
+    """,
+)
+def privacy_dp_sensitivity_report(spark, sf_dir):
+    """Differential-privacy release prep for the daily event
+    histogram: before a DP engine adds calibrated noise it must
+    BOUND each user's contribution — this report computes, per day,
+    the raw count, the observed max per-user contribution (the
+    quantity that would otherwise drive unbounded L-inf
+    sensitivity), and the count after clipping each user at C=20
+    with the utility cost of that clip (clipping_loss). Choosing C
+    is exactly the bias-variance trade this table exposes: smaller C
+    means less noise but more clipped signal. The noise itself is
+    deliberately out of scope — it is nondeterministic by
+    definition; everything UP TO the noise draw is deterministic and
+    graded. Two hash aggs (user-day, then day), both map-side
+    combined — scan-bound at 100 TB, and the per-user-day grain is
+    what a production DP-SQL engine materializes anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    pud = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).agg(F.count("*").cast("bigint").alias("n_u"))
+    return pud.groupBy("day").agg(
+        F.sum("n_u").cast("bigint").alias("raw_count"),
+        F.count("*").cast("bigint").alias("n_users"),
+        F.max("n_u").alias("max_user_contribution"),
+        F.sum(F.least(F.col("n_u"), F.lit(20))).cast("bigint").alias(
+            "clipped_count_c20"
+        ),
+        (F.sum("n_u") - F.sum(F.least(F.col("n_u"), F.lit(20))))
+        .cast("bigint")
+        .alias("clipping_loss"),
+    )

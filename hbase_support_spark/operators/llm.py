@@ -6892,3 +6892,113 @@ def sim_knn_filtered_vs_postfilter(spark, sf_dir):
         "cos_sim",
         F.col("p_vec").isNotNull().alias("found_by_postfilter"),
     )
+
+
+def _1bit_recall_oracle() -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source, {D_SHINGLES} AS shingles FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, lang, source, shingles, {_portable_sig_duck()} AS sig
+      FROM (SELECT doc_id, lang, source, shingles,
+                   list_transform(shingles, sh -> {_d_h60('sh')} % 1048576) AS hs
+            FROM sh WHERE len(shingles) > 0)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+                 LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6)
+             AS j_exact,
+           CAST(len(list_filter(range(1, 17), s -> a.sig[s] = b.sig[s]))
+                AS BIGINT) AS n_eq_sig,
+           len(list_filter(range(1, 17), s -> a.sig[s] = b.sig[s])) / 16.0
+             AS j_minhash_est,
+           CAST(len(list_filter(range(1, 17), s -> a.sig[s] % 2 = b.sig[s] % 2))
+                AS BIGINT) AS n_eq_bit,
+           2.0 * (len(list_filter(range(1, 17),
+                      s -> a.sig[s] % 2 = b.sig[s] % 2)) / 16.0) - 1.0
+             AS j_1bit_est
+    FROM sigs a JOIN sigs b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
+          LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))) >= 0.7
+    """
+
+
+@register("dedup_minhash_1bit_recall", oracle=_1bit_recall_oracle())
+def dedup_minhash_1bit_recall(spark, sf_dir):
+    """b-bit MinHash (Li & Koenig 2010) accuracy audit, b=1: keep
+    only the LOWEST bit of each of the 16 portable MinHash values —
+    a further 20x signature compression on top of minhashing itself —
+    and compare, on the exact-verified true near-dup pairs, three
+    Jaccard views: the exact set Jaccard, the classic minhash
+    estimate (matching permutations / 16), and the 1-bit estimate
+    2*(matching bits/16) - 1 (bits agree with probability (1+J)/2:
+    half their matches are hash luck, which the affine correction
+    removes). The table shows what resolution survives at 1 bit —
+    the storage story that lets a 100-TB dedup keep its signature
+    matrix in RAM.
+
+    All three estimates are exact dyadic rationals (k/16 and
+    2k/16-1 are exact doubles; only the exact Jaccard carries a
+    ROUND). Same truth-pair plan as dedup_lsh_recall_report: blocked
+    join on (lang, source) with the size-ratio prefilter — never
+    all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    base = with_shingles(d, "doc_id", "lang", "source").filter(
+        F.size("shingles") > 0
+    )
+    hs_rows = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(shingles, sh -> {_h60('sh')} % 1048576)")
+        ).alias("h"),
+    )
+    sig_tbl = hs_rows.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * _LSH_A[s] + _LSH_B[s]) % 1048576).alias(f"_m{s}")
+            for s in range(16)
+        ]
+    )
+    sigs = (
+        base.join(sig_tbl, "doc_id")
+        .withColumn("sig", F.array(*[f"_m{s}" for s in range(16)]))
+        .drop(*[f"_m{s}" for s in range(16)])
+        .withColumn("n_sh", F.size("shingles"))
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    jac = F.size(F.array_intersect("a.shingles", "b.shingles")) / F.size(
+        F.array_union("a.shingles", "b.shingles")
+    ).cast("double")
+    size_ok = (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+        / F.greatest(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
+        >= 0.7
+    )
+    n_eq_sig = F.expr(
+        "size(filter(sequence(0, 15), s ->"
+        " element_at(a.sig, s + 1) = element_at(b.sig, s + 1)))"
+    ).cast("long")
+    n_eq_bit = F.expr(
+        "size(filter(sequence(0, 15), s ->"
+        " element_at(a.sig, s + 1) % 2 = element_at(b.sig, s + 1) % 2))"
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(size_ok)
+        .filter(jac >= 0.7)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("j_exact"),
+            n_eq_sig.alias("n_eq_sig"),
+            (n_eq_sig / 16.0).alias("j_minhash_est"),
+            n_eq_bit.alias("n_eq_bit"),
+            (2.0 * (n_eq_bit / 16.0) - 1.0).alias("j_1bit_est"),
+        )
+    )

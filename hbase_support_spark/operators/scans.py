@@ -939,3 +939,64 @@ def source_csv_malformed_audit(spark, sf_dir):
         ).alias("good_total"),
         F.max(F.when(good, F.col("o_orderkey"))).alias("max_good_key"),
     )
+
+
+@register(
+    "layout_small_files_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT l_orderkey % 128 AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    packed AS (
+      SELECT file_id, n_rows,
+             CAST((SUM(n_rows) OVER (ORDER BY file_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 4096)
+                  AS BIGINT) AS bin_id
+      FROM files
+    )
+    SELECT COALESCE(bin_id, 0) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           MIN(file_id) AS first_file,
+           MAX(file_id) AS last_file
+    FROM packed GROUP BY 1
+    """,
+)
+def layout_small_files_compaction_plan(spark, sf_dir):
+    """Small-files compaction plan — the other chronic storage-ops
+    problem next to region balancing: 128 simulated store files
+    (keyed slices of lineitem standing in for flush output) are
+    shelf-packed IN KEY ORDER into ~4096-row output files, so the
+    compaction preserves the sort order (adjacent inputs only — an
+    HBase minor compaction / Iceberg bin-pack rewrite both keep this
+    invariant) and every output lands under the target size except
+    when a single oversized input must stand alone. The bin id is
+    the running-row-count integer-divided by the target, computed
+    over the PRECEDING frame so a file that crosses the boundary
+    starts its bin rather than splitting (files are atomic).
+
+    Metadata-scale plan: one 128-key agg over the scan, a 128-row
+    window, a grouped report — the actual rewrite job then runs one
+    task per bin. At 100 TB the file manifest replaces the agg and
+    the plan itself never touches data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy((F.col("l_orderkey") % 128).alias("file_id")).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    packed = files.select(
+        "file_id",
+        "n_rows",
+        F.coalesce(
+            F.expr(f"(sum(n_rows) over (order by file_id rows between"
+                   f" unbounded preceding and 1 preceding)) div 4096"),
+            F.lit(0),
+        ).alias("bin_id"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )
