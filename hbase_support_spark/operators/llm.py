@@ -7002,3 +7002,125 @@ def dedup_minhash_1bit_recall(spark, sf_dir):
             (2.0 * (n_eq_bit / 16.0) - 1.0).alias("j_1bit_est"),
         )
     )
+
+
+@register(
+    "text_watermark_greenlist_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {D_TOKENS} AS t FROM documents WHERE len({D_TOKENS}) >= 2
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> CASE WHEN {_d_h60("t[i] || '|' || t[i+1]")} % 2 = 0
+                         THEN 1 ELSE 0 END)) AS is_green
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(is_green) AS BIGINT) AS n_green,
+           ROUND((SUM(is_green) - COUNT(*) * 0.5)
+                 / SQRT(COUNT(*) * 0.25), 6) AS z_score,
+           (SUM(is_green) - COUNT(*) * 0.5) * (SUM(is_green) - COUNT(*) * 0.5)
+             * 4 > CAST(4 * COUNT(*) AS BIGINT)
+             AND SUM(is_green) * 2 > COUNT(*) AS watermark_suspect
+    FROM pairs GROUP BY doc_id
+    """,
+)
+def text_watermark_greenlist_score(spark, sf_dir):
+    """LLM-output watermark detection (Kirchenbauer et al. 2023): a
+    watermarking sampler biases each token toward a 'green list'
+    seeded by the previous token's hash; the detector recomputes,
+    for every (prev, cur) token pair, whether cur falls in prev's
+    green half and z-tests the green fraction against the unbiased
+    1/2. Human text scores ~0; watermarked text scores z >> 2. Run
+    over a training corpus this is the contamination filter that
+    keeps synthetic model output from feeding back into pretraining
+    data — a first-class 100-TB curation concern.
+
+    The green-list membership is the portable md5-h60 hash (both
+    engines derive identical lists); the z statistic is a closed
+    form over two integer counts, and the 2-sigma decision is an
+    integer cross-multiply ((2g-n)^2 > 4n with g > n/2 — no float
+    threshold). Plan: zip-shifted-slices pair stream explodes into
+    one doc-keyed agg — scan-bound, no vocabulary state."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(TOKENS).alias("t")).filter(F.size("t") >= 2)
+    pair_h = _h60("element_at(t, i) || '|' || element_at(t, i + 1)")
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i ->"
+                " CASE WHEN " + pair_h + " % 2 = 0 THEN 1 ELSE 0 END)"
+            )
+        ).alias("is_green"),
+    )
+    g = F.sum("is_green")
+    n = F.count("*")
+    return pairs.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_scored"),
+        g.cast("bigint").alias("n_green"),
+        F.round((g - n * 0.5) / F.sqrt(n * 0.25), 6).alias("z_score"),
+        (
+            ((g - n * 0.5) * (g - n * 0.5) * 4 > (4 * n).cast("bigint"))
+            & (g * 2 > n)
+        ).alias("watermark_suspect"),
+    )
+
+
+@register(
+    "text_phrase_search_positional",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {D_TOKENS} AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, u.w AS w, u.pos AS pos
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) + 1),
+                          i -> struct_pack(w := t[i], pos := i))) AS u
+            FROM toks)
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           MIN(a.pos) AS first_pos
+    FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.w = 'batch' AND b.w = 'stream'
+    GROUP BY a.doc_id
+    """,
+)
+def text_phrase_search_positional(spark, sf_dir):
+    """Positional phrase query — the search-engine operation an
+    inverted index with positions exists for (text_inverted_index
+    stores the postings; this executes "batch stream" as a phrase,
+    not a bag of words): match token positions p and p+1 within the
+    same document via a positional self-join, returning per-doc hit
+    counts and the first match offset.
+
+    Plan: posexplode -> the two term postings lists join on
+    (doc_id, adjacent position). Catalyst pushes the term filters
+    BEFORE the join, so the join touches only the two terms'
+    postings — exactly how a search engine intersects positional
+    postings; at 100 TB the explode is replaced by reading the
+    pre-built index table and the plan is unchanged from the join
+    down."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.expr(TOKENS)).alias("i", "w")
+    ).select("doc_id", (F.col("i") + 1).alias("pos"), "w")
+    a = pos.filter(F.col("w") == "batch").alias("a")
+    b = pos.filter(F.col("w") == "stream").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.min("a.pos").alias("first_pos"),
+        )
+    )

@@ -1000,3 +1000,54 @@ def layout_small_files_compaction_plan(spark, sf_dir):
         F.min("file_id").alias("first_file"),
         F.max("file_id").alias("last_file"),
     )
+
+
+@register(
+    "scan_keyset_pagination",
+    oracle="""
+    WITH cursor_row AS (
+      SELECT MAX(o_orderkey) AS cursor FROM (
+        SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 200
+      )
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders, cursor_row
+    WHERE o_orderkey > cursor
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+def scan_keyset_pagination(spark, sf_dir):
+    """Keyset (cursor) pagination — page 3 of a keyed listing,
+    fetched the way that still works at 100 TB: WHERE key > cursor
+    ORDER BY key LIMIT page, where the cursor is the last key of the
+    previous page (computed in-query here so the whole exchange is
+    one gradable unit). OFFSET pagination re-scans and re-sorts
+    everything before the page (O(offset) per request, and
+    inconsistent under concurrent writes); the keyset predicate
+    instead prunes at the parquet reader (PushedFilters on the
+    sort key) and TakeOrdered returns the page without a global
+    sort. This is HBase's native Scan(startRow=cursor, limit=n)
+    resumption model expressed relationally — the cursor IS the
+    start row."""
+    o = load_table(spark, sf_dir, "orders")
+    cursor = (
+        o.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(200)
+        .agg(F.max("o_orderkey").alias("cursor"))
+    )
+    return (
+        o.crossJoin(F.broadcast(cursor))
+        .filter(F.col("o_orderkey") > F.col("cursor"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )

@@ -798,3 +798,49 @@ def win_ewma_dyadic(spark, sf_dir):
         "value",
         F.expr(f"({num}) / ({den})").alias("ewma8"),
     )
+
+
+@register(
+    "win_rolling_1h_time_frame",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rolling_1h_time_frame(spark, sf_dir):
+    """Time-interval RANGE frame — the window variant none of the
+    ROWS-frame ops (win_moving_avg_rows etc.) can express: per
+    event, how many events and how much value the SAME user produced
+    in the trailing 60 minutes, where the frame is defined by TIME
+    DISTANCE, not row count (ten events in one burst all see each
+    other; a lone event sees only itself). This is the rate-limiter
+    / velocity-check primitive (fraud: "3+ purchases within an
+    hour"), and the batch twin of a sliding stream window keyed on
+    event time.
+
+    Both engines order the frame by exact integer MICROSECONDS
+    (epoch_us / unix_micros — the repo's time contract) with an
+    integer range bound, and the framed sum is integer cents, so
+    tie order inside equal timestamps cannot matter. Plan: one
+    shuffle on user_id + in-partition sort; the range frame is a
+    two-pointer pass over each partition — linear, streaming, no
+    per-row rescans."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600000000, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.sum(cents).over(w).cast("bigint").alias("cents_1h"),
+    )
