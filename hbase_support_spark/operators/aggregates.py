@@ -3955,13 +3955,14 @@ def pipeline_curriculum_order(spark, sf_dir):
     shuffling).
 
     The difficulty score is pure integer arithmetic (char-sum x100
-    integer-divided by token count — no float mean), NTILE runs over
-    a total order with the doc_id tiebreak, and the report is a
-    4-key agg. The global sort behind NTILE is the one scale cost —
-    at 100 TB replace it with range-partitioned bucketing on the
-    score (layout_split_points gives the cut points) exactly as a
-    sort-based shuffle would."""
-    from pyspark.sql import Window
+    integer-divided by token count — no float mean); the NTILE(4)
+    cut rides the distributed global-rank kernel
+    (operators/ranking.py: range shuffle + per-partition local
+    ranks + a K-row offset broadcast, then `ntile_from_rank`'s
+    closed form) so NO single-partition window ever sees the
+    per-document rows — the same discipline as
+    agg_quantile_exact_global; the report is a 4-key agg."""
+    from .ranking import ntile_from_rank, with_global_rank
 
     d = load_table(spark, sf_dir, "documents")
     feats = (
@@ -3977,10 +3978,13 @@ def pipeline_curriculum_order(spark, sf_dir):
             ).alias("avg_len_x100"),
         )
     )
-    staged = feats.select(
+    ranked = with_global_rank(
+        feats, ["avg_len_x100", "doc_id"], rank_col="g_rank", total_col="g_n"
+    )
+    staged = ranked.select(
         "n_toks",
         "avg_len_x100",
-        F.ntile(4).over(Window.orderBy("avg_len_x100", "doc_id")).alias("stage"),
+        ntile_from_rank(F.col("g_rank"), F.col("g_n"), 4).alias("stage"),
     )
     return staged.groupBy("stage").agg(
         F.count("*").alias("n_docs"),
