@@ -4144,3 +4144,80 @@ def privacy_dp_sensitivity_report(spark, sf_dir):
         .cast("bigint")
         .alias("clipping_loss"),
     )
+
+
+_THETA_K = 64
+_THETA_SCALE = "63.0 * 1152921504606846976.0"  # (k-1) * 2^60, exact in double
+
+
+@register(
+    "agg_theta_sketch_users",
+    oracle=f"""
+    WITH base AS (
+      SELECT DISTINCT event_type AS segment, user_id FROM events
+      UNION ALL
+      SELECT DISTINCT 'ALL' AS segment, user_id FROM events
+    ),
+    hashed AS (
+      SELECT segment, user_id,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM base
+    ),
+    ranked AS (
+      SELECT segment, h,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY h) AS rn
+      FROM hashed
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           MAX(CASE WHEN rn = {_THETA_K} THEN h END) AS kth_hash,
+           CASE WHEN MAX(CASE WHEN rn = {_THETA_K} THEN h END) IS NULL
+                THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE {_THETA_SCALE}
+                     / CAST(MAX(CASE WHEN rn = {_THETA_K} THEN h END) AS DOUBLE)
+           END AS theta_est
+    FROM ranked GROUP BY segment
+    """,
+)
+def agg_theta_sketch_users(spark, sf_dir):
+    """KMV / theta-sketch distinct counting — the mergeable sketch
+    family behind Druid/DataSketches COUNT DISTINCT: keep the k=64
+    smallest values of a uniform 60-bit hash of the key; the k-th
+    smallest value hk defines theta = hk/2^60 and the estimate
+    (k-1)/theta = (k-1)*2^60/hk; a sketch that never filled (fewer
+    than k distinct keys) IS the exact answer. Segments are the
+    event qualifiers plus an 'ALL' union row — and because a KMV
+    union is just 'k smallest of the merged streams', the ALL row is
+    simultaneously the union-merge of the per-segment sketches,
+    which is what makes the sketch mergeable region-by-region at
+    100 TB (each region ships k values, not its key set).
+
+    Determinism: the hash is the engine-portable md5-h60 (hashutil),
+    so both engines rank identical integers; the estimate divides
+    two exactly-representable doubles ((k-1)*2^60 needs 6 mantissa
+    bits) — one correctly-rounded IEEE division, bit-identical
+    cross-engine. Scale shape: distinct collapses map-side, the
+    rank window partitions by segment, and only k rows per segment
+    feed the final agg."""
+    from ..hashutil import h60 as _h
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.select(F.col("event_type").alias("segment"), "user_id")
+        .distinct()
+        .unionAll(ev.select(F.lit("ALL").alias("segment"), "user_id").distinct())
+    )
+    hashed = base.withColumn("h", F.expr(_h("cast(user_id AS string)")))
+    ranked = hashed.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("segment").orderBy("h"))
+    )
+    kth = F.max(F.when(F.col("rn") == _THETA_K, F.col("h")))
+    return ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        kth.alias("kth_hash"),
+        F.when(kth.isNull(), F.count(F.lit(1)).cast("double"))
+        .otherwise(F.expr(_THETA_SCALE) / kth.cast("double"))
+        .alias("theta_est"),
+    )

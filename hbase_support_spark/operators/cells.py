@@ -1041,3 +1041,174 @@ def cells_family_stats(spark, sf_dir):
         .cast("bigint")
         .alias("value_bytes"),
     )
+
+
+@register(
+    "cells_delete_marker_precedence",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_type, ts,
+             COUNT(*) AS n_cells,
+             MAX(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS has_ver_marker
+      FROM events
+      GROUP BY user_id, event_type, ts
+    ),
+    cls AS (
+      SELECT event_type, n_cells,
+             CASE
+               WHEN user_id % 11 = 0 AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+                 THEN 'family'
+               WHEN user_id % 5 = 0 AND event_type = 'view'
+                    AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+                 THEN 'column'
+               WHEN has_ver_marker = 1 THEN 'version'
+               ELSE 'live'
+             END AS verdict
+      FROM g
+    )
+    SELECT event_type,
+           CAST(SUM(n_cells) AS BIGINT) AS n_cells,
+           CAST(SUM(CASE WHEN verdict = 'family' THEN n_cells ELSE 0 END) AS BIGINT)
+             AS fam_masked,
+           CAST(SUM(CASE WHEN verdict = 'column' THEN n_cells ELSE 0 END) AS BIGINT)
+             AS col_masked,
+           CAST(SUM(CASE WHEN verdict = 'version' THEN n_cells ELSE 0 END) AS BIGINT)
+             AS ver_masked,
+           CAST(SUM(CASE WHEN verdict = 'live' THEN n_cells ELSE 0 END) AS BIGINT)
+             AS surviving
+    FROM cls GROUP BY event_type
+    """,
+)
+def cells_delete_marker_precedence(spark, sf_dir):
+    """HBase's three delete-marker levels resolved with the real
+    precedence order (public HBase semantics: DeleteFamily masks
+    every qualifier of the row at ts <= marker; DeleteColumn masks
+    one qualifier at ts <= marker; Delete masks exactly one version).
+    Markers are synthesized deterministically from the cell log
+    itself — DeleteFamily on every 11th rowkey effective
+    2024-01-15, DeleteColumn on the 'view' qualifier of every 5th
+    rowkey effective 2024-01-20, and version Deletes on cells whose
+    event_id % 97 == 0 (masking every cell sharing that exact
+    (row, qualifier, ts) coordinate, the marker included) — and the
+    report attributes each masked cell to the HIGHEST-precedence
+    marker that covers it, per family.
+
+    Scale shape: the version-marker check is the only non-row-local
+    predicate, and it is group-local to (row, qualifier, ts) — so the
+    whole classification is ONE hash aggregation on the cell
+    coordinate (partial agg combines map-side; no join, no window,
+    no second shuffle), then a tiny per-family rollup. The same plan
+    is how a compaction would physically apply markers at 100 TB:
+    coordinate-local resolution, no cross-region data movement."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id", "event_type", "ts").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max(
+            F.when(F.col("event_id") % 97 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("has_ver_marker"),
+    )
+    fam_ts = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    col_ts = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    cls = g.withColumn(
+        "verdict",
+        F.when((F.col("user_id") % 11 == 0) & (F.col("ts") <= fam_ts), "family")
+        .when(
+            (F.col("user_id") % 5 == 0)
+            & (F.col("event_type") == "view")
+            & (F.col("ts") <= col_ts),
+            "column",
+        )
+        .when(F.col("has_ver_marker") == 1, "version")
+        .otherwise("live"),
+    )
+
+    def _masked(v):
+        return (
+            F.sum(F.when(F.col("verdict") == v, F.col("n_cells")).otherwise(F.lit(0)))
+            .cast("bigint")
+        )
+
+    return cls.groupBy("event_type").agg(
+        F.sum("n_cells").cast("bigint").alias("n_cells"),
+        _masked("family").alias("fam_masked"),
+        _masked("column").alias("col_masked"),
+        _masked("version").alias("ver_masked"),
+        _masked("live").alias("surviving"),
+    )
+
+
+@register(
+    "txlog_replay_gap_audit",
+    oracle="""
+    WITH wal AS (
+      SELECT user_id % 8 AS region,
+             event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 8
+                                ORDER BY event_id) AS seqid
+      FROM events
+    ),
+    survived AS (
+      SELECT region, seqid,
+             seqid - LAG(seqid) OVER (PARTITION BY region ORDER BY seqid) - 1
+               AS gap
+      FROM wal WHERE event_id % 101 <> 0
+    )
+    SELECT region,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(MIN(seqid) AS BIGINT) AS first_seqid,
+           CAST(MAX(seqid) AS BIGINT) AS last_seqid,
+           CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(MAX(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+             AS max_gap,
+           CAST(MAX(seqid) - MIN(seqid) + 1 - COUNT(*) AS BIGINT)
+             AS missing_interior
+    FROM survived GROUP BY region
+    """,
+)
+def txlog_replay_gap_audit(spark, sf_dir):
+    """WAL replay integrity audit — the check a region server (or a
+    replication sink) runs after recovering a write-ahead log: are
+    the per-region sequence ids contiguous, and if not, how many
+    edits were lost and how wide is the worst hole? The fixture
+    derives the ground-truth WAL (region = rowkey mod 8, seqid =
+    dense per-region row number by commit order), then simulates
+    loss — every 101st edit's log block is dropped — and the audit
+    must rediscover exactly those holes from the survivors alone:
+    gap = seqid − lag(seqid) − 1, with `missing_interior` the
+    span-vs-count cross-check (the two independent derivations must
+    agree, which the oracle enforces row-by-row).
+
+    Scale shape: both windows partition on the same key (region), so
+    Spark plans ONE exchange and two in-partition sorts — at 100 TB
+    that is a per-region-log scan, the same locality a real WAL
+    splitter has. No global sort, no driver state."""
+    ev = load_table(spark, sf_dir, "events")
+    wal = ev.select(
+        (F.col("user_id") % 8).alias("region"),
+        "event_id",
+    ).withColumn(
+        "seqid",
+        F.row_number().over(Window.partitionBy("region").orderBy("event_id")),
+    )
+    survived = wal.filter(F.col("event_id") % 101 != 0).withColumn(
+        "gap",
+        F.col("seqid")
+        - F.lag("seqid").over(Window.partitionBy("region").orderBy("seqid"))
+        - 1,
+    )
+    return survived.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+        F.min("seqid").cast("bigint").alias("first_seqid"),
+        F.max("seqid").cast("bigint").alias("last_seqid"),
+        F.sum(F.when(F.col("gap") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gaps"),
+        F.coalesce(
+            F.max(F.when(F.col("gap") > 0, F.col("gap"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("max_gap"),
+        (F.max("seqid") - F.min("seqid") + 1 - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("missing_interior"),
+    )

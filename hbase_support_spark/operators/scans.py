@@ -1051,3 +1051,97 @@ def scan_keyset_pagination(spark, sf_dir):
         .orderBy("o_orderkey")
         .limit(100)
     )
+
+
+_META_SPLITS_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS split_idx,"
+    f" CAST(FLOOR(quantile_cont(CAST(user_id AS DOUBLE), {i / 8.0})) AS BIGINT)"
+    f" AS split_key FROM events"
+    for i in range(1, 8)
+)
+
+
+@register(
+    "layout_meta_lookup",
+    oracle=f"""
+    WITH splits AS ({_META_SPLITS_SQL}),
+    arr AS (SELECT LIST(split_key ORDER BY split_key) AS ks FROM splits),
+    probes AS (
+      SELECT o_custkey AS probe_key,
+             CAST(len(list_filter(ks, s -> o_custkey >= s)) AS INT) AS region_idx,
+             ks
+      FROM orders, arr
+    )
+    SELECT region_idx,
+           CASE WHEN region_idx > 0 THEN ks[region_idx] END AS start_key,
+           CASE WHEN region_idx < 7 THEN ks[region_idx + 1] END AS end_key,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(COUNT(DISTINCT probe_key) AS BIGINT) AS n_distinct_keys,
+           CAST(MIN(probe_key) AS BIGINT) AS min_key,
+           CAST(MAX(probe_key) AS BIGINT) AS max_key
+    FROM probes
+    GROUP BY region_idx, start_key, end_key
+    """,
+)
+def layout_meta_lookup(spark, sf_dir):
+    """hbase:meta routing, relationally: every client request first
+    resolves its rowkey to the owning region by finding the last
+    region-start <= key in the meta table. Here the meta table is
+    the 8-region octile pre-split of the rowkey space (same
+    exact-percentile contract as `layout_split_points`), the probe
+    stream is the orders foreign keys, and the result is the
+    per-region routing census — probe volume, distinct keys probed,
+    and the [start, end) boundaries (open-ended at both edges, as
+    HBase's first/last regions are).
+
+    Scale shape: meta is tiny by construction (7 split keys for 8
+    regions — real meta is ~1 row per region), so it travels as ONE
+    broadcast row holding the sorted split array; routing is then a
+    pure map-side `size(filter(splits, s -> key >= s))` per probe —
+    a binary-searchable lookup with zero shuffle, exactly the
+    client-side meta cache of a real deployment. The only exchange
+    is the final 8-group rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = [i / 8.0 for i in range(1, 8)]
+    splits = (
+        ev.agg(
+            F.percentile(
+                F.col("user_id").cast("double"), F.array(*[F.lit(p) for p in pts])
+            ).alias("qs")
+        )
+        .select(
+            F.sort_array(
+                F.transform("qs", lambda q: F.floor(q).cast("long"))
+            ).alias("ks")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("probe_key")
+    )
+    routed = o.crossJoin(F.broadcast(splits)).withColumn(
+        "region_idx",
+        F.size(F.filter("ks", lambda s: F.col("probe_key") >= s)).cast("int"),
+    )
+    return (
+        routed.withColumn(
+            "start_key",
+            F.when(
+                F.col("region_idx") > 0,
+                F.element_at("ks", F.col("region_idx")),
+            ),
+        )
+        .withColumn(
+            "end_key",
+            F.when(
+                F.col("region_idx") < 7,
+                F.element_at("ks", F.col("region_idx") + 1),
+            ),
+        )
+        .groupBy("region_idx", "start_key", "end_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.countDistinct("probe_key").cast("bigint").alias("n_distinct_keys"),
+            F.min("probe_key").cast("bigint").alias("min_key"),
+            F.max("probe_key").cast("bigint").alias("max_key"),
+        )
+    )
