@@ -4221,3 +4221,90 @@ def agg_theta_sketch_users(spark, sf_dir):
         .otherwise(F.expr(_THETA_SCALE) / kth.cast("double"))
         .alias("theta_est"),
     )
+
+
+@register(
+    "events_ctr_wilson_rank",
+    oracle="""
+    WITH camp AS (
+      SELECT user_id % 50 AS campaign,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS impressions,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks
+      FROM events GROUP BY user_id % 50
+    ),
+    scored AS (
+      SELECT campaign, impressions, clicks,
+             CAST(LEAST(clicks, impressions) AS DOUBLE)
+               / CAST(impressions AS DOUBLE) AS p,
+             CAST(impressions AS DOUBLE) AS n
+      FROM camp WHERE impressions > 0
+    ),
+    wilson AS (
+      SELECT campaign, impressions, clicks,
+             (p + (1.96 * 1.96) / (2.0 * n)
+                - 1.96 * SQRT((p * (1.0 - p) + (1.96 * 1.96) / (4.0 * n)) / n))
+             / (1.0 + (1.96 * 1.96) / n) AS wilson_lb
+      FROM scored
+    )
+    SELECT campaign, impressions, clicks, wilson_lb,
+           CAST(ROW_NUMBER() OVER (ORDER BY wilson_lb DESC, campaign)
+                AS INT) AS rnk
+    FROM wilson
+    """,
+)
+def events_ctr_wilson_rank(spark, sf_dir):
+    """Campaign CTR ranking by the Wilson score lower bound — the
+    estimator that fixes naive-CTR ranking's small-sample lie (a 1/1
+    campaign is not better than 900/1000; the Wilson interval shrinks
+    toward the prior exactly as evidence thins). z is pinned at 1.96
+    (95%) and written as the literal product both engines parse to
+    the same IEEE double; p, the bound's center, radius, and
+    normalizer are ONE identically-parenthesized double expression —
+    every step (decimal parse, division, sqrt, multiply) is
+    correctly-rounded IEEE, so the bound is bit-identical
+    cross-engine without any rounding grid. Clicks are clamped to
+    impressions (LEAST) so the synthetic event mix can't push p past
+    1 into a negative radicand.
+
+    Scale shape: one hash agg collapses the event stream to 50
+    campaign rows map-side; the rank window runs over those 50
+    aggregate rows (scalar-scale, not a raw-row global sort)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    camp = (
+        ev.groupBy((F.col("user_id") % 50).alias("campaign"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("impressions"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("clicks"),
+        )
+        .filter(F.col("impressions") > 0)
+    )
+    p = F.least(F.col("clicks"), F.col("impressions")).cast("double") / F.col(
+        "impressions"
+    ).cast("double")
+    n = F.col("impressions").cast("double")
+    z2 = F.lit(1.96) * F.lit(1.96)
+    lb = (
+        p
+        + z2 / (F.lit(2.0) * n)
+        - F.lit(1.96)
+        * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n)
+    ) / (F.lit(1.0) + z2 / n)
+    scored = camp.withColumn("wilson_lb", lb)
+    return scored.select(
+        "campaign",
+        "impressions",
+        "clicks",
+        "wilson_lb",
+        F.row_number()
+        .over(Window.orderBy(F.col("wilson_lb").desc(), "campaign"))
+        .cast("int")
+        .alias("rnk"),
+    )

@@ -560,3 +560,238 @@ def multimodal_feature_extract(spark, sf_dir):
         "doc_id",
         *[F.col("feature")[i].alias(f"f{i}") for i in range(dim)],
     )
+
+
+_CUT_HAMMING = 36  # > mean(30) of random 60-bit digests => "new scene"
+
+
+@register(
+    "multimodal_scene_cut_detect",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id,
+             unnest(range(0, CASE WHEN length(text) >= {_FRAME_LEN}
+                                  THEN (length(text) - {_FRAME_LEN})
+                                       // {_FRAME_STRIDE} + 1
+                                  ELSE 0 END)) AS frame_idx,
+             text
+      FROM documents
+    ),
+    dg AS (
+      SELECT doc_id, frame_idx,
+             CAST('0x' || substring(md5(substring(text,
+                    CAST(frame_idx * {_FRAME_STRIDE} + 1 AS BIGINT),
+                    {_FRAME_LEN})), 1, 15) AS BIGINT) AS digest
+      FROM fr
+    ),
+    cuts AS (
+      SELECT doc_id, frame_idx, digest,
+             CASE WHEN LAG(digest) OVER w IS NOT NULL
+                       AND bit_count(xor(digest, LAG(digest) OVER w))
+                           > {_CUT_HAMMING}
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM dg
+      WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ),
+    scenes AS (
+      SELECT doc_id, frame_idx, is_cut,
+             SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                               ROWS UNBOUNDED PRECEDING) AS scene_id
+      FROM cuts
+    ),
+    scene_len AS (
+      SELECT doc_id, scene_id, COUNT(*) AS len
+      FROM scenes GROUP BY doc_id, scene_id
+    )
+    SELECT doc_id,
+           CAST(SUM(len) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_cuts,
+           CAST(MAX(len) AS BIGINT) AS longest_scene
+    FROM scene_len GROUP BY doc_id
+    """,
+)
+def multimodal_scene_cut_detect(spark, sf_dir):
+    """Video scene-cut detection riding the frame-sampling contract
+    of `multimodal_frame_sample`: consecutive sampled frames whose
+    60-bit content digests differ in more than {τ}=36 bits (random
+    digests differ in ~30) start a new scene; scenes are the
+    gaps-and-islands over the cut flags. Real deployments swap the
+    content digest for a perceptual frame hash at the same seam —
+    the cut logic, scene segmentation, and per-asset report
+    (frame count, cut count, longest scene) are unchanged.
+
+    Spark-first: the digest is pure JVM SQL (sequence-explode +
+    md5-prefix), so the whole operator stays inside whole-stage
+    codegen — no Python at all; the lag, the running scene-id sum,
+    and the per-scene rollup all partition on doc_id, so Spark plans
+    ONE exchange for the entire chain. Output rows ~ assets, not
+    frames."""
+    from ..hashutil import h60
+    from pyspark.sql import Window
+
+    # integer frame count: sequence upper bound is the floor div
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _FRAME_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.expr(
+                        f"(length(text) - {_FRAME_LEN}) div {_FRAME_STRIDE}"
+                    ),
+                )
+            ).alias("frame_idx"),
+            "text",
+        )
+    )
+    dg = d.select(
+        "doc_id",
+        "frame_idx",
+        F.expr(
+            h60(
+                f"substring(text, cast(frame_idx * {_FRAME_STRIDE} + 1 AS int),"
+                f" {_FRAME_LEN})"
+            )
+        ).alias("digest"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("digest").over(w)
+    cuts = dg.withColumn(
+        "is_cut",
+        F.when(
+            prev.isNotNull()
+            & (
+                F.bit_count(
+                    F.col("digest").bitwiseXOR(prev)
+                )
+                > _CUT_HAMMING
+            ),
+            1,
+        ).otherwise(0),
+    )
+    scenes = cuts.withColumn(
+        "scene_id",
+        F.sum("is_cut").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    scene_len = scenes.groupBy("doc_id", "scene_id").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return scene_len.groupBy("doc_id").agg(
+        F.sum("len").cast("bigint").alias("n_frames"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_cuts"),
+        F.max("len").cast("bigint").alias("longest_scene"),
+    )
+
+
+_VAD_THRESHOLD = 515000  # integer frame-energy gate (~median at fixture ASCII)
+
+_VAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text AS s, length(text) AS n FROM documents),
+    cs AS (
+      SELECT doc_id, n,
+             list_transform(range(1, n + 1), i -> ascii(substring(s, i, 1)))
+               AS codes
+      FROM t WHERE n >= {_AUDIO_FRAME}
+    ),
+    fr AS (
+      SELECT doc_id, codes,
+             unnest(range(0, (n - {_AUDIO_FRAME}) // {_AUDIO_HOP} + 1)) AS i
+      FROM cs
+    ),
+    en AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             CAST(list_sum(list_transform(
+                    list_slice(codes, i * {_AUDIO_HOP} + 1,
+                               i * {_AUDIO_HOP} + {_AUDIO_FRAME}),
+                    c -> (c - 128) * (c - 128))) AS BIGINT) AS energy
+      FROM fr
+    ),
+    voiced AS (
+      SELECT doc_id, frame_idx,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) AS seg_key
+      FROM en WHERE energy >= {_VAD_THRESHOLD}
+    ),
+    seg AS (
+      SELECT doc_id, seg_key, COUNT(*) AS seg_len, MIN(frame_idx) AS seg_start
+      FROM voiced GROUP BY doc_id, seg_key
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(seg_len) AS BIGINT) AS n_voiced_frames,
+           CAST(MAX(seg_len) AS BIGINT) AS longest_segment,
+           CAST(MIN(seg_start) AS BIGINT) AS first_voiced_frame
+    FROM seg GROUP BY doc_id
+    """,
+)
+def multimodal_audio_vad_segments(spark, sf_dir):
+    """Voice-activity detection over the short-time energy contract
+    of `multimodal_audio_energy`: frames at/above the integer energy
+    gate are 'voiced', and maximal runs of consecutive voiced frames
+    become speech segments (gaps-and-islands on frame index) — the
+    exact segmenter in front of every ASR/diarization pipeline. The
+    energy gate is the marked stub's half of the work; a real
+    deployment swaps the fake 8-bit decode for PCM plus a learned
+    VAD score at the same seam, and the segmentation, run-length
+    bookkeeping, and per-asset report are unchanged.
+
+    Kernel: the same O(n) cumsum-of-squares Arrow kernel as
+    `multimodal_audio_energy` (closure self-contained — executors
+    never import this package), emitting integer energies; the
+    islands trick (frame_idx − row_number) and both rollups
+    partition on doc_id, so the post-kernel chain is ONE exchange.
+    Map-only before that: no shuffle touches raw audio bytes."""
+    from pyspark.sql import Window
+
+    frame, hop = _AUDIO_FRAME, _AUDIO_HOP
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, eng = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                if n < frame:
+                    continue
+                codes = np.fromiter((ord(c) for c in text), dtype=np.int64, count=n)
+                sq = (codes - 128) ** 2
+                cs = np.concatenate(([0], np.cumsum(sq)))
+                nfr = (n - frame) // hop + 1
+                for i in range(nfr):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    eng.append(int(cs[i * hop + frame] - cs[i * hop]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "energy": eng}
+            ).astype({"doc_id": "int64", "frame_idx": "int32", "energy": "int64"})
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    en = d.mapInPandas(energies, _VAD_SCHEMA)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    voiced = en.filter(F.col("energy") >= _VAD_THRESHOLD).withColumn(
+        "seg_key", F.col("frame_idx") - F.row_number().over(w)
+    )
+    seg = voiced.groupBy("doc_id", "seg_key").agg(
+        F.count(F.lit(1)).alias("seg_len"),
+        F.min("frame_idx").alias("seg_start"),
+    )
+    return seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("seg_len").cast("bigint").alias("n_voiced_frames"),
+        F.max("seg_len").cast("bigint").alias("longest_segment"),
+        F.min("seg_start").cast("bigint").alias("first_voiced_frame"),
+    )

@@ -844,3 +844,83 @@ def win_rolling_1h_time_frame(spark, sf_dir):
         F.count("*").over(w).cast("bigint").alias("n_1h"),
         F.sum(cents).over(w).cast("bigint").alias("cents_1h"),
     )
+
+
+@register(
+    "win_bollinger_breakout",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    stats AS (
+      SELECT o_custkey, cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+      FROM base
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    ),
+    flagged AS (
+      SELECT o_custkey,
+             CASE WHEN 8 * cents - s1 > 0
+                       AND (8 * cents - s1) * (8 * cents - s1)
+                           > 4 * (8 * s2 - s1 * s1)
+                  THEN 1 ELSE 0 END AS up,
+             CASE WHEN 8 * cents - s1 < 0
+                       AND (8 * cents - s1) * (8 * cents - s1)
+                           > 4 * (8 * s2 - s1 * s1)
+                  THEN 1 ELSE 0 END AS down
+      FROM stats WHERE n = 8
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(up) AS BIGINT) AS n_up,
+           CAST(SUM(down) AS BIGINT) AS n_down
+    FROM flagged GROUP BY o_custkey
+    """,
+)
+def win_bollinger_breakout(spark, sf_dir):
+    """Bollinger-band breakout counting per customer order stream —
+    the 2-sigma envelope check every technical/anomaly monitor runs,
+    made EXACT: with integer-cent moments s1 = Σx, s2 = Σx² over the
+    trailing 8-order frame, |x − mean| > 2·sigma is equivalent to
+    the all-integer predicate (8x − s1)² > 4·(8·s2 − s1²) — no
+    division, no sqrt, no doubles anywhere, so both engines agree to
+    the bit and the per-round fixture regen can never land on a
+    rounding boundary (magnitudes are bounded: cents < 2^26 keeps
+    every product under 2^61). Frames shorter than 8 are warm-up and
+    excluded, exactly like a production indicator.
+
+    Scale shape: one exchange on o_custkey serves the window and the
+    final rollup; the frame is ROWS-bounded so Spark streams it in
+    constant memory per partition — no unbounded-frame state."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    st = o.select(
+        "o_custkey",
+        cents.alias("cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum(cents).over(w).cast("bigint").alias("s1"),
+        F.sum(cents * cents).over(w).cast("bigint").alias("s2"),
+    ).filter(F.col("n") == 8)
+    dev = 8 * F.col("cents") - F.col("s1")
+    wide = dev * dev > 4 * (8 * F.col("s2") - F.col("s1") * F.col("s1"))
+    flagged = st.select(
+        "o_custkey",
+        F.when((dev > 0) & wide, 1).otherwise(0).alias("up"),
+        F.when((dev < 0) & wide, 1).otherwise(0).alias("down"),
+    )
+    return flagged.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("up").cast("bigint").alias("n_up"),
+        F.sum("down").cast("bigint").alias("n_down"),
+    )
