@@ -4308,3 +4308,82 @@ def events_ctr_wilson_rank(spark, sf_dir):
         .cast("int")
         .alias("rnk"),
     )
+
+
+@register(
+    "agg_hdr_histogram_p99",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    bucketed AS (
+      SELECT length(bin(cents)) - 1 AS bucket, COUNT(*) AS cnt
+      FROM base GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+               AS cum_cnt,
+             SUM(cnt) OVER () AS total
+      FROM bucketed
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(POWER(2.0, bucket) AS BIGINT) AS lo_cents,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(cum_cnt AS BIGINT) AS cum_cnt,
+           CAST(CASE WHEN cum_cnt - cnt < (total * 99 + 99) // 100
+                          AND cum_cnt >= (total * 99 + 99) // 100
+                     THEN 1 ELSE 0 END AS INT) AS holds_p99
+    FROM cum
+    """,
+)
+def agg_hdr_histogram_p99(spark, sf_dir):
+    """HDR-histogram tail-latency readout — the log2-bucketed
+    histogram every latency/size monitoring system keeps because it
+    is mergeable and constant-size where exact percentiles are
+    neither: bucket = floor(log2(value)), computed WITHOUT libm as
+    bit-length − 1 (`length(bin(x)) − 1`, integer-exact in both
+    engines — a log2() double at an exact power of two is the
+    classic last-ulp boundary this avoids). The report is the full
+    bucket table with cumulative counts plus the p99 marker: the
+    unique bucket whose cumulative count first reaches
+    ceil(0.99·N) (integer ceiling via (99N+99)//100 — no double
+    quantile math anywhere).
+
+    Scale shape: the histogram is a ~34-bucket hash agg (partial
+    map-side — each executor ships 34 counters, the sketch property
+    that makes it work at 100 TB); the cumulative window runs over
+    those 34 aggregate rows only."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    bucketed = (
+        o.select(cents.alias("cents"))
+        .groupBy((F.length(F.bin("cents")) - 1).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = bucketed.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum_cnt"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    p99_rank = F.expr("(total * 99 + 99) div 100")
+    return cum.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("lo_cents"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("cum_cnt").cast("bigint").alias("cum_cnt"),
+        F.when(
+            (F.col("cum_cnt") - F.col("cnt") < p99_rank)
+            & (F.col("cum_cnt") >= p99_rank),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("holds_p99"),
+    )

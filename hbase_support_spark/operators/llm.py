@@ -7124,3 +7124,294 @@ def text_phrase_search_positional(spark, sf_dir):
             F.min("a.pos").alias("first_pos"),
         )
     )
+
+
+_FERTILITY_TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text),
+                                         '{_FERTILITY_TOKEN_RE}'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) * 1000000) // SUM(n_words) AS BIGINT)
+             AS fertility_micro
+    FROM per_doc
+    WHERE n_words > 0
+    GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language — tokens emitted per
+    whitespace word, THE number a multilingual-corpus owner checks
+    before fixing a token budget (a tokenizer that fragments one
+    language 2x worse than another silently halves that language's
+    effective context and doubles its training cost). The tokenizer
+    here is the BPE-ish pre-tokenization regex (alnum runs |
+    single punctuation, the same class split real byte-BPE
+    pre-tokenizers use); fertility ships as an exact integer
+    micro-ratio ((Σtokens·1e6) div Σwords — corpus-level, so
+    short-doc noise doesn't skew it, and no double division can
+    flip a bit cross-engine).
+
+    Scale shape: both counts are per-row JVM regex/split work (one
+    map stage, whole-stage codegen), then a lang-keyed hash agg
+    that combines map-side to ~languages rows; nothing Python,
+    nothing quadratic, no shuffle of raw text."""
+    d = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    per_doc = d.select(
+        "lang",
+        F.size(F.filter(F.split(lower, " "), lambda w: w != "")).cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all(lower, F.lit(_FERTILITY_TOKEN_RE), 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).filter(F.col("n_words") > 0)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("(sum(n_tokens) * 1000000) div sum(n_words)")
+        .cast("bigint")
+        .alias("fertility_micro"),
+    )
+
+
+_PQ_SUB = 4        # subspaces
+_PQ_SD = 16        # dims per subspace
+_PQ_CODES = 16     # centroids per subspace (4-bit codes)
+_PQ_QS = 64        # int grid scale for exactness
+_PQ_K = 10         # top-k for recall
+_PQ_CENT_KEY = "concat('pq-', s, '-', k, '-', j)"
+
+
+@register(
+    "sim_pq_adc_recall",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(FLOOR(CAST(v AS DOUBLE) * {_PQ_QS} + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT s, k,
+             list_transform(range(1, {_PQ_SD + 1}), j ->
+               (CAST('0x' || substring(md5('pq-' || s || '-' || k || '-' || j),
+                                       1, 15) AS BIGINT) % 129) - 64) AS cvec
+      FROM (SELECT unnest(range(0, {_PQ_SUB})) AS s),
+           (SELECT unnest(range(0, {_PQ_CODES})) AS k)
+    ),
+    enc AS (
+      SELECT vec_id, s, k,
+             list_sum(list_transform(range(1, {_PQ_SD + 1}), j ->
+               (qv[s * {_PQ_SD} + j] - cvec[j])
+               * (qv[s * {_PQ_SD} + j] - cvec[j]))) AS dist
+      FROM vecs, cent
+    ),
+    codes AS (
+      SELECT vec_id, s, k AS code FROM (
+        SELECT vec_id, s, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS q_id, qv AS qqv FROM vecs WHERE vec_id % 50 = 0),
+    dtab AS (
+      SELECT q_id, s, k,
+             list_sum(list_transform(range(1, {_PQ_SD + 1}), j ->
+               (qqv[s * {_PQ_SD} + j] - cvec[j])
+               * (qqv[s * {_PQ_SD} + j] - cvec[j]))) AS dt
+      FROM qs, cent
+    ),
+    approx AS (
+      SELECT d.q_id, c.vec_id, SUM(d.dt) AS adist
+      FROM codes c JOIN dtab d ON c.s = d.s AND c.code = d.k
+      WHERE c.vec_id <> d.q_id
+      GROUP BY d.q_id, c.vec_id
+    ),
+    adc_topk AS (
+      SELECT q_id, vec_id, rn FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+        FROM approx
+      ) WHERE rn <= {_PQ_K}
+    ),
+    exact AS (
+      SELECT q.q_id, v.vec_id,
+             list_sum(list_transform(range(1, {_PQ_SUB * _PQ_SD + 1}), d ->
+               (q.qqv[d] - v.qv[d]) * (q.qqv[d] - v.qv[d]))) AS edist
+      FROM qs q, vecs v WHERE v.vec_id <> q.q_id
+    ),
+    exact_topk AS (
+      SELECT q_id, vec_id, rn FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY edist, vec_id) AS rn
+        FROM exact
+      ) WHERE rn <= {_PQ_K}
+    ),
+    ov AS (
+      SELECT a.q_id, COUNT(*) AS n_overlap
+      FROM adc_topk a JOIN exact_topk e
+        ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+      GROUP BY a.q_id
+    )
+    SELECT q.q_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(ov.n_overlap, 0) * 1000 AS BIGINT) AS recall_bp,
+           (SELECT vec_id FROM adc_topk a WHERE a.q_id = q.q_id AND a.rn = 1)
+             AS adc_top1,
+           (SELECT vec_id FROM exact_topk e WHERE e.q_id = q.q_id AND e.rn = 1)
+             AS exact_top1
+    FROM qs q LEFT JOIN ov ON ov.q_id = q.q_id
+    """,
+)
+def sim_pq_adc_recall(spark, sf_dir):
+    """Product quantization with asymmetric distance computation —
+    the memory side of every billion-vector ANN system (FAISS IVF-PQ
+    style): each vector is compressed to 4 subspace codes (4 bits
+    each = 2 bytes/vector vs 256 bytes raw), and queries score
+    candidates by summing 4 PRECOMPUTED subspace-distance lookups
+    (the ADC trick: the query-to-centroid table is built once per
+    query, candidate scoring is pure table lookups — no float math
+    per candidate at all). The report grades the compression:
+    recall@10 of ADC ranking vs exact ranking per query, plus both
+    top-1s.
+
+    Exactness: vectors land on an integer grid (floor(v·64+½)) and
+    codebooks are hash-derived integers in [−64, 64], so every
+    distance — encoding, lookup table, exact baseline — is an
+    integer sum of integer squares; both engines rank identical
+    BIGINTs with identical (dist, id) tiebreaks. (Real PQ trains
+    codebooks with k-means — `sim_kmeans_assign_step` grades that
+    step; hash codebooks isolate THIS op's contract, the
+    encode→table→lookup→recall pipeline, from training noise.)
+
+    Scale shape: the codebook (64 rows) and per-query tables (640
+    rows) broadcast; encoding is a map-side broadcast join + one
+    (vec, subspace)-keyed argmin; candidate scoring touches only
+    2-byte codes, never raw vectors — the exact reason PQ lets 100 TB
+    of vectors serve from RAM. The exact baseline cross join exists
+    only to GRADE recall and broadcasts 10 query rows — the
+    verification harness, not the serving path."""
+    from pyspark.sql import Window
+    from ..hashutil import h60 as _h
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * _PQ_QS + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    cent = (
+        spark.range(_PQ_SUB)
+        .select(F.col("id").alias("s"))
+        .crossJoin(spark.range(_PQ_CODES).select(F.col("id").alias("k")))
+        .select(
+            "s",
+            "k",
+            F.expr(
+                f"transform(sequence(1, {_PQ_SD}), j -> "
+                f"({_h(_PQ_CENT_KEY)} % 129) - 64)"
+            ).alias("cvec"),
+        )
+    )
+    sub_dist = (
+        f"aggregate(zip_with(slice(qv, cast(s * {_PQ_SD} + 1 AS int), {_PQ_SD}),"
+        f" cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    )
+    enc = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "s", "k", F.expr(sub_dist).alias("dist")
+    )
+    w_enc = Window.partitionBy("vec_id", "s").orderBy("dist", "k")
+    codes = (
+        enc.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("k").alias("code"))
+    )
+    qs = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qqv")
+    )
+    dtab = (
+        qs.withColumnRenamed("qqv", "qv")
+        .crossJoin(F.broadcast(cent))
+        .select("q_id", "s", "k", F.expr(sub_dist).alias("dt"))
+    )
+    approx = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes.s == dtab.s) & (codes.code == dtab.k),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dt").alias("adist"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    adc_topk = (
+        approx.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _PQ_K)
+        .select("q_id", "vec_id", "rn")
+    )
+    exact = (
+        vecs.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qqv, qv, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("edist"),
+        )
+    )
+    w_ex = Window.partitionBy("q_id").orderBy("edist", "vec_id")
+    exact_topk = (
+        exact.withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= _PQ_K)
+        .select("q_id", "vec_id", "rn")
+    )
+    ov = (
+        adc_topk.alias("a")
+        .join(
+            exact_topk.alias("x"),
+            (F.col("a.q_id") == F.col("x.q_id"))
+            & (F.col("a.vec_id") == F.col("x.vec_id")),
+        )
+        .groupBy(F.col("a.q_id").alias("q_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    a1 = adc_topk.filter(F.col("rn") == 1).select(
+        "q_id", F.col("vec_id").alias("adc_top1")
+    )
+    x1 = exact_topk.filter(F.col("rn") == 1).select(
+        "q_id", F.col("vec_id").alias("exact_top1")
+    )
+    return (
+        qs.select("q_id")
+        .join(ov, "q_id", "left")
+        .join(a1, "q_id", "left")
+        .join(x1, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) * 1000)
+            .cast("bigint")
+            .alias("recall_bp"),
+            "adc_top1",
+            "exact_top1",
+        )
+    )

@@ -1145,3 +1145,159 @@ def layout_meta_lookup(spark, sf_dir):
             F.max("probe_key").cast("bigint").alias("max_key"),
         )
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(FLOOR(o_totalprice / 100.0) AS BIGINT))
+                  AS BIGINT) AS s1,
+             CAST(SUM(CAST(FLOOR(o_totalprice / 100.0) AS BIGINT)
+                      * CAST(FLOOR(o_totalprice / 100.0) AS BIGINT))
+                  AS BIGINT) AS s2
+      FROM orders GROUP BY o_orderpriority
+    ),
+    weighted AS (
+      SELECT stratum, n_h,
+             CAST(FLOOR(SQRT(CAST(n_h * s2 - s1 * s1 AS DOUBLE))) AS BIGINT)
+               AS w_int
+      FROM strata
+    ),
+    tot AS (SELECT SUM(w_int) AS sum_w FROM weighted)
+    SELECT stratum, n_h, w_int,
+           CAST((1000 * w_int) // sum_w AS BIGINT) AS alloc_floor,
+           CAST((1000 * w_int) % sum_w AS BIGINT) AS remainder_num
+    FROM weighted, tot
+    """,
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sampling allocation — the design
+    step in front of any budgeted audit/eval sample: allocate the
+    n=1000 budget across strata proportionally to N_h*S_h (bigger
+    AND more variable strata get more samples; minimizes estimator
+    variance for fixed cost). The per-stratum weight is integerized
+    at one deterministic point — w = floor(sqrt(n*s2 - s1^2)), floor
+    of the exact-integer-radicand sqrt, which IS N_h*S_h up to the
+    shared 1/N_h factor cancelled by the ratio — so the normalizing
+    sum is an ORDER-INDEPENDENT integer sum (a double sum of
+    N_h*S_h would make the final floor a sum-order coin-flip across
+    engines). The allocation ships as exact floor +
+    remainder-numerator pairs, letting the caller run
+    largest-remainder rounding without re-deriving anything.
+
+    Precision ledger: values are binned to hundreds-of-dollars
+    units before the moments, keeping n*s2 and s1^2 under 2^59 at
+    the graded scales AND the x32 stress replica (cent-level moments
+    overflow BIGINT at n_h ~ 3e5: s1^2 ~ (n*6e7)^2). Allocation
+    only needs the weight RATIO, which binning perturbs identically
+    in both engines. At true 100-TB cardinalities the same query
+    runs on the per-stratum (n, avg, var) floats Spark/DuckDB both
+    compute natively — the integer twin is the oracle-exactness
+    harness, the plan is unchanged.
+
+    Scale shape: one hash agg to 5 stratum rows (integer moments
+    combine map-side), one broadcast of the 1-row total — the same
+    two-step any 100-TB profile-then-plan pass uses."""
+    o = load_table(spark, sf_dir, "orders")
+    units = F.floor(F.col("o_totalprice") / 100.0).cast("long")
+    strata = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(units).cast("bigint").alias("s1"),
+        F.sum(units * units).cast("bigint").alias("s2"),
+    )
+    weighted = strata.select(
+        "stratum",
+        "n_h",
+        F.floor(
+            F.sqrt((F.col("n_h") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+        )
+        .cast("bigint")
+        .alias("w_int"),
+    )
+    tot = weighted.agg(F.sum("w_int").alias("sum_w"))
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_h",
+        "w_int",
+        F.expr("(1000 * w_int) div sum_w").cast("bigint").alias("alloc_floor"),
+        ((1000 * F.col("w_int")) % F.col("sum_w")).cast("bigint").alias("remainder_num"),
+    )
+
+
+@register(
+    "layout_compaction_io_amplification",
+    oracle="""
+    WITH files AS (
+      SELECT o_custkey AS file_id,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS n_bytes
+      FROM orders GROUP BY o_custkey
+    ),
+    leveled AS (
+      SELECT file_id, n_bytes,
+             length(CAST(n_bytes AS VARCHAR)) - 1 AS level
+      FROM files
+    ),
+    per_level AS (
+      SELECT level,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(n_bytes) AS BIGINT) AS level_bytes
+      FROM leveled GROUP BY level
+    ),
+    tot AS (SELECT SUM(level_bytes) AS total_bytes FROM per_level)
+    SELECT CAST(level AS INT) AS level, n_files, level_bytes,
+           CAST(level_bytes * 10000 // total_bytes AS BIGINT) AS share_bps,
+           CAST(level_bytes * (level - 4) AS BIGINT) AS rewrite_bytes,
+           CAST((SELECT SUM(level_bytes * (level - 4)) FROM per_level)
+                * 10000 // total_bytes AS BIGINT) AS total_wa_bps
+    FROM per_level, tot
+    """,
+)
+def layout_compaction_io_amplification(spark, sf_dir):
+    """Leveled-compaction write-amplification model — the capacity-
+    planning readout an LSM/HBase operator reads before changing
+    compaction policy: treat each rowkey locality group (customer)
+    as one store file, assign each file its level by size DECADE
+    (level = digit count - 1 of its byte size: integer-exact log10,
+    no libm — a log10() double at a power-of-ten boundary is a
+    last-ulp coin flip), and model full-compaction rewrite cost — a
+    byte in a level-L file is rewritten once per decade it descends
+    (L - 4 here, the smallest occupied decade being the write-once
+    floor), so table write amplification is
+    SUM bytes*(level-4) / SUM bytes in exact basis points, next to
+    the per-level census every compaction tuner reads.
+
+    Scale shape: two hash aggs (file census -> level census, both
+    combining map-side) plus one broadcast scalar; at 100 TB the
+    file census comes from the store-file manifest rather than a
+    data scan and everything downstream is identical."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    files = o.groupBy(F.col("o_custkey").alias("file_id")).agg(
+        F.sum(cents).alias("n_bytes")
+    )
+    leveled = files.withColumn(
+        "level", F.length(F.col("n_bytes").cast("string")) - 1
+    )
+    per_level = leveled.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_bytes").cast("bigint").alias("level_bytes"),
+    )
+    tot = per_level.agg(
+        F.sum("level_bytes").alias("total_bytes"),
+        F.sum(F.col("level_bytes") * (F.col("level") - 4)).alias("rewrite_total"),
+    )
+    return per_level.crossJoin(F.broadcast(tot)).select(
+        F.col("level").cast("int").alias("level"),
+        "n_files",
+        "level_bytes",
+        F.expr("level_bytes * 10000 div total_bytes").cast("bigint").alias("share_bps"),
+        (F.col("level_bytes") * (F.col("level") - 4))
+        .cast("bigint")
+        .alias("rewrite_bytes"),
+        F.expr("rewrite_total * 10000 div total_bytes")
+        .cast("bigint")
+        .alias("total_wa_bps"),
+    )
