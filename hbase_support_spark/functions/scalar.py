@@ -558,3 +558,81 @@ def fn_url(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
         F.length("url").cast("int").alias("url_len"),
     )
+
+
+@register(
+    "fn_business_days",
+    oracle="""
+    WITH base AS (
+      SELECT o.o_orderpriority,
+             CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d1,
+             CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d2
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    bd AS (
+      SELECT o_orderpriority,
+             ((d2 - d1) // 7) * 5
+             + CASE WHEN (d2 - d1) % 7 = 0 THEN 0
+                    ELSE list_sum(list_transform(range(0, (d2 - d1) % 7),
+                      t -> CASE WHEN (d1 + 4 + t) % 7 IN (0, 6)
+                           THEN 0 ELSE 1 END)) END AS busdays
+      FROM base
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(busdays) AS BIGINT) AS total_busdays,
+           CAST(MAX(busdays) AS BIGINT) AS max_busdays,
+           CAST(SUM(busdays) * 1000000 // COUNT(*) AS BIGINT)
+             AS avg_busdays_micro
+    FROM bd GROUP BY o_orderpriority
+    """,
+)
+def fn_business_days(spark, sf_dir):
+    """Business-day interval arithmetic — the SLA math every
+    fulfilment/ops dashboard needs and no engine ships natively:
+    weekdays in [order, ship) per line, computed WITHOUT any
+    calendar UDF or per-day explode. The kernel is pure integer:
+    epoch-day numbers (engine-portable — both engines count days
+    from 1970-01-01, a Thursday, so dow = (days + 4) mod 7 with
+    0 = Sunday needs no engine DOW function and no locale), full
+    weeks contribute 5 each, and the <=6-day remainder is summed by
+    a bounded array fold over the starting weekday. Dates are the
+    only input, integers the only arithmetic — regen-proof.
+
+    Scale shape: the orders side joins broadcast-or-shuffle on the
+    key Catalyst picks (both sides pruned to two columns); the
+    busday kernel is per-row JVM expression work inside whole-stage
+    codegen (the sequence fold is <=7 elements, constant), then one
+    map-side-combining hash agg to 5 priority rows. The micro-avg
+    is an exact integer ratio."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    d1 = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).cast("long")
+    d2 = F.datediff("l_shipdate", F.lit("1970-01-01").cast("date")).cast("long")
+    base = j.select("o_orderpriority", d1.alias("d1"), d2.alias("d2"))
+    bd = base.select(
+        "o_orderpriority",
+        (
+            F.expr("((d2 - d1) div 7) * 5")
+            + F.expr(
+                "CASE WHEN (d2 - d1) % 7 = 0 THEN 0 ELSE"
+                " aggregate(sequence(0, cast((d2 - d1) % 7 AS int) - 1),"
+                " 0L, (acc, t) -> acc + (CASE WHEN (d1 + 4 + t) % 7 IN (0, 6)"
+                " THEN 0 ELSE 1 END)) END"
+            )
+        ).alias("busdays"),
+    )
+    return bd.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("busdays").cast("bigint").alias("total_busdays"),
+        F.max("busdays").cast("bigint").alias("max_busdays"),
+        F.expr("sum(busdays) * 1000000 div count(*)")
+        .cast("bigint")
+        .alias("avg_busdays_micro"),
+    )

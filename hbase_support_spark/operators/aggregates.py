@@ -4387,3 +4387,155 @@ def agg_hdr_histogram_p99(spark, sf_dir):
         .cast("int")
         .alias("holds_p99"),
     )
+
+
+@register(
+    "events_kendall_tau_campaigns",
+    oracle="""
+    WITH camp AS (
+      SELECT user_id % 50 AS campaign,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id % 50
+    ),
+    pairs AS (
+      SELECT (a.x - b.x) * (a.y - b.y) AS prod
+      FROM camp a JOIN camp b ON a.campaign < b.campaign
+    )
+    SELECT CAST((SELECT COUNT(*) FROM camp) AS BIGINT) AS n_camps,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+           CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS discordant,
+           CAST(SUM(CASE WHEN prod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+           CAST((SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END)) * 1000000
+                // COUNT(*) AS BIGINT) AS tau_a_micro
+    FROM pairs
+    """,
+)
+def events_kendall_tau_campaigns(spark, sf_dir):
+    """Kendall rank correlation (tau-a) between campaign exposure
+    and campaign revenue — the robust 'does more traffic actually
+    rank with more money' check, preferred over Pearson when either
+    metric is heavy-tailed. Computed from first principles as
+    concordant-minus-discordant pairs over the 50 campaign
+    aggregates; the pair product (x_i−x_j)(y_i−y_j) is pure BIGINT
+    (impressions × revenue-cents deltas), and tau ships as an exact
+    integer micro-ratio — no doubles anywhere, nothing the fixture
+    regen can flip.
+
+    Scale shape: the O(n²) pair join is over the AGGREGATED campaign
+    domain, which is bounded at 50 by construction (user_id mod 50)
+    — 1 225 pairs at ANY data scale; the event stream itself only
+    ever passes through one map-side-combining hash agg. This is the
+    sanctioned quadratic-on-bounded-domain pattern (cf. the
+    NGRAM_EXACT_BLOCK_CAP quarantine for unbounded ones)."""
+    ev = load_table(spark, sf_dir, "events")
+    camp = ev.groupBy((F.col("user_id") % 50).alias("campaign")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    a = camp.alias("a")
+    b = camp.alias("b")
+    pairs = a.join(b, F.col("a.campaign") < F.col("b.campaign")).select(
+        ((F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))).alias("prod")
+    )
+    n_camps = camp.agg(F.count(F.lit(1)).alias("n_camps"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("prod") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(F.when(F.col("prod") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum(F.when(F.col("prod") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_camps))
+        .select(
+            F.col("n_camps").cast("bigint").alias("n_camps"),
+            "n_pairs",
+            "concordant",
+            "discordant",
+            "ties",
+            F.expr("(concordant - discordant) * 1000000 div n_pairs")
+            .cast("bigint")
+            .alias("tau_a_micro"),
+        )
+    )
+
+
+@register(
+    "orders_skyline_customers",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS avg_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, avg_cents, n_orders,
+             MAX(n_orders) OVER (ORDER BY avg_cents
+                                 RANGE BETWEEN 1 FOLLOWING
+                                           AND UNBOUNDED FOLLOWING)
+               AS best_orders_above
+      FROM cust
+    )
+    SELECT o_custkey, avg_cents, n_orders
+    FROM ranked
+    WHERE best_orders_above IS NULL OR best_orders_above <= n_orders
+    """,
+)
+def orders_skyline_customers(spark, sf_dir):
+    """Skyline (Pareto-frontier) operator — the classic multi-
+    criteria query Spark has no native node for: customers not
+    strictly dominated on (average order value, order count), i.e. the
+    frontier a retention team actually looks at instead of a single
+    blended score. Dominance (∃ other with BOTH metrics strictly
+    greater) reduces in 2-D to ONE window: sort by spend, take the
+    running max of order-count over the strictly-greater-spend
+    suffix (RANGE 1 FOLLOWING → UNBOUNDED — a value-range frame, so
+    spend ties correctly don't dominate each other), and keep rows
+    that beat it. O(n log n) total instead of the O(n²)
+    all-pairs NOT EXISTS a naive formulation shuffles.
+
+    All-integer (cents + counts): the frontier membership predicate
+    can never sit on a float boundary. Scale shape: one hash agg to
+    per-customer rows, one global value-sorted window — the sort is
+    the operator's inherent cost and is exactly Spark's
+    range-partitioned sort; no join, no broadcast, no Python."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    cust = o.groupBy("o_custkey").agg(
+        F.expr("sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) div count(*)")
+        .cast("bigint")
+        .alias("avg_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("avg_cents").rangeBetween(1, Window.unboundedFollowing)
+    ranked = cust.withColumn("best_orders_above", F.max("n_orders").over(w))
+    return ranked.filter(
+        F.col("best_orders_above").isNull()
+        | (F.col("best_orders_above") <= F.col("n_orders"))
+    ).select("o_custkey", "avg_cents", "n_orders")

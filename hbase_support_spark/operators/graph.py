@@ -418,3 +418,87 @@ def graph_bfs_hops(spark, sf_dir):
     return all_h.groupBy(F.col("id").alias("part")).agg(
         F.min("h").cast("bigint").alias("hops")
     )
+
+
+@register(
+    "graph_jaccard_nation_trade",
+    oracle="""
+    WITH np AS (
+      SELECT DISTINCT s.s_nationkey AS nationkey, l.l_partkey AS partkey
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    sizes AS (
+      SELECT nationkey, COUNT(*) AS n_parts FROM np GROUP BY nationkey
+    ),
+    inter AS (
+      SELECT a.nationkey AS n1, b.nationkey AS n2, COUNT(*) AS n_common
+      FROM np a JOIN np b
+        ON a.partkey = b.partkey AND a.nationkey < b.nationkey
+      GROUP BY a.nationkey, b.nationkey
+    )
+    SELECT i.n1, i.n2,
+           CAST(sa.n_parts AS BIGINT) AS a_parts,
+           CAST(sb.n_parts AS BIGINT) AS b_parts,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common * 1000000
+                // (sa.n_parts + sb.n_parts - i.n_common) AS BIGINT)
+             AS jaccard_micro
+    FROM inter i
+    JOIN sizes sa ON sa.nationkey = i.n1
+    JOIN sizes sb ON sb.nationkey = i.n2
+    """,
+)
+def graph_jaccard_nation_trade(spark, sf_dir):
+    """Common-neighbor Jaccard link prediction on the bipartite
+    nation↔part trade graph — the similarity that powers 'entities
+    like this one' recommendations: two nations are similar when the
+    part sets their suppliers ship overlap, scored as an exact
+    integer micro-Jaccard |A∩B|·1e6 div |A∪B|. Only pairs with a
+    common part appear (zero-overlap pairs carry no signal and, at
+    scale, must never be materialized).
+
+    Scale shape: the classic sub-quadratic similarity-join plan —
+    distinct (nation, part) edges, then a self-join keyed on the
+    SHARED part (so candidate pairs are generated per part, never
+    nation×nation), then a pair-keyed count. Nation fan-out per part
+    is bounded by the 25-nation domain, so the per-key join blow-up
+    is capped at C(25,2); the same plan with an unbounded left key
+    would need the frequency-cap quarantine the dedup family uses.
+    Size lookups broadcast (25 rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    np_ = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .select(F.col("s_nationkey").alias("nationkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    sizes = np_.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_parts"))
+    a = np_.alias("a")
+    b = np_.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.partkey") == F.col("b.partkey"))
+            & (F.col("a.nationkey") < F.col("b.nationkey")),
+        )
+        .groupBy(
+            F.col("a.nationkey").alias("n1"), F.col("b.nationkey").alias("n2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.withColumnRenamed("nationkey", "n1").withColumnRenamed("n_parts", "a_parts"))
+    sb = F.broadcast(sizes.withColumnRenamed("nationkey", "n2").withColumnRenamed("n_parts", "b_parts"))
+    return (
+        inter.join(sa, "n1")
+        .join(sb, "n2")
+        .select(
+            "n1",
+            "n2",
+            F.col("a_parts").cast("bigint").alias("a_parts"),
+            F.col("b_parts").cast("bigint").alias("b_parts"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.expr("n_common * 1000000 div (a_parts + b_parts - n_common)")
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+    )
