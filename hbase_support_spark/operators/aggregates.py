@@ -4539,3 +4539,249 @@ def orders_skyline_customers(spark, sf_dir):
         F.col("best_orders_above").isNull()
         | (F.col("best_orders_above") <= F.col("n_orders"))
     ).select("o_custkey", "avg_cents", "n_orders")
+
+
+@register(
+    "agg_simpson_diversity",
+    oracle="""
+    WITH percust AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_i
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    pernation AS (
+      SELECT nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(n_i) AS BIGINT) AS n_orders,
+             CAST(SUM(n_i * (n_i - 1)) AS BIGINT) AS num
+      FROM percust GROUP BY nationkey
+    )
+    SELECT p.nationkey, n.n_name,
+           n_customers, n_orders,
+           CAST(num * 1000000 // (n_orders * (n_orders - 1)) AS BIGINT)
+             AS simpson_micro
+    FROM pernation p JOIN nation n ON n.n_nationkey = p.nationkey
+    WHERE n_orders >= 2
+    """,
+)
+def agg_simpson_diversity(spark, sf_dir):
+    """Simpson concentration index per market — the 'probability two
+    random orders belong to the same customer' diversity readout
+    that complements `agg_entropy_behavior` (Shannon) and
+    `agg_gini_concentration` (inequality): D = Σ nᵢ(nᵢ−1) / N(N−1),
+    an exact RATIONAL in integer order counts, shipped as numerator-
+    times-1e6 integer division — the whole statistic is BIGINT
+    arithmetic end to end (Shannon needs logs; Simpson is the
+    diversity index you can grade to the bit).
+
+    Scale shape: two stacked hash aggs (customer then nation — both
+    combine map-side; the first's output IS already partitioned
+    compatibly for the second, so AQE coalesces rather than
+    reshuffles) plus a 25-row broadcast for names."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    percust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_i"))
+    )
+    pernation = percust.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("n_i").cast("bigint").alias("n_orders"),
+        F.sum(F.col("n_i") * (F.col("n_i") - 1)).cast("bigint").alias("num"),
+    ).filter(F.col("n_orders") >= 2)
+    return pernation.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("nationkey"), "n_name")),
+        "nationkey",
+    ).select(
+        "nationkey",
+        "n_name",
+        "n_customers",
+        "n_orders",
+        F.expr("num * 1000000 div (n_orders * (n_orders - 1))")
+        .cast("bigint")
+        .alias("simpson_micro"),
+    )
+
+
+@register(
+    "orders_abc_xyz_matrix",
+    oracle="""
+    WITH part_stats AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                      * CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS s2
+      FROM lineitem GROUP BY l_partkey
+    ),
+    cum AS (
+      SELECT *,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(rev) OVER () AS t
+      FROM part_stats
+    ),
+    cls AS (
+      SELECT CASE WHEN cum_rev * 100 <= t * 70 THEN 'A'
+                  WHEN cum_rev * 100 <= t * 90 THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN n < 2 OR s1 = 0 THEN 'Z'
+                  WHEN FLOOR((1000000.0
+                              * SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                             / CAST(s1 AS DOUBLE)) < 250000 THEN 'X'
+                  WHEN FLOOR((1000000.0
+                              * SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                             / CAST(s1 AS DOUBLE)) < 500000 THEN 'Y'
+                  ELSE 'Z' END AS xyz,
+             rev, t
+      FROM cum
+    )
+    SELECT abc, xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS BIGINT) AS rev_cents,
+           CAST(SUM(rev) * 10000 // MIN(t) AS BIGINT) AS share_bps
+    FROM cls GROUP BY abc, xyz
+    """,
+)
+def orders_abc_xyz_matrix(spark, sf_dir):
+    """ABC×XYZ inventory matrix — the two-axis classification every
+    supply-chain planner actually uses: ABC = revenue importance by
+    EXACT integer cumulative-share thresholds (cum·100 ≤ t·70 / t·90
+    compares BIGINTs — no float ever decides a class), XYZ = demand
+    variability by coefficient of variation, integerized at one
+    deterministic point (floor(1e6·√(n·s2−s1²)/s1) — FLOOR of one
+    identical double expression, the sanctioned pattern when a
+    statistic is irreducibly a ratio of a sqrt). Parts with a single
+    fill are Z by definition (no variability evidence).
+
+    Scale shape: the revenue cumsum rides the distributed prefix-sum
+    kernel (operators/ranking.py) — range-shuffle + per-partition
+    running totals + K-row broadcast offsets — because an
+    unpartitioned SUM() OVER would single-task the entire part
+    dimension at 100 TB; the CV moments ride the same hash agg that
+    feeds it. Output is the 3×3 (at most) matrix."""
+    from .ranking import with_global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("bigint").alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(qty).cast("bigint").alias("s1"),
+        F.sum(qty * qty).cast("bigint").alias("s2"),
+    )
+    c = with_global_prefix_sum(
+        stats,
+        [F.col("rev").desc(), F.col("l_partkey")],
+        "rev",
+        out_col="cum_rev",
+    )
+    tot = stats.agg(F.sum("rev").cast("long").alias("t"))
+    cv_micro = F.floor(
+        (F.lit(1000000.0) * F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")))
+        / F.col("s1").cast("double")
+    )
+    cls = c.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum_rev") * 100 <= F.col("t") * 70, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("t") * 90, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when((F.col("n") < 2) | (F.col("s1") == 0), "Z")
+        .when(cv_micro < 250000, "X")
+        .when(cv_micro < 500000, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "rev",
+        "t",
+    )
+    return cls.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev").cast("bigint").alias("rev_cents"),
+        F.expr("sum(rev) * 10000 div min(t)").cast("bigint").alias("share_bps"),
+    )
+
+
+@register(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    pairs AS (
+      SELECT x, LEAD(x) OVER (ORDER BY day) AS y FROM daily
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs WHERE y IS NOT NULL
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           n AS n_pairs, sx, sy,
+           CAST(FLOOR((1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE))
+                      / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * SQRT(CAST(n * syy - sy * sy AS DOUBLE))))
+                AS BIGINT) AS autocorr_micro
+    FROM m
+    """,
+)
+def events_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily event series — the
+    persistence diagnostic behind every traffic forecast ('is
+    tomorrow like today?') and the stationarity check run before
+    trusting `events_forecast_holt`. Pearson r over consecutive-day
+    pairs, computed ENTIRELY from integer moments (n, Σx, Σy, Σxy,
+    Σx², Σy² — order-independent BIGINT sums); only the final closed
+    form touches doubles, as one identical expression with exact
+    integer inputs < 2^53, floored to micro units at the single
+    deterministic point (the win_anchored_vwap contract).
+
+    Scale shape: the event stream collapses to ~days rows in one
+    map-side-combining agg; the lead() pairing and the moment
+    rollup run over those aggregate rows (scalar-scale window).
+    Gaps in the calendar pair the nearest OBSERVED days — stated,
+    deterministic, and irrelevant on any dense fixture."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    pairs = daily.select(
+        "x", F.lead("x").over(Window.orderBy("day")).alias("y")
+    ).filter(F.col("y").isNotNull())
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return m.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        F.col("n").alias("n_pairs"),
+        "sx",
+        "sy",
+        F.floor(
+            (F.lit(1000000.0) * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double"))
+            / (
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            )
+        )
+        .cast("bigint")
+        .alias("autocorr_micro"),
+    )

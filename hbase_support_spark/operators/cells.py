@@ -1212,3 +1212,82 @@ def txlog_replay_gap_audit(spark, sf_dir):
         .cast("bigint")
         .alias("missing_interior"),
     )
+
+
+@register(
+    "cells_compaction_reclaim_preview",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    cls AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-30 00:00:00' - INTERVAL 7 DAY
+                    THEN 'ttl'
+                  WHEN rn > 3 THEN 'versions'
+                  ELSE 'keep' END AS verdict
+      FROM ranked
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CASE WHEN verdict = 'ttl' THEN 1 ELSE 0 END) AS BIGINT)
+             AS drop_ttl,
+           CAST(SUM(CASE WHEN verdict = 'versions' THEN 1 ELSE 0 END)
+                AS BIGINT) AS drop_versions,
+           CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+             AS keep,
+           CAST(SUM(CASE WHEN verdict <> 'keep' THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS reclaim_bps
+    FROM cls GROUP BY event_type
+    """,
+)
+def cells_compaction_reclaim_preview(spark, sf_dir):
+    """Major-compaction space-reclaim preview — the 'what would we
+    get back if we compacted NOW' estimate an HBase operator reads
+    before scheduling an off-peak major compaction: every cell is
+    classified under the column-family retention policy
+    (TTL = 7 days from the fixture-end clock, VERSIONS = 3), with
+    the same precedence a real compaction applies — TTL first (an
+    expired cell is dropped regardless of its version rank; it also
+    frees a version slot, which is why rank alone can't decide),
+    then beyond-max-versions, else kept. Per family: drop counts by
+    cause and the reclaim share in exact basis points.
+
+    Scale shape: ONE exchange — the version rank partitions on the
+    cell coordinate (user, qualifier), and the per-family rollup
+    combines map-side from it. This is byte-for-byte the region-
+    local work a compaction does, so the preview's cost model IS the
+    compaction's."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cutoff = F.lit("2024-01-30 00:00:00").cast("timestamp") - F.expr("INTERVAL 7 DAYS")
+    cls = ev.withColumn("rn", F.row_number().over(w)).select(
+        "event_type",
+        F.when(F.col("ts") < cutoff, "ttl")
+        .when(F.col("rn") > 3, "versions")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+    return cls.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.when(F.col("verdict") == "ttl", 1).otherwise(0))
+        .cast("bigint")
+        .alias("drop_ttl"),
+        F.sum(F.when(F.col("verdict") == "versions", 1).otherwise(0))
+        .cast("bigint")
+        .alias("drop_versions"),
+        F.sum(F.when(F.col("verdict") == "keep", 1).otherwise(0))
+        .cast("bigint")
+        .alias("keep"),
+        F.expr(
+            "sum(CASE WHEN verdict <> 'keep' THEN 1 ELSE 0 END) * 10000"
+            " div count(*)"
+        )
+        .cast("bigint")
+        .alias("reclaim_bps"),
+    )
