@@ -4785,3 +4785,95 @@ def events_autocorr_lag1(spark, sf_dir):
         .cast("bigint")
         .alias("autocorr_micro"),
     )
+
+
+@register(
+    "events_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x)
+      WHERE t > 1
+    )
+    SELECT n AS n_days, s_stat,
+           CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var18,
+           CAST(FLOOR((1000000.0
+                       * CAST(s_stat - CASE WHEN s_stat > 0 THEN 1
+                                            WHEN s_stat < 0 THEN -1
+                                            ELSE 0 END AS DOUBLE))
+                      / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+                                  AS DOUBLE) / 18.0)) AS BIGINT) AS z_micro
+    FROM s, nn, ties
+    """,
+)
+def events_mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall trend test on the daily event series — the
+    nonparametric 'is traffic actually trending' answer that doesn't
+    assume normality or linearity (the standard ops-metrics
+    companion to `events_autocorr_lag1`): S = Σ sign(x_j − x_i) over
+    all later-day pairs, variance n(n−1)(2n+5)/18 with the exact
+    tie correction, z with continuity correction. S, the tie term,
+    and the (×18) variance numerator are pure BIGINT; z is one
+    identical floored double expression (micro units).
+
+    Scale shape: the event stream collapses to ~30 day rows
+    map-side; the O(n²) pair join runs over that calendar-bounded
+    aggregate domain (≤ C(31,2) pairs per month at ANY data scale —
+    the sanctioned bounded-domain quadratic, cf.
+    events_kendall_tau_campaigns)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(b, F.col("a.day") < F.col("b.day")).agg(
+        F.sum(
+            F.when(F.col("b.x") > F.col("a.x"), 1)
+            .when(F.col("b.x") < F.col("a.x"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var18 = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    cc = F.when(F.col("s_stat") > 0, 1).when(F.col("s_stat") < 0, -1).otherwise(0)
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var18.cast("bigint").alias("var18"),
+            F.floor(
+                (F.lit(1000000.0) * (F.col("s_stat") - cc).cast("double"))
+                / F.sqrt(var18.cast("double") / F.lit(18.0))
+            )
+            .cast("bigint")
+            .alias("z_micro"),
+        )
+    )

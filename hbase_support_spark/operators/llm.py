@@ -7415,3 +7415,67 @@ def sim_pq_adc_recall(spark, sf_dir):
             "exact_top1",
         )
     )
+
+
+@register(
+    "pipeline_mix_temperature_shares",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_chars,
+             CAST(FLOOR(SQRT(CAST(n_chars AS DOUBLE))) AS BIGINT) AS w_int
+      FROM src
+    ),
+    tot AS (
+      SELECT SUM(n_chars) AS total_chars, SUM(w_int) AS total_w FROM w
+    )
+    SELECT source, n_docs, n_chars,
+           CAST(n_chars * 10000 // total_chars AS BIGINT) AS raw_share_bps,
+           CAST(w_int * 10000 // total_w AS BIGINT) AS t2_share_bps,
+           CAST(w_int * 10000 // total_w
+                - n_chars * 10000 // total_chars AS BIGINT) AS uplift_bps
+    FROM w, tot
+    """,
+)
+def pipeline_mix_temperature_shares(spark, sf_dir):
+    """Temperature-scaled corpus mixing shares — the knob every
+    multilingual / multi-source LLM recipe documents (mC4, XLM-R,
+    LLaMA): sampling a source proportionally to size^(1/T) instead
+    of size, here at T = 2 (√-scaling), which lifts small sources
+    without letting any one dominate. The report: per source, raw
+    byte share vs temperature share vs uplift, in exact basis
+    points. The T = 2 weight is integerized at one deterministic
+    point (floor of a per-row sqrt of an exact integer — the Neyman-
+    allocation discipline), so both normalizing sums are
+    order-independent BIGINT sums and the shares are exact integer
+    divisions; no double ever crosses an aggregation.
+
+    Scale shape: one map-side-combining hash agg to ~sources rows,
+    one 1-row broadcast of the totals. Composes with
+    `pipeline_mix_weighted` (which executes a configured mix) — this
+    op DERIVES the config."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("n_chars"),
+    )
+    w = src.withColumn(
+        "w_int", F.floor(F.sqrt(F.col("n_chars").cast("double"))).cast("bigint")
+    )
+    tot = w.agg(
+        F.sum("n_chars").alias("total_chars"), F.sum("w_int").alias("total_w")
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.expr("n_chars * 10000 div total_chars").cast("bigint").alias("raw_share_bps"),
+        F.expr("w_int * 10000 div total_w").cast("bigint").alias("t2_share_bps"),
+        F.expr("w_int * 10000 div total_w - n_chars * 10000 div total_chars")
+        .cast("bigint")
+        .alias("uplift_bps"),
+    )

@@ -924,3 +924,70 @@ def win_bollinger_breakout(spark, sf_dir):
         F.sum("up").cast("bigint").alias("n_up"),
         F.sum("down").cast("bigint").alias("n_down"),
     )
+
+
+@register(
+    "win_parkinson_volatility",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             MAX(value) AS hi, MIN(value) AS lo
+      FROM events WHERE value > 0
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    terms AS (
+      SELECT event_type,
+             CAST(FLOOR(1000000000.0 * LN(hi / lo) * LN(hi / lo)) AS BIGINT)
+               AS term_nano
+      FROM bars WHERE lo > 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(term_nano) AS BIGINT) AS sum_nano,
+           CAST(FLOOR(1000000.0
+                      * SQRT((CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0)
+                             / (4.0 * LN(2.0) * CAST(COUNT(*) AS DOUBLE))))
+                AS BIGINT) AS parkinson_micro
+    FROM terms GROUP BY event_type
+    """,
+)
+def win_parkinson_volatility(spark, sf_dir):
+    """Parkinson high-low volatility estimator per instrument — the
+    range-based sigma every market-data stack computes because it
+    extracts ~5x more information per bar than close-to-close
+    (Parkinson 1980): σ²_P = Σ ln²(Hᵢ/Lᵢ) / (4n·ln2) over daily
+    high/low bars. The order-dependent float hazard (a groupBy SUM
+    of raw doubles) is eliminated by the per-row integerization
+    contract: each day's ln²(H/L) is floored to nano units FIRST
+    (one deterministic per-row double expression), the accumulation
+    is then an order-proof BIGINT sum, and only the final closed
+    form — one identical expression — touches doubles again
+    (micro-σ output). Same discipline as text_zipf's LN handling,
+    hardened one step further.
+
+    Scale shape: one hash agg to (instrument, day) bars (map-side
+    combine), one to instruments — no window function needed at all;
+    the estimator is agg-shaped, which is exactly why
+    exchange-volume-scale tick stores use it."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bars = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.max("value").alias("hi"), F.min("value").alias("lo")
+    ).filter(F.col("lo") > 0)
+    lnr = F.log(F.col("hi") / F.col("lo"))
+    terms = bars.select(
+        "event_type",
+        F.floor(F.lit(1000000000.0) * lnr * lnr).cast("bigint").alias("term_nano"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("term_nano").cast("bigint").alias("sum_nano"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sqrt(
+                (F.sum("term_nano").cast("double") / F.lit(1000000000.0))
+                / (F.lit(4.0) * F.log(F.lit(2.0)) * F.count(F.lit(1)).cast("double"))
+            )
+        )
+        .cast("bigint")
+        .alias("parkinson_micro"),
+    )
