@@ -4877,3 +4877,82 @@ def events_mann_kendall_trend(spark, sf_dir):
             .alias("z_micro"),
         )
     )
+
+
+@register(
+    "events_attribution_time_decay",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_type, ts AS t_ts FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    credited AS (
+      SELECT t.event_type,
+             1000000 // CAST(POWER(2, CAST(epoch_us(p.p_ts) - epoch_us(t.t_ts)
+                                           AS BIGINT) // 86400000000)
+                            AS BIGINT) AS w_micro
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.t_ts < p.p_ts
+       AND CAST(epoch_us(p.p_ts) - epoch_us(t.t_ts) AS BIGINT)
+           < 7 * 86400000000
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_credits,
+             CAST(SUM(w_micro) AS BIGINT) AS credit_micro
+      FROM credited GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(credit_micro) AS total FROM agg)
+    SELECT event_type, n_credits, credit_micro,
+           CAST(credit_micro * 10000 // total AS BIGINT) AS share_bps
+    FROM agg, tot
+    """,
+)
+def events_attribution_time_decay(spark, sf_dir):
+    """Time-decay multi-touch attribution — the third leg of the
+    attribution family (`events_attribution_last_touch` winner-takes-
+    all, `events_attribution_linear` equal split): every view/click
+    in the 7 days before a purchase earns credit 2^-(days before),
+    so yesterday's touch is worth twice last week's. The decay
+    weights are DYADIC (the num.py decay contract): 1e6 div 2^d is
+    an exact integer for every d ≤ 6, the per-channel totals are
+    order-proof BIGINT sums, and channel shares are exact integer
+    basis points. Day distance is exact integer-µs arithmetic.
+
+    Scale shape: a per-user interval join (purchases x trailing
+    touches) — shuffles both streams once on user_id, the fan-out
+    bounded by the 7-day window exactly like
+    `join_interval_overlap`; then one map-side-combining rollup to
+    ~channels rows and a 1-row broadcast for shares."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", F.col("ts").alias("t_ts")
+    )
+    us_diff = F.unix_micros("p_ts") - F.unix_micros("t_ts")
+    credited = p.join(t, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts")) & (us_diff < 7 * 86400000000)
+    ).select(
+        "event_type",
+        F.expr(
+            "1000000 div cast(power(2, (unix_micros(p_ts) - unix_micros(t_ts))"
+            " div 86400000000) AS bigint)"
+        ).alias("w_micro"),
+    )
+    agg = credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.sum("w_micro").cast("bigint").alias("credit_micro"),
+    )
+    tot = agg.agg(F.sum("credit_micro").alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_credits",
+        "credit_micro",
+        F.expr("credit_micro * 10000 div total").cast("bigint").alias("share_bps"),
+    )

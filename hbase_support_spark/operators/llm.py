@@ -7479,3 +7479,119 @@ def pipeline_mix_temperature_shares(spark, sf_dir):
         .cast("bigint")
         .alias("uplift_bps"),
     )
+
+
+_BLOOM_M = 1024  # bits in the prefilter
+_BLOOM_K = 3     # hash functions
+
+
+@register(
+    "dedup_bloom_prefilter_audit",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    b AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    ),
+    a_bits AS (
+      SELECT DISTINCT
+        CAST('0x' || substring(md5(k || ':' || text), 1, 15) AS BIGINT)
+          % {_BLOOM_M} AS bit
+      FROM a, (SELECT unnest(range(0, {_BLOOM_K})) AS k)
+    ),
+    a_hashes AS (
+      SELECT DISTINCT
+        CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+      FROM a
+    ),
+    b_exp AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(k || ':' || text), 1, 15) AS BIGINT)
+               % {_BLOOM_M} AS bit,
+             CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+      FROM b, (SELECT unnest(range(0, {_BLOOM_K})) AS k)
+    ),
+    b_probe AS (
+      SELECT e.doc_id,
+             CAST(COUNT(ab.bit) AS BIGINT) AS bits_set,
+             MAX(CASE WHEN ah.h IS NOT NULL THEN 1 ELSE 0 END) AS is_true_dup
+      FROM b_exp e
+      LEFT JOIN a_bits ab ON ab.bit = e.bit
+      LEFT JOIN a_hashes ah ON ah.h = e.h
+      GROUP BY e.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN bits_set = {_BLOOM_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS maybe_dups,
+           CAST(SUM(is_true_dup) AS BIGINT) AS true_dups,
+           CAST(SUM(CASE WHEN bits_set = {_BLOOM_K} AND is_true_dup = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+           CAST(SUM(CASE WHEN bits_set = {_BLOOM_K} AND is_true_dup = 0
+                         THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+             AS fp_bps
+    FROM b_probe
+    """,
+)
+def dedup_bloom_prefilter_audit(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup, audited — the standard
+    two-tier pattern for deduplicating a NEW batch against a huge
+    existing corpus: ship a tiny bloom filter of the corpus (here
+    m = 1024 bits, k = 3 portable hashes — in production sized to
+    ~10 bits/key), drop batch docs whose k bits aren't all set
+    (definitely new — no corpus lookup at all), and send only
+    'maybe' docs to the exact check. The audit grades the filter
+    itself: probe count, maybe-rate, true duplicates (exact
+    60-bit-hash membership), false positives, and the FP rate in
+    basis points — the number that tells you whether m is sized
+    right. On this fixture (no raw cross-half dups) every 'maybe'
+    is a false positive, so fp_bps IS the measured saturation
+    curve of a deliberately overloaded filter.
+
+    Scale shape: the bloom bit-set is ≤ m DISTINCT rows however big
+    the corpus is — THE point of the pattern: it broadcasts to every
+    probe task; the probe side is a map-side explode (k rows/doc)
+    + broadcast join + per-doc rollup. The exact-hash side is a
+    broadcast semi-join against distinct corpus hashes, exercised
+    here only to grade the filter's verdicts."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("k")
+    bit_key = "concat(k, ':', text)"
+    bit_expr = f"{_h60(bit_key)} % {_BLOOM_M}"
+    a_bits = (
+        a.select("text")
+        .select(ks, "text")
+        .select(F.expr(bit_expr).alias("bit"))
+        .distinct()
+    )
+    a_hashes = a.select(F.expr(_h60("text")).alias("h")).distinct()
+    b_exp = b.select("doc_id", "text").select("doc_id", "text", ks).select(
+        "doc_id", F.expr(bit_expr).alias("bit"), F.expr(_h60("text")).alias("h")
+    )
+    probe = (
+        b_exp.join(F.broadcast(a_bits.withColumnRenamed("bit", "abit")),
+                   F.col("bit") == F.col("abit"), "left")
+        .join(F.broadcast(a_hashes.withColumnRenamed("h", "ah")),
+              F.col("h") == F.col("ah"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("abit").cast("bigint").alias("bits_set"),
+            F.max(F.when(F.col("ah").isNotNull(), 1).otherwise(0)).alias("is_true_dup"),
+        )
+    )
+    maybe = F.when(F.col("bits_set") == _BLOOM_K, 1).otherwise(0)
+    fp = F.when((F.col("bits_set") == _BLOOM_K) & (F.col("is_true_dup") == 0), 1).otherwise(0)
+    return probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(maybe).cast("bigint").alias("maybe_dups"),
+        F.sum("is_true_dup").cast("bigint").alias("true_dups"),
+        F.sum(fp).cast("bigint").alias("false_positives"),
+        F.expr(
+            f"sum(CASE WHEN bits_set = {_BLOOM_K} AND is_true_dup = 0"
+            " THEN 1 ELSE 0 END) * 10000 div count(*)"
+        )
+        .cast("bigint")
+        .alias("fp_bps"),
+    )

@@ -991,3 +991,103 @@ def win_parkinson_volatility(spark, sf_dir):
         .cast("bigint")
         .alias("parkinson_micro"),
     )
+
+
+@register(
+    "win_drawdown_duration",
+    oracle="""
+    WITH flows AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS flow
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    eqs AS (
+      SELECT user_id, ts, event_id,
+             SUM(flow) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS eq
+      FROM flows
+    ),
+    equity AS (
+      SELECT user_id, ts, event_id, eq,
+             MAX(eq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS peak
+      FROM eqs
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, eq, peak,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn_all,
+             ROW_NUMBER() OVER (PARTITION BY user_id, eq < peak
+                                ORDER BY ts, event_id) AS rn_flag
+      FROM equity
+    ),
+    uw AS (
+      SELECT user_id, rn_all - rn_flag AS spell_key
+      FROM numbered WHERE eq < peak
+    ),
+    spells AS (
+      SELECT user_id, spell_key, COUNT(*) AS len
+      FROM uw GROUP BY user_id, spell_key
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spells,
+           CAST(SUM(len) AS BIGINT) AS underwater_events,
+           CAST(MAX(len) AS BIGINT) AS longest_spell
+    FROM spells GROUP BY user_id
+    """,
+)
+def win_drawdown_duration(spark, sf_dir):
+    """Drawdown DURATION per account — the 'how long do we stay
+    underwater' companion to `win_max_drawdown` (which measures
+    depth): an account is underwater whenever its running equity
+    (integer-cent signed flows: purchases credit, errors debit)
+    sits below its running peak; maximal runs of consecutive
+    underwater observations are spells, reported as count / total /
+    longest. Spell segmentation is the two-row_number islands trick
+    keyed on the underwater flag — pure integer comparisons over
+    exact prefix sums, so spell boundaries can never float-flip.
+
+    Scale shape: every window partitions on user_id with the same
+    (ts, event_id) order, so Spark plans ONE exchange + one
+    in-partition sort for the equity curve, the peak, the islands,
+    and the rollup — the full per-account chain is region-local,
+    exactly how an account-ledger table is already laid out."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    flows = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents).otherwise(-cents).alias("flow"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    equity = flows.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("flow").over(w).alias("eq"),
+    ).withColumn("peak", F.max("eq").over(w))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = Window.partitionBy("user_id", F.col("eq") < F.col("peak")).orderBy(
+        "ts", "event_id"
+    )
+    uw = (
+        equity.withColumn("rn_all", F.row_number().over(wo))
+        .withColumn("rn_flag", F.row_number().over(wf))
+        .filter(F.col("eq") < F.col("peak"))
+        .select("user_id", (F.col("rn_all") - F.col("rn_flag")).alias("spell_key"))
+    )
+    spells = uw.groupBy("user_id", "spell_key").agg(F.count(F.lit(1)).alias("len"))
+    return spells.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spells"),
+        F.sum("len").cast("bigint").alias("underwater_events"),
+        F.max("len").cast("bigint").alias("longest_spell"),
+    )
