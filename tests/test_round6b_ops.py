@@ -277,3 +277,149 @@ def test_pq_adc_recall_bounds_and_exact_top1(spark, sf_dir):
         d[qi] = 2**62
         order = np.lexsort((ids, d))
         assert ids[order[0]] == r.exact_top1
+
+
+def test_simpson_diversity_rational(spark, sf_dir):
+    """Simpson numerator/denominator recomputed in pandas must give
+    the identical integer micro value."""
+    got = {r.nationkey: r for r in QUERIES["agg_simpson_diversity"](spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").toPandas()
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    for nk, g in j.groupby("c_nationkey"):
+        n_i = g.groupby("o_custkey").size()
+        N = int(n_i.sum())
+        if N < 2:
+            assert nk not in got
+            continue
+        num = int((n_i * (n_i - 1)).sum())
+        assert got[nk].simpson_micro == num * 1_000_000 // (N * (N - 1))
+        assert got[nk].n_customers == len(n_i)
+
+
+def test_abc_xyz_matrix_partitions_parts(spark, sf_dir):
+    """The matrix cells partition the part dimension: n_parts sums
+    to the distinct part count, revenue to total revenue, and A-class
+    revenue share is >= any other ABC class's."""
+    rows = QUERIES["orders_abc_xyz_matrix"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows) == n_parts
+    by_abc: dict[str, int] = {}
+    for r in rows:
+        by_abc[r.abc] = by_abc.get(r.abc, 0) + r.rev_cents
+    assert by_abc["A"] == max(by_abc.values())
+
+
+def test_autocorr_and_mann_kendall_agree_on_direction(spark, sf_dir):
+    """Two independent trend/persistence statistics over the same
+    daily series: bounded ranges and pair-count consistency."""
+    ac = QUERIES["events_autocorr_lag1"](spark, sf_dir).collect()[0]
+    mk = QUERIES["events_mann_kendall_trend"](spark, sf_dir).collect()[0]
+    assert ac.n_pairs == ac.n_days - 1
+    assert -1_000_000 <= ac.autocorr_micro <= 1_000_000
+    assert mk.n_days == ac.n_days
+    assert abs(mk.s_stat) <= mk.n_days * (mk.n_days - 1) // 2
+    assert mk.var18 > 0
+
+
+def test_compaction_reclaim_consistent_with_policy_ops(spark, sf_dir):
+    """Cross-operator: keep + drops == total cells; the TTL drop
+    count must equal the complement of ttl_expiry's survivors."""
+    rows = QUERIES["cells_compaction_reclaim_preview"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_cells for r in rows) == total
+    for r in rows:
+        assert r.drop_ttl + r.drop_versions + r.keep == r.n_cells
+    ttl_survivors = QUERIES["ttl_expiry"](spark, sf_dir).count()
+    assert sum(r.drop_ttl for r in rows) == total - ttl_survivors
+
+
+def test_parkinson_terms_nonnegative_and_recomputable(spark, sf_dir):
+    """ln²(H/L) >= 0 so the nano sum and sigma are nonnegative;
+    recompute one group's sum in pandas."""
+    import math
+
+    rows = QUERIES["win_parkinson_volatility"](spark, sf_dir).collect()
+    assert all(r.sum_nano >= 0 and r.parkinson_micro >= 0 for r in rows)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 0))
+        .select("ts", "value")
+        .toPandas()
+    )
+    ev["day"] = ev.ts.dt.date
+    g = ev.groupby("day").value.agg(["max", "min"])
+    g = g[g["min"] > 0]
+    expect = sum(
+        int(1e9 * math.log(h / l) * math.log(h / l)) for h, l in zip(g["max"], g["min"])
+    )
+    got = {r.event_type: r.sum_nano for r in rows}["purchase"]
+    assert got == expect
+
+
+def test_mix_temperature_compresses_shares(spark, sf_dir):
+    """T=2 shares must be strictly less spread than raw shares
+    (max share shrinks, min share grows) and both sum to ~10000."""
+    rows = QUERIES["pipeline_mix_temperature_shares"](spark, sf_dir).collect()
+    raw = [r.raw_share_bps for r in rows]
+    t2 = [r.t2_share_bps for r in rows]
+    assert max(t2) <= max(raw)
+    assert min(t2) >= min(raw)
+    assert abs(sum(raw) - 10000) < len(rows)
+    assert abs(sum(t2) - 10000) < len(rows)
+    for r in rows:
+        assert r.uplift_bps == r.t2_share_bps - r.raw_share_bps
+
+
+def test_time_decay_attribution_weights_valid(spark, sf_dir):
+    """Every credit weight is one of the 7 dyadic values; shares sum
+    to ~10000 bps."""
+    rows = QUERIES["events_attribution_time_decay"](spark, sf_dir).collect()
+    assert abs(sum(r.share_bps for r in rows) - 10000) < len(rows) + 1
+    valid = {1_000_000 // (2 ** d) for d in range(7)}
+    for r in rows:
+        # credit_micro is a sum of valid weights: bounded by count * max
+        assert 0 < r.credit_micro <= r.n_credits * 1_000_000
+        assert r.credit_micro >= r.n_credits * min(valid)
+
+
+def test_drawdown_duration_against_pandas(spark, sf_dir):
+    """Full pandas recomputation of spells for every user."""
+    got = {r.user_id: (r.n_spells, r.underwater_events, r.longest_spell)
+           for r in QUERIES["win_drawdown_duration"](spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .toPandas()
+    )
+    ev["cents"] = (ev.value * 100 + 0.5).apply(int)
+    ev["flow"] = ev.apply(lambda r: r.cents if r.event_type == "purchase" else -r.cents, axis=1)
+    expect = {}
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        eq = g.flow.cumsum()
+        peak = eq.cummax()
+        under = (eq < peak).to_numpy()
+        spells = []
+        run = 0
+        for u in under:
+            if u:
+                run += 1
+            elif run:
+                spells.append(run); run = 0
+        if run:
+            spells.append(run)
+        if spells:
+            expect[uid] = (len(spells), sum(spells), max(spells))
+    assert got == expect
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """A bloom filter can never miss a true duplicate: maybe_dups >=
+    true_dups, and false_positives == maybe - true."""
+    r = QUERIES["dedup_bloom_prefilter_audit"](spark, sf_dir).collect()[0]
+    assert r.maybe_dups >= r.true_dups
+    assert r.false_positives == r.maybe_dups - r.true_dups
+    assert r.n_probes > 0
+    assert 0 <= r.fp_bps <= 10000
