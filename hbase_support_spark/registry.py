@@ -72,23 +72,35 @@ def register(name: str, oracle: str | None = None):
 # own comment) — they no longer rely on the mid-group fallback;
 # additions beyond the first 13 roll into the r07 window.
 #
-# Round-6 dry-run of the r07 window (VERDICT r05 item 5), computed
-# by simulating the staged r06 window green: exactly 25 never-graded
-# names remain, and they open the r07 window in registry order —
-#   1-25: agg_bitmap_audience_overlap, events_rolling_uniques_bitmap,
-#     events_cep_3step, graph_bfs_hops, win_anchored_vwap,
-#     win_rolling_median_7, win_rolling_zscore, text_char_entropy,
-#     text_code_detect, text_readability_fk, agg_decay_weighted_ltv,
-#     agg_heavy_hitters_exact, events_wow_growth,
+# Round-6 dry-run of the r07 window (VERDICT r05 item 5; refreshed
+# 2026-08-15 after the batch-7..13 additions took the registry to
+# 372): simulating the staged r06 window green leaves exactly 76
+# never-graded names; the r07 window is the first 50 of them in
+# registry order —
+#   1-25 (unchanged from the original dry-run): agg_bitmap_audience_overlap,
+#     events_rolling_uniques_bitmap, events_cep_3step, graph_bfs_hops,
+#     win_anchored_vwap, win_rolling_median_7, win_rolling_zscore,
+#     text_char_entropy, text_code_detect, text_readability_fk,
+#     agg_decay_weighted_ltv, agg_heavy_hitters_exact, events_wow_growth,
 #     events_day_completion_mask, events_cumulative_uniques,
-#     orders_backlog_aging, orders_cycle_time_stats,
-#     privacy_l_diversity, embedding_pca_power_top1,
-#     events_activity_deciles, supplier_sla_report,
-#     events_new_vs_returning_revenue, orders_repeat_purchase_curve,
-#     cells_family_stats, scan_multi_range
-# Slots 26-50 are filled by round-6 additions (mid-group order).
-# With a green r06, by r07-close EVERY pre-r6 query has a driver
-# verdict — the three-round completion plan above lands on schedule.
+#     orders_backlog_aging, orders_cycle_time_stats, privacy_l_diversity,
+#     embedding_pca_power_top1, events_activity_deciles,
+#     supplier_sla_report, events_new_vs_returning_revenue,
+#     orders_repeat_purchase_curve, cells_family_stats, scan_multi_range
+#   26-50 (round-6 additions, import order): layout_region_balance_plan,
+#     source_binaryfile_multimodal, source_csv_malformed_audit,
+#     layout_small_files_compaction_plan, scan_keyset_pagination,
+#     layout_meta_lookup, sample_neyman_allocation,
+#     layout_compaction_io_amplification, cells_delete_marker_precedence,
+#     txlog_replay_gap_audit, cells_compaction_reclaim_preview,
+#     join_null_key_bypass, privacy_t_closeness, events_anova_f_oneway,
+#     events_sprt_sequential_test, events_srm_check, privacy_masking_view,
+#     pipeline_curriculum_order, orders_littles_law_audit,
+#     privacy_dp_sensitivity_report, agg_theta_sketch_users,
+#     events_ctr_wilson_rank, agg_hdr_histogram_p99,
+#     events_kendall_tau_campaigns, orders_skyline_customers
+# The remaining 26 round-6 additions open the r08 window; with green
+# r06+r07, every pre-batch-11 query has a driver verdict by r07-close.
 GRADING_PRIORITY: list[str] = [
     # ---- round-3 window, slots 1-19: the 19 kind-cast fixes (r02 FAILs first)
     "sim_lsh_hyperplane",
