@@ -74,7 +74,7 @@ def register(name: str, oracle: str | None = None):
 #
 # Round-6 dry-run of the r07 window (VERDICT r05 item 5; refreshed
 # 2026-08-15 after the batch-7..13 additions took the registry to
-# 372): simulating the staged r06 window green leaves exactly 76
+# 372): simulating the staged r06 window green leaves exactly 80
 # never-graded names; the r07 window is the first 50 of them in
 # registry order —
 #   1-25 (unchanged from the original dry-run): agg_bitmap_audience_overlap,
@@ -99,7 +99,7 @@ def register(name: str, oracle: str | None = None):
 #     privacy_dp_sensitivity_report, agg_theta_sketch_users,
 #     events_ctr_wilson_rank, agg_hdr_histogram_p99,
 #     events_kendall_tau_campaigns, orders_skyline_customers
-# The remaining 26 round-6 additions open the r08 window; with green
+# The remaining 30 round-6 additions open the r08 window; with green
 # r06+r07, every pre-batch-11 query has a driver verdict by r07-close.
 GRADING_PRIORITY: list[str] = [
     # ---- round-3 window, slots 1-19: the 19 kind-cast fixes (r02 FAILs first)
