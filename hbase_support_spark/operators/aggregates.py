@@ -4523,22 +4523,37 @@ def orders_skyline_customers(spark, sf_dir):
     per-customer rows, one global value-sorted window — the sort is
     the operator's inherent cost and is exactly Spark's
     range-partitioned sort; no join, no broadcast, no Python."""
-    from pyspark.sql import Window
+    from .ranking import with_global_prefix_max
 
     o = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     cust = o.groupBy("o_custkey").agg(
         F.expr("sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) div count(*)")
         .cast("bigint")
         .alias("avg_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    ).localCheckpoint(eager=False)
+    # ^ the per-customer aggregate is consumed twice (value table +
+    #   join-back) and additionally sampled by the kernel's range
+    #   shuffle — without pinning, the orders scan+agg re-runs four
+    #   times (measured 5.2 s -> 1.6 s at sf0.1).
+    # group to distinct x-values first (ties must not dominate each
+    # other), then the strictly-greater suffix max is an EXCLUSIVE
+    # prefix max in descending order — the distributed sweep kernel;
+    # Spark's own RANGE (1, unboundedFollowing) frame recomputes the
+    # aggregate per row: O(n^2) in WindowExec, measured 5.3 s on the
+    # 15 k-customer sf0.1 frontier vs ~0.6 s for this plan.
+    vals = cust.groupBy("avg_cents").agg(F.max("n_orders").alias("vmax"))
+    vm = with_global_prefix_max(
+        vals, [F.col("avg_cents").desc()], "vmax", out_col="best_orders_above"
+    ).select("avg_cents", "best_orders_above")
+    return (
+        cust.join(vm, "avg_cents")
+        .filter(
+            F.col("best_orders_above").isNull()
+            | (F.col("best_orders_above") <= F.col("n_orders"))
+        )
+        .select("o_custkey", "avg_cents", "n_orders")
     )
-    w = Window.orderBy("avg_cents").rangeBetween(1, Window.unboundedFollowing)
-    ranked = cust.withColumn("best_orders_above", F.max("n_orders").over(w))
-    return ranked.filter(
-        F.col("best_orders_above").isNull()
-        | (F.col("best_orders_above") <= F.col("n_orders"))
-    ).select("o_custkey", "avg_cents", "n_orders")
 
 
 @register(

@@ -120,3 +120,36 @@ def test_global_prefix_sum_matches_native(spark, deltas):
     assert sorted(native.collect()) == sorted(
         [(r.id, r.c) for r in ours.collect()]
     )
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [3, 1, 4, 1, 5, 9, 2, 6, 5, 3],
+        [7] * 6,
+        [1],
+        [10, 9, 8, 8, 8, 1],
+    ],
+)
+def test_global_prefix_max_matches_native_exclusive(spark, vals):
+    from hbase_support_spark.operators.ranking import with_global_prefix_max
+
+    df = spark.createDataFrame(
+        [Row(id=i, v=float(i % 3), m=m) for i, m in enumerate(vals)]
+    )
+    native = df.select(
+        "id",
+        F.max("m")
+        .over(
+            Window.orderBy(F.col("v").desc(), "id").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("p"),
+    )
+    ours = with_global_prefix_max(
+        df, [F.col("v").desc(), "id"], "m", "p"
+    ).select("id", "p")
+    assert sorted(native.collect(), key=lambda r: r.id) == sorted(
+        [(r.id, r.p) for r in ours.collect()], key=lambda r: r[0]
+    )
