@@ -7228,7 +7228,8 @@ _PQ_CENT_KEY = "concat('pq-', s, '-', k, '-', j)"
         FROM enc
       ) WHERE rn = 1
     ),
-    qs AS (SELECT vec_id AS q_id, qv AS qqv FROM vecs WHERE vec_id % 50 = 0),
+    qs AS (SELECT vec_id AS q_id, qv AS qqv FROM vecs
+           WHERE vec_id % 50 = 0 AND vec_id < 500),
     dtab AS (
       SELECT q_id, s, k,
              list_sum(list_transform(range(1, {_PQ_SD + 1}), j ->
@@ -7305,7 +7306,12 @@ def sim_pq_adc_recall(spark, sf_dir):
     2-byte codes, never raw vectors — the exact reason PQ lets 100 TB
     of vectors serve from RAM. The exact baseline cross join exists
     only to GRADE recall and broadcasts 10 query rows — the
-    verification harness, not the serving path."""
+    verification harness, not the serving path. The probe panel is
+    PINNED (vec_id < 500) so its size is constant at any corpus
+    scale — with a proportional panel the grading side grows
+    quadratically under replica stress (measured 223 s at x32 vs
+    linear after pinning), while serving cost was always linear
+    per query."""
     from pyspark.sql import Window
     from ..hashutil import h60 as _h
 
@@ -7343,7 +7349,9 @@ def sim_pq_adc_recall(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", "s", F.col("k").alias("code"))
     )
-    qs = vecs.filter(F.col("vec_id") % 50 == 0).select(
+    qs = vecs.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
+    ).select(
         F.col("vec_id").alias("q_id"), F.col("qv").alias("qqv")
     )
     dtab = (
