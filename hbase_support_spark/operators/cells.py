@@ -1291,3 +1291,408 @@ def cells_compaction_reclaim_preview(spark, sf_dir):
         .cast("bigint")
         .alias("reclaim_bps"),
     )
+
+
+@register(
+    "cells_version_gc_policy",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-30 00:00:00'
+                             - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts DESC, event_id DESC
+                     ROWS UNBOUNDED PRECEDING) AS live_rank
+      FROM events
+    ),
+    cls AS (
+      SELECT event_type,
+             CASE WHEN rn <= 1 THEN 'keep_min'
+                  WHEN ts < TIMESTAMP '2024-01-30 00:00:00'
+                         - INTERVAL 7 DAY THEN 'drop_ttl'
+                  WHEN live_rank > 3 THEN 'drop_versions'
+                  ELSE 'keep' END AS verdict
+      FROM ranked
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CASE WHEN verdict = 'keep_min' THEN 1 ELSE 0 END)
+                AS BIGINT) AS keep_min,
+           CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END)
+                AS BIGINT) AS keep_live,
+           CAST(SUM(CASE WHEN verdict = 'drop_ttl' THEN 1 ELSE 0 END)
+                AS BIGINT) AS drop_ttl,
+           CAST(SUM(CASE WHEN verdict = 'drop_versions' THEN 1 ELSE 0 END)
+                AS BIGINT) AS drop_versions
+    FROM cls GROUP BY event_type
+    """,
+)
+def cells_version_gc_policy(spark, sf_dir):
+    """MIN_VERSIONS-aware version GC — the retention rule HBase
+    applies when a column family sets TTL *and* MIN_VERSIONS: the
+    newest MIN_VERSIONS (=1) cells of every coordinate are kept even
+    if TTL-expired (so a quiet row never becomes empty), expiry then
+    drops older dead cells, and VERSIONS (=3) bounds the *live* cells
+    only — an expired cell must not consume a version slot, so the
+    version rank is counted over live cells, not raw row order
+    (public HBase semantics: ScanQueryMatcher + minVersions).
+
+    Implementation: one window over the cell coordinate yields both
+    the raw rank and the live-only rank (a running conditional count
+    in the same frame — no second shuffle), then a per-family rollup.
+    Scale shape: ONE exchange on (rowkey, qualifier), rollup combines
+    map-side; this is the same region-local pass a compaction runs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cutoff = F.lit("2024-01-30 00:00:00").cast("timestamp") - F.expr("INTERVAL 7 DAYS")
+    live = F.col("ts") >= cutoff
+    cls = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "live_rank",
+            F.sum(F.when(live, 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select(
+            "event_type",
+            F.when(F.col("rn") <= 1, "keep_min")
+            .when(~live, "drop_ttl")
+            .when(F.col("live_rank") > 3, "drop_versions")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+    agg = [
+        F.sum(F.when(F.col("verdict") == v, 1).otherwise(0))
+        .cast("bigint")
+        .alias(a)
+        for v, a in [
+            ("keep_min", "keep_min"),
+            ("keep", "keep_live"),
+            ("drop_ttl", "drop_ttl"),
+            ("drop_versions", "drop_versions"),
+        ]
+    ]
+    return cls.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"), *agg
+    )
+
+
+@register(
+    "wal_rollover_plan",
+    oracle="""
+    WITH w AS (
+      SELECT user_id % 4 AS server, 64 + LENGTH(props) AS entry_bytes,
+             ts, event_id
+      FROM events
+    ),
+    c AS (
+      SELECT server, entry_bytes,
+             SUM(entry_bytes) OVER (PARTITION BY server
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM w
+    )
+    SELECT server, CAST((cum - 1) // 32768 AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(entry_bytes) AS BIGINT) AS seg_bytes,
+           CAST(MAX(cum) AS BIGINT) AS cum_bytes_end
+    FROM c GROUP BY server, (cum - 1) // 32768
+    """,
+)
+def wal_rollover_plan(spark, sf_dir):
+    """WAL size-based rollover plan — which edits land in which WAL
+    segment when a region server rolls its log every 32 KiB (the
+    `hbase.regionserver.logroll.*` size trigger, scaled to the
+    fixture): edits are appended in (ts, unique-id) order per server,
+    the running byte total assigns each edit to segment
+    (cum−1) div 32 KiB, and the plan reports per-segment entry and
+    byte counts — the input a log-splitting recovery would replay.
+
+    Determinism: the running sum is over integer bytes with a
+    ROWS frame and a unique tie-break, so the segment boundary is
+    bit-identical cross-engine. Scale shape: ONE exchange on the
+    server key, in-partition sort — exactly the per-server
+    sequential-append locality of a real WAL; the rollup combines
+    map-side from the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("server")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    entries = ev.select(
+        (F.col("user_id") % 4).alias("server"),
+        (F.lit(64) + F.length("props")).alias("entry_bytes"),
+        "ts",
+        "event_id",
+    ).withColumn("cum", F.sum("entry_bytes").over(w))
+    return (
+        entries.withColumn("segment", F.expr("(cum - 1) div 32768").cast("bigint"))
+        .groupBy("server", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+            F.sum("entry_bytes").cast("bigint").alias("seg_bytes"),
+            F.max("cum").cast("bigint").alias("cum_bytes_end"),
+        )
+    )
+
+
+@register(
+    "cells_column_pagination",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS vn
+      FROM events
+    ),
+    cols AS (
+      SELECT user_id, event_type, ts AS latest_ts, value AS latest_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_type) AS col_rank
+      FROM latest WHERE vn = 1
+    )
+    SELECT user_id, event_type, col_rank, latest_ts, latest_value
+    FROM cols WHERE col_rank > 1 AND col_rank <= 3
+    """,
+)
+def cells_column_pagination(spark, sf_dir):
+    """ColumnPaginationFilter(limit=2, offset=1) — HBase's per-row
+    column paging: within every row, qualifiers are ordered
+    lexicographically, the first `offset` are skipped, and the next
+    `limit` are returned (each resolved to its newest version). The
+    qualifier rank is computed per rowkey, NOT globally — paging a
+    wide row never touches its neighbors.
+
+    Scale shape: latest-version resolution partitions on the cell
+    coordinate; the qualifier ranking re-partitions on the rowkey
+    alone. Qualifier cardinality per row is tiny (column families
+    are narrow by design), so the second exchange moves one row per
+    (rowkey, qualifier) — the dominant cost stays the first pass."""
+    ev = load_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("vn", F.row_number().over(wv))
+        .filter(F.col("vn") == 1)
+        .select("user_id", "event_type", F.col("ts").alias("latest_ts"),
+                F.col("value").alias("latest_value"))
+    )
+    wc = Window.partitionBy("user_id").orderBy("event_type")
+    return (
+        latest.withColumn("col_rank", F.row_number().over(wc))
+        .filter((F.col("col_rank") > 1) & (F.col("col_rank") <= 3))
+        .select("user_id", "event_type", "col_rank", "latest_ts", "latest_value")
+    )
+
+
+@register(
+    "snapshot_diff_asof",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_type, ts, event_id FROM (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+      ) WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT user_id, event_type, ts, event_id FROM (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+      ) WHERE rn = 1
+    )
+    SELECT s2.event_type,
+           CAST(SUM(CASE WHEN s1.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN s1.user_id IS NOT NULL
+                          AND (s1.ts <> s2.ts OR s1.event_id <> s2.event_id)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN s1.ts = s2.ts AND s1.event_id = s2.event_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM s2 LEFT JOIN s1
+      ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+    GROUP BY s2.event_type
+    """,
+)
+def snapshot_diff_asof(spark, sf_dir):
+    """Snapshot diff between two point-in-time reads (t1 < t2) of the
+    versioned cell store: every coordinate visible at t2 is classified
+    added (no version existed at t1), changed (the winning version
+    moved), or unchanged. The log is append-only (no tombstones in
+    this fixture), so 'removed' is structurally impossible and the
+    three counts partition the t2 snapshot exactly — the invariant
+    the test suite pins.
+
+    Spark-first shape: instead of materializing two snapshots and
+    joining them (two shuffles + a join), ONE aggregate over the cell
+    log computes both winners per coordinate as conditional
+    `MAX(struct(ts, event_id))` — struct comparison is lexicographic,
+    so the max IS the latest-version tie-broken winner. One exchange,
+    map-side partials, no join; the per-family rollup rides the same
+    pass. The oracle states the same thing as two CTEs + LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    t1 = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    t2 = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    per_cell = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max(F.when(F.col("ts") <= t1, F.struct("ts", "event_id"))).alias("v1"),
+            F.max(F.when(F.col("ts") <= t2, F.struct("ts", "event_id"))).alias("v2"),
+        )
+        .filter(F.col("v2").isNotNull())
+    )
+    return per_cell.groupBy("event_type").agg(
+        F.sum(F.when(F.col("v1").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(
+            F.when(
+                F.col("v1").isNotNull()
+                & (
+                    (F.col("v1.ts") != F.col("v2.ts"))
+                    | (F.col("v1.event_id") != F.col("v2.event_id"))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(
+            F.when(
+                (F.col("v1.ts") == F.col("v2.ts"))
+                & (F.col("v1.event_id") == F.col("v2.event_id")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )
+
+
+@register(
+    "cells_mob_storage_plan",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CASE WHEN n_chars > 256 THEN 1 ELSE 0 END)
+                AS BIGINT) AS mob_cells,
+           CAST(SUM(CASE WHEN n_chars > 256 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS mob_bytes,
+           CAST(SUM(CASE WHEN n_chars <= 256 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS inline_bytes,
+           CAST(SUM(CASE WHEN n_chars > 256 THEN n_chars ELSE 0 END)
+                * 10000 // GREATEST(SUM(n_chars), 1) AS BIGINT) AS mob_bps,
+           SUM(CASE WHEN n_chars > 256 THEN n_chars ELSE 0 END) * 2
+             > SUM(n_chars) AS mob_dominant
+    FROM documents GROUP BY source
+    """,
+)
+def cells_mob_storage_plan(spark, sf_dir):
+    """MOB (medium-object) storage routing — public HBase MOB
+    semantics (HBASE-11339): a column family with MOB enabled writes
+    cell values above MOB_THRESHOLD to separate MOB hfiles and keeps
+    only a reference inline, so flushes/compactions stop rewriting
+    large values. This op is the capacity-planning readout an
+    operator runs BEFORE enabling MOB: per family (source), how many
+    cells and bytes would route to MOB at threshold 256, the inline
+    residue, and the byte share in exact bps (integer cross-multiply,
+    FLOOR division — no float ratio in the hash path).
+
+    Scale shape: single hash aggregate with map-side combine; at
+    100 TB this is one scan + one exchange on the family key."""
+    docs = load_table(spark, sf_dir, "documents")
+    mob = F.col("n_chars") > 256
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.when(mob, 1).otherwise(0)).cast("bigint").alias("mob_cells"),
+        F.sum(F.when(mob, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("mob_bytes"),
+        F.sum(F.when(~mob, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("inline_bytes"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_chars > 256 THEN n_chars ELSE 0 END) * 10000"
+            " div GREATEST(SUM(n_chars), 1) AS BIGINT)"
+        ).alias("mob_bps"),
+        F.expr(
+            "SUM(CASE WHEN n_chars > 256 THEN n_chars ELSE 0 END) * 2"
+            " > SUM(n_chars)"
+        ).alias("mob_dominant"),
+    )
+
+
+@register(
+    "wal_replication_lag_report",
+    oracle="""
+    WITH now_t AS (SELECT MAX(ts) AS now_ts FROM events),
+    tagged AS (
+      SELECT user_id % 4 AS server_id, ts, now_ts,
+             ts > now_ts - INTERVAL 3 DAY AS pending
+      FROM events CROSS JOIN now_t
+    )
+    SELECT server_id,
+           CAST(COUNT(*) AS BIGINT) AS wal_entries,
+           CAST(SUM(CASE WHEN pending THEN 1 ELSE 0 END)
+                AS BIGINT) AS pending_entries,
+           CAST(COALESCE(MAX(CASE WHEN pending
+                  THEN (epoch_us(now_ts) - epoch_us(ts)) // 1000000
+                  END), 0) AS BIGINT) AS oldest_pending_age_s,
+           SUM(CASE WHEN pending THEN 1 ELSE 0 END) * 10
+             > COUNT(*) AS backlogged
+    FROM tagged GROUP BY server_id
+    """,
+)
+def wal_replication_lag_report(spark, sf_dir):
+    """Replication-sink lag — the public HBase replication metrics
+    `sizeOfLogQueue` / `ageOfLastShippedOp`: each region server ships
+    its WAL edits to a peer cluster; entries newer than the shipped
+    watermark (here: now − 3 days, a fixed simulated sink position)
+    are still queued, and the age of the OLDEST queued edit is the
+    lag a failover would lose. Ages are exact integer seconds
+    (microsecond subtraction, FLOOR division — epoch_us both
+    engines); `backlogged` flags a server whose queue exceeds 10 % of
+    its WAL by integer cross-multiply.
+
+    Scale shape: one-row global MAX broadcast-joined to the scan
+    (map-only), then a single hash aggregate per server — the same
+    two-job readout at any data size."""
+    ev = load_table(spark, sf_dir, "events")
+    now_t = F.broadcast(ev.agg(F.max("ts").alias("now_ts")))
+    tagged = ev.crossJoin(now_t).select(
+        (F.col("user_id") % 4).alias("server_id"),
+        "ts",
+        "now_ts",
+        (F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 3 DAYS")).alias("pending"),
+    )
+    return tagged.groupBy("server_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wal_entries"),
+        F.sum(F.when(F.col("pending"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pending_entries"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pending"),
+                    F.expr("(unix_micros(now_ts) - unix_micros(ts)) div 1000000"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("oldest_pending_age_s"),
+        F.expr("SUM(CASE WHEN pending THEN 1 ELSE 0 END) * 10 > COUNT(*)").alias(
+            "backlogged"
+        ),
+    )

@@ -7020,8 +7020,8 @@ def dedup_minhash_1bit_recall(spark, sf_dir):
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_scored,
            CAST(SUM(is_green) AS BIGINT) AS n_green,
-           ROUND((SUM(is_green) - COUNT(*) * 0.5)
-                 / SQRT(COUNT(*) * 0.25), 6) AS z_score,
+           (ROUND((SUM(is_green) - COUNT(*) * 0.5)
+                  / SQRT(COUNT(*) * 0.25), 6) + 0.0) AS z_score,
            (SUM(is_green) - COUNT(*) * 0.5) * (SUM(is_green) - COUNT(*) * 0.5)
              * 4 > CAST(4 * COUNT(*) AS BIGINT)
              AND SUM(is_green) * 2 > COUNT(*) AS watermark_suspect
@@ -7062,7 +7062,7 @@ def text_watermark_greenlist_score(spark, sf_dir):
     return pairs.groupBy("doc_id").agg(
         n.cast("bigint").alias("n_scored"),
         g.cast("bigint").alias("n_green"),
-        F.round((g - n * 0.5) / F.sqrt(n * 0.25), 6).alias("z_score"),
+        (F.round((g - n * 0.5) / F.sqrt(n * 0.25), 6) + F.lit(0.0)).alias("z_score"),
         (
             ((g - n * 0.5) * (g - n * 0.5) * 4 > (4 * n).cast("bigint"))
             & (g * 2 > n)

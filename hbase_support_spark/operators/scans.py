@@ -1301,3 +1301,128 @@ def layout_compaction_io_amplification(spark, sf_dir):
         .cast("bigint")
         .alias("total_wa_bps"),
     )
+
+
+@register(
+    "scan_fuzzy_rowkey",
+    oracle="""
+    SELECT o_orderkey,
+           LPAD(CAST(o_orderkey AS VARCHAR), 10, '0') AS rowkey
+    FROM orders
+    WHERE SUBSTR(LPAD(CAST(o_orderkey AS VARCHAR), 10, '0'), 8, 2) = '42'
+      AND SUBSTR(LPAD(CAST(o_orderkey AS VARCHAR), 10, '0'), 10, 1) = '7'
+    """,
+)
+def scan_fuzzy_rowkey(spark, sf_dir):
+    """FuzzyRowKeyFilter — HBase's fixed-position rowkey matcher: a
+    mask pins some byte positions of the (fixed-width) rowkey and
+    wildcards the rest, here `???????42?` ∧ `?????????7` over the
+    10-digit zero-padded order key. The composite-key workhorse: keys
+    encoded `<salt><date><id>` are scanned for one embedded field
+    without knowing the others.
+
+    Scale note: a position mask on a fixed-width key is a pure scan
+    predicate — whole-stage-codegen substring compares, no shuffle,
+    and (unlike HBase, which can seek-skip) columnar scan + pushdown
+    gives the same effect: only matching rows survive the scan stage.
+    For a mask that pins a PREFIX, compose with `scan_prefix` to get
+    partition pruning too."""
+    orders = load_table(spark, sf_dir, "orders")
+    rk = F.lpad(F.col("o_orderkey").cast("string"), 10, "0")
+    return (
+        orders.withColumn("rowkey", rk)
+        .filter(
+            (F.substring("rowkey", 8, 2) == "42")
+            & (F.substring("rowkey", 10, 1) == "7")
+        )
+        .select("o_orderkey", "rowkey")
+    )
+
+
+@register(
+    "layout_region_split_policy_sim",
+    oracle="""
+    WITH sized AS (
+      SELECT user_id % 16 AS region,
+             CASE WHEN user_id % 16 < 1 THEN 0
+                  WHEN user_id % 16 < 3 THEN 1
+                  WHEN user_id % 16 < 7 THEN 2
+                  ELSE 3 END AS server,
+             64 + LENGTH(props) AS cell_bytes
+      FROM events
+    ),
+    regions AS (
+      SELECT region, server,
+             CAST(SUM(cell_bytes) AS BIGINT) AS region_bytes
+      FROM sized GROUP BY region, server
+    ),
+    hosted AS (
+      SELECT region, server, region_bytes,
+             CAST(COUNT(*) OVER (PARTITION BY server) AS BIGINT)
+               AS regions_on_server
+      FROM regions
+    )
+    SELECT region, server, regions_on_server, region_bytes,
+           CAST(LEAST(262144,
+                      2 * 16384 * regions_on_server * regions_on_server
+                        * regions_on_server) AS BIGINT) AS split_threshold,
+           region_bytes > LEAST(262144,
+                                2 * 16384 * regions_on_server
+                                  * regions_on_server * regions_on_server)
+             AS will_split
+    FROM hosted
+    """,
+)
+def layout_region_split_policy_sim(spark, sf_dir):
+    """IncreasingToUpperBoundRegionSplitPolicy simulation — HBase's
+    default split rule: a region splits when it exceeds
+    min(maxFileSize, 2 · flushSize · R³) where R is how many regions
+    of the table its server already hosts (public HBase policy;
+    constants scaled to the fixture: flush 16 KiB, cap 256 KiB).
+    Young tables (R=1) split eagerly to spread load; mature servers
+    converge to the flat maxFileSize bound. The fixture skews
+    placement (1/2/4/9 regions per server) so the cubic ramp is
+    exercised across its whole range.
+
+    Scale shape: region sizing is a hash rollup (map-side partials);
+    the per-server R is a COUNT window over the 16-row region table —
+    metadata-scale, like the real master's in-memory region map. The
+    threshold arithmetic is all-integer, so the plan is bit-exact
+    cross-engine."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sized = ev.select(
+        (F.col("user_id") % 16).alias("region"),
+        (F.lit(64) + F.length("props")).alias("cell_bytes"),
+    ).withColumn(
+        "server",
+        F.when(F.col("region") < 1, 0)
+        .when(F.col("region") < 3, 1)
+        .when(F.col("region") < 7, 2)
+        .otherwise(3),
+    )
+    regions = sized.groupBy("region", "server").agg(
+        F.sum("cell_bytes").cast("bigint").alias("region_bytes")
+    )
+    hosted = regions.withColumn(
+        "regions_on_server",
+        F.count(F.lit(1)).over(Window.partitionBy("server")).cast("bigint"),
+    )
+    thr = F.least(
+        F.lit(262144).cast("bigint"),
+        (
+            F.lit(2) * 16384
+            * F.col("regions_on_server")
+            * F.col("regions_on_server")
+            * F.col("regions_on_server")
+        ).cast("bigint"),
+    )
+    return hosted.select(
+        "region",
+        "server",
+        "regions_on_server",
+        "region_bytes",
+        thr.alias("split_threshold"),
+        (F.col("region_bytes") > thr).alias("will_split"),
+    )

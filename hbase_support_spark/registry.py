@@ -73,8 +73,8 @@ def register(name: str, oracle: str | None = None):
 # additions beyond the first 13 roll into the r07 window.
 #
 # Round-6 dry-run of the r07 window (VERDICT r05 item 5; refreshed
-# 2026-08-15 after the batch-7..13 additions took the registry to
-# 372): simulating the staged r06 window green leaves exactly 80
+# 2026-08-15 after the batch-14 additions took the registry to
+# 380): simulating the staged r06 window green leaves exactly 88
 # never-graded names; the r07 window is the first 50 of them in
 # registry order —
 #   1-25 (unchanged from the original dry-run): agg_bitmap_audience_overlap,
@@ -87,19 +87,20 @@ def register(name: str, oracle: str | None = None):
 #     embedding_pca_power_top1, events_activity_deciles,
 #     supplier_sla_report, events_new_vs_returning_revenue,
 #     orders_repeat_purchase_curve, cells_family_stats, scan_multi_range
-#   26-50 (round-6 additions, import order): layout_region_balance_plan,
+#   26-50 (round-6 additions, import order; scans/cells batch-14 ops
+#   land before llm-module ones): layout_region_balance_plan,
 #     source_binaryfile_multimodal, source_csv_malformed_audit,
 #     layout_small_files_compaction_plan, scan_keyset_pagination,
 #     layout_meta_lookup, sample_neyman_allocation,
-#     layout_compaction_io_amplification, cells_delete_marker_precedence,
+#     layout_compaction_io_amplification, scan_fuzzy_rowkey,
+#     layout_region_split_policy_sim, cells_delete_marker_precedence,
 #     txlog_replay_gap_audit, cells_compaction_reclaim_preview,
+#     cells_version_gc_policy, wal_rollover_plan,
+#     cells_column_pagination, snapshot_diff_asof,
+#     cells_mob_storage_plan, wal_replication_lag_report,
 #     join_null_key_bypass, privacy_t_closeness, events_anova_f_oneway,
-#     events_sprt_sequential_test, events_srm_check, privacy_masking_view,
-#     pipeline_curriculum_order, orders_littles_law_audit,
-#     privacy_dp_sensitivity_report, agg_theta_sketch_users,
-#     events_ctr_wilson_rank, agg_hdr_histogram_p99,
-#     events_kendall_tau_campaigns, orders_skyline_customers
-# The remaining 30 round-6 additions open the r08 window; with green
+#     events_sprt_sequential_test, events_srm_check, privacy_masking_view
+# The remaining 38 round-6 additions open the r08 window; with green
 # r06+r07, every pre-batch-11 query has a driver verdict by r07-close.
 GRADING_PRIORITY: list[str] = [
     # ---- round-3 window, slots 1-19: the 19 kind-cast fixes (r02 FAILs first)
