@@ -636,3 +636,80 @@ def fn_business_days(spark, sf_dir):
         .cast("bigint")
         .alias("avg_busdays_micro"),
     )
+
+
+def _quadkey_sql(x: str, y: str, levels: int = 8) -> str:
+    """Bing-tile quadkey digits from integer tile coords — portable
+    SQL shared verbatim by both engines (div/% on BIGINTs only):
+    digit i (MSB first) = 2*bit_i(y) + bit_i(x)."""
+    parts = []
+    for i in range(levels):
+        p = 1 << (levels - 1 - i)
+        parts.append(
+            f"CAST((({y}) div {p}) % 2 * 2 + (({x}) div {p}) % 2 AS STRING)"
+        )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+@register(
+    "fn_geo_quadkey",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 37) % 18000 AS lat_h,
+             (c_custkey * 73) % 36000 AS lon_h
+      FROM customer
+    ),
+    tiles AS (
+      SELECT c_custkey, lat_h, lon_h,
+             (lon_h * 256) // 36000 AS tile_x,
+             (lat_h * 256) // 18000 AS tile_y
+      FROM pts
+    )
+    SELECT c_custkey, tile_x, tile_y,
+           CONCAT(
+             CAST((tile_y // 128) % 2 * 2 + (tile_x // 128) % 2 AS VARCHAR),
+             CAST((tile_y //  64) % 2 * 2 + (tile_x //  64) % 2 AS VARCHAR),
+             CAST((tile_y //  32) % 2 * 2 + (tile_x //  32) % 2 AS VARCHAR),
+             CAST((tile_y //  16) % 2 * 2 + (tile_x //  16) % 2 AS VARCHAR),
+             CAST((tile_y //   8) % 2 * 2 + (tile_x //   8) % 2 AS VARCHAR),
+             CAST((tile_y //   4) % 2 * 2 + (tile_x //   4) % 2 AS VARCHAR),
+             CAST((tile_y //   2) % 2 * 2 + (tile_x //   2) % 2 AS VARCHAR),
+             CAST((tile_y //   1) % 2 * 2 + (tile_x //   1) % 2 AS VARCHAR)
+           ) AS quadkey
+    FROM tiles
+    """,
+)
+def fn_geo_quadkey(spark, sf_dir):
+    """Level-8 map-tile quadkey encoding — the Bing-maps key scheme
+    (public: Microsoft tile-system docs) that turns a 2-D point into
+    ONE sortable string whose prefixes are coarser tiles, so a plain
+    range scan answers 'everything in this tile' — the standard way
+    to put geo data under a rowkey-range store like HBase (and the
+    geohash idea generally). Coordinates are synthesized
+    deterministically in integer hundredths of a degree, projected to
+    a 256x256 equirectangular grid by integer cross-multiply, and the
+    quadkey digits are pure div/mod bit interleaving — no floats, no
+    trig, identical in any engine.
+
+    Scale shape: per-row whole-stage-codegen expressions only (16
+    divs + a concat), no shuffle at all — an encoder you'd inline
+    into any ingest pipeline. Prefix-range queries over the result
+    then partition-prune like any string rowkey."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 18000).alias("lat_h"),
+        ((F.col("c_custkey") * 73) % 36000).alias("lon_h"),
+    )
+    tiles = pts.select(
+        "c_custkey",
+        F.expr("lon_h * 256 div 36000").alias("tile_x"),
+        F.expr("lat_h * 256 div 18000").alias("tile_y"),
+    )
+    return tiles.select(
+        "c_custkey",
+        "tile_x",
+        "tile_y",
+        F.expr(_quadkey_sql("tile_x", "tile_y")).alias("quadkey"),
+    )

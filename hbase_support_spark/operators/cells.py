@@ -1696,3 +1696,134 @@ def wal_replication_lag_report(spark, sf_dir):
             "backlogged"
         ),
     )
+
+
+@register(
+    "cells_put_if_absent_replay",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS attempt,
+             64 + LENGTH(props) AS cell_bytes
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_ops,
+           CAST(SUM(CASE WHEN attempt = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_success,
+           CAST(SUM(CASE WHEN attempt > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rejected,
+           CAST(SUM(CASE WHEN attempt > 1 THEN cell_bytes ELSE 0 END)
+                AS BIGINT) AS rejected_bytes,
+           CAST(SUM(CASE WHEN attempt > 1 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS reject_bps
+    FROM ordered GROUP BY event_type
+    """,
+)
+def cells_put_if_absent_replay(spark, sf_dir):
+    """checkAndPut(value == null) — HBase's putIfAbsent CAS: the
+    FIRST write to a coordinate (rowkey x qualifier, here
+    user_id x event_type) wins and every later attempt is rejected
+    by the atomic pre-check. Replaying the op log yields the
+    contention report: per family, how many CAS attempts lost the
+    race and how many bytes the client shipped for nothing —
+    the readout that decides between CAS retry loops and an
+    append-then-compact design. Arrival order is the HBase one
+    (mvcc = timestamp, op id as the tie-break), all-integer.
+
+    Scale shape: one window pass partitioned BY COORDINATE (the
+    natural high-cardinality key — no skew pile-up) feeding one
+    map-side-combining hash agg to family rows; the same two
+    exchanges at any log size."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("attempt"),
+        (F.lit(64) + F.length("props")).alias("cell_bytes"),
+    )
+    rejected = F.sum(F.when(F.col("attempt") > 1, 1).otherwise(0))
+    return ordered.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ops"),
+        F.sum(F.when(F.col("attempt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_success"),
+        rejected.cast("bigint").alias("n_rejected"),
+        F.sum(F.when(F.col("attempt") > 1, F.col("cell_bytes")).otherwise(0))
+        .cast("bigint")
+        .alias("rejected_bytes"),
+        F.expr(
+            "CAST(SUM(CASE WHEN attempt > 1 THEN 1 ELSE 0 END) * 10000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("reject_bps"),
+    )
+
+
+@register(
+    "scan_timerange_versions",
+    oracle="""
+    WITH in_range AS (
+      SELECT event_type, user_id, 64 + LENGTH(props) AS cell_bytes,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS vrank
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08'
+        AND ts <  TIMESTAMP '2024-01-15'
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_in_range,
+           CAST(SUM(CASE WHEN vrank <= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN vrank > 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suppressed,
+           CAST(SUM(CASE WHEN vrank <= 2 THEN cell_bytes ELSE 0 END)
+                AS BIGINT) AS returned_bytes,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_rows_touched
+    FROM in_range GROUP BY event_type
+    """,
+)
+def scan_timerange_versions(spark, sf_dir):
+    """Scan.setTimeRange(t1, t2) + setMaxVersions(2) — the composed
+    HBase read semantics: the time range filters CELLS first (not
+    rows), THEN version counting keeps the 2 newest survivors per
+    coordinate. The order matters — a cell that is version 3 overall
+    can be version 1 inside the range — and this op grades exactly
+    that composition, per family, with the suppressed-cell and
+    byte-volume census an hfile-pruning planner needs.
+
+    Scale shape: the time predicate is pushed to the parquet scan
+    (min/max row-group pruning — the hfile timerange skip,
+    columnar), then one coordinate-partitioned window and one hash
+    agg; bytes scanned shrink with the range, not the table."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    in_range = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = in_range.select(
+        "event_type",
+        "user_id",
+        (F.lit(64) + F.length("props")).alias("cell_bytes"),
+        F.row_number().over(w).alias("vrank"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_range"),
+        F.sum(F.when(F.col("vrank") <= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returned"),
+        F.sum(F.when(F.col("vrank") > 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppressed"),
+        F.sum(F.when(F.col("vrank") <= 2, F.col("cell_bytes")).otherwise(0))
+        .cast("bigint")
+        .alias("returned_bytes"),
+        F.countDistinct("user_id").cast("bigint").alias("n_rows_touched"),
+    )

@@ -502,3 +502,88 @@ def graph_jaccard_nation_trade(spark, sf_dir):
             .alias("jaccard_micro"),
         )
     )
+
+
+@register(
+    "graph_connected_components",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_partkey < l2.l_partkey
+       AND l1.l_quantity = l2.l_quantity
+    ),
+    edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    adj AS (SELECT a AS id, b AS nbr FROM edges
+            UNION ALL SELECT id, id AS nbr FROM verts),
+    l0 AS (SELECT id, id AS lbl FROM verts),
+    r1 AS (SELECT adj.id, MIN(l0.lbl) AS lbl
+           FROM adj JOIN l0 ON adj.nbr = l0.id GROUP BY adj.id),
+    r2 AS (SELECT adj.id, MIN(r1.lbl) AS lbl
+           FROM adj JOIN r1 ON adj.nbr = r1.id GROUP BY adj.id),
+    r3 AS (SELECT adj.id, MIN(r2.lbl) AS lbl
+           FROM adj JOIN r2 ON adj.nbr = r2.id GROUP BY adj.id),
+    r4 AS (SELECT adj.id, MIN(r3.lbl) AS lbl
+           FROM adj JOIN r3 ON adj.nbr = r3.id GROUP BY adj.id)
+    SELECT CAST(lbl AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(id) AS BIGINT) AS min_member,
+           CAST(MAX(id) AS BIGINT) AS max_member
+    FROM r4 GROUP BY lbl
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components by bounded min-label propagation — the
+    canonical Pregel/GraphX algorithm expressed as 4 relational
+    supersteps: every vertex starts labeled with its own id, each
+    round takes the MIN label over itself and its neighbors
+    (self-loop-augmented adjacency makes that one join + one MIN
+    agg), and after k rounds labels are exact for every component of
+    diameter <= k. The graph is the equal-quantity co-purchase graph
+    (parts in one order with matching quantity — a sparse similarity
+    graph, many small components), and the fixed round count keeps
+    the query deterministic and fully SQL-oracle-checkable, the same
+    bounded-superstep decision as graph_bfs_hops.
+
+    Scale shape: the adjacency list is derived once and pinned
+    (localCheckpoint) so 4 supersteps don't re-derive the self-join;
+    each superstep is one shuffle-join on nbr + one map-side-
+    combining MIN agg on id — exactly GraphX's aggregateMessages
+    plan. Label state is one row per vertex; MIN makes every round
+    order-independent, so the result is partitioning-invariant."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey"))
+            & (F.col("a.l_quantity") == F.col("b.l_quantity")),
+        )
+        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .distinct()
+    )
+    edges = pairs.unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    verts = edges.select(F.col("a").alias("id")).distinct()
+    adj = (
+        edges.select(F.col("a").alias("id"), F.col("b").alias("nbr"))
+        .unionAll(verts.select("id", F.col("id").alias("nbr")))
+        .localCheckpoint(eager=False)
+    )
+    labels = verts.select("id", F.col("id").alias("lbl"))
+    for _ in range(4):
+        lab = labels.select(F.col("id").alias("nid"), "lbl")
+        labels = (
+            adj.join(lab, adj.nbr == lab.nid)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return labels.groupBy(F.col("lbl").cast("bigint").alias("component")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min(F.col("id")).cast("bigint").alias("min_member"),
+        F.max(F.col("id")).cast("bigint").alias("max_member"),
+    )

@@ -7603,3 +7603,65 @@ def dedup_bloom_prefilter_audit(spark, sf_dir):
         .cast("bigint")
         .alias("fp_bps"),
     )
+
+
+_SW_PROFILE = (
+    "the a an and or of to in is it for on with as at by be this that are "
+    "was from not have has had but will would can could"
+).split()
+
+
+@register(
+    "text_stopword_profile",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             len({D_TOKENS}) AS n_tokens,
+             len(list_filter({D_TOKENS},
+                 w -> list_contains({_SW_PROFILE!r}, w))) AS n_stop
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_stop) AS BIGINT) AS n_stop,
+           CAST(SUM(n_stop) * 10000 // GREATEST(SUM(n_tokens), 1)
+                AS BIGINT) AS stop_bps,
+           CAST(SUM(CASE WHEN n_stop * 5 > n_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_high_stop
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_stopword_profile(spark, sf_dir):
+    """Stopword-density profile per corpus source — the classic
+    C4/CCNet-style quality signal: natural prose carries a stable
+    share of function words, while boilerplate, navigation chrome,
+    and generated keyword-stuffing text sit far off that band. A doc
+    whose stopwords exceed 20 % of tokens (n_stop*5 > n_tokens) is
+    counted as prose-like; the per-source bps ratio (exact integer
+    cross-multiply) compares corpora for mixing decisions.
+
+    Scale shape: the stopword count is a per-row array fold
+    (filter over the shared whitespace tokenizer) — NO explode, so
+    a billion-doc corpus never fans out to a token table; one
+    map-side-combining hash agg to source rows ends the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in _SW_PROFILE)
+    per_doc = docs.select(
+        "source",
+        F.expr(f"size({TOKENS})").alias("n_tokens"),
+        F.expr(
+            f"size(filter({TOKENS}, w -> array_contains(array({sw}), w)))"
+        ).alias("n_stop"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_stop").cast("bigint").alias("n_stop"),
+        F.expr(
+            "CAST(SUM(n_stop) * 10000 div GREATEST(SUM(n_tokens), 1) AS BIGINT)"
+        ).alias("stop_bps"),
+        F.sum(F.when(F.col("n_stop") * 5 > F.col("n_tokens"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_high_stop"),
+    )

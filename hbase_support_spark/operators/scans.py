@@ -1426,3 +1426,176 @@ def layout_region_split_policy_sim(spark, sf_dir):
         thr.alias("split_threshold"),
         (F.col("region_bytes") > thr).alias("will_split"),
     )
+
+
+@register(
+    "layout_rpc_quota_throttle",
+    oracle="""
+    WITH reqs AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS seq
+      FROM events
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(SUM(CASE WHEN seq > 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_throttled,
+           CAST(COUNT(DISTINCT CASE WHEN seq > 4 THEN user_id END)
+                AS BIGINT) AS n_users_throttled,
+           CAST(SUM(CASE WHEN seq > 4 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS throttle_bps
+    FROM reqs GROUP BY day
+    """,
+)
+def layout_rpc_quota_throttle(spark, sf_dir):
+    """RPC quota enforcement (hbase.quota.* / RpcThrottlingException)
+    replayed over the request log: each user gets 4 requests per day;
+    request #5+ inside the window would have been throttled. The
+    per-day census — how many requests bounced, how many distinct
+    users hit the limiter — is the sizing study an admin runs BEFORE
+    turning quotas on, answered from the access log alone.
+
+    Scale shape: one window pass partitioned by (user, day) — the
+    quota key itself, so cardinality grows with users and the
+    pass never piles onto one reducer — then a map-side-combining
+    hash agg to one row per day."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    reqs = ev.select(
+        day.alias("day"),
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+    )
+    over = F.col("seq") > 4
+    return reqs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_requests"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_throttled"),
+        F.countDistinct(F.when(over, F.col("user_id")))
+        .cast("bigint")
+        .alias("n_users_throttled"),
+        F.expr(
+            "CAST(SUM(CASE WHEN seq > 4 THEN 1 ELSE 0 END) * 10000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("throttle_bps"),
+    )
+
+
+@register(
+    "scan_multiget_batch_plan",
+    oracle="""
+    WITH gets AS (
+      SELECT o_orderkey, o_orderkey // 2048 AS region
+      FROM orders WHERE o_orderkey % 7 = 3
+    )
+    SELECT region,
+           CAST(COUNT(*) AS BIGINT) AS n_gets,
+           CAST((COUNT(*) + 99) // 100 AS BIGINT) AS n_rpc_batches,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS last_key,
+           CAST(COUNT(*) * 10000 // SUM(COUNT(*)) OVER ()
+                AS BIGINT) AS share_bps
+    FROM gets GROUP BY region
+    """,
+)
+def scan_multiget_batch_plan(spark, sf_dir):
+    """Client MultiGet routing — HTable.get(List<Get>) semantics: the
+    client groups a key list by owning region and ships one
+    MultiAction RPC per region per 100 gets
+    (hbase.client.max.perregion.tasks flavor). Given a request list
+    (every 7th key, a scattered point-read workload), this plans the
+    RPC fan-out: gets per region, ceil-div batch count, key span, and
+    each region's share of the load in exact bps — the hotspot check
+    for a read-path batch job.
+
+    Scale shape: pure scan predicate + one hash agg on the region
+    key; the single-row share denominator is a tiny window over the
+    16-ish aggregated rows, not the data."""
+    orders = load_table(spark, sf_dir, "orders")
+    gets = orders.filter(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey", F.expr("o_orderkey div 2048").alias("region")
+    )
+    per = gets.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gets"),
+        F.expr("CAST((COUNT(*) + 99) div 100 AS BIGINT)").alias("n_rpc_batches"),
+        F.min("o_orderkey").cast("bigint").alias("first_key"),
+        F.max("o_orderkey").cast("bigint").alias("last_key"),
+    )
+    return per.withColumn(
+        "share_bps",
+        F.expr("CAST(n_gets * 10000 div SUM(n_gets) OVER () AS BIGINT)"),
+    )
+
+
+@register(
+    "layout_region_normalizer_plan",
+    oracle="""
+    WITH regions AS (
+      SELECT LEAST(user_id // 4, 15) AS region,
+             CAST(SUM(64 + LENGTH(props)) AS BIGINT) AS region_bytes
+      FROM events GROUP BY LEAST(user_id // 4, 15)
+    ),
+    avg_t AS (
+      SELECT SUM(region_bytes) // COUNT(*) AS avg_bytes FROM regions
+    ),
+    seq AS (
+      SELECT region, region_bytes, avg_bytes,
+             LEAD(region_bytes) OVER (ORDER BY region) AS next_bytes
+      FROM regions CROSS JOIN avg_t
+    )
+    SELECT region, region_bytes,
+           CAST(avg_bytes AS BIGINT) AS avg_bytes,
+           CASE WHEN region_bytes > 2 * avg_bytes THEN 'split'
+                WHEN next_bytes IS NOT NULL
+                     AND region_bytes + next_bytes < avg_bytes
+                  THEN 'merge_with_next'
+                ELSE 'none' END AS action
+    FROM seq
+    """,
+)
+def layout_region_normalizer_plan(spark, sf_dir):
+    """SimpleRegionNormalizer — HBase's background re-balancer: a
+    region larger than 2x the table average is a split candidate; two
+    ADJACENT regions whose combined size is under the average are a
+    merge candidate (adjacency = rowkey-range order, so only
+    neighbors can merge). The skewed fixture layout (4 users per
+    region, the tail piled into region 15) reproduces the real
+    trigger: organic growth concentrating in one key range. All
+    thresholds are integer (floor-average, integer doubling).
+
+    Scale shape: one hash agg to region granularity (16 rows at any
+    data size), then a driver-scale LEAD window over those rows —
+    the normalizer plans over region METADATA, never the data."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    regions = (
+        ev.select(
+            F.least(F.expr("user_id div 4"), F.lit(15)).alias("region"),
+            (F.lit(64) + F.length("props")).alias("cell_bytes"),
+        )
+        .groupBy("region")
+        .agg(F.sum("cell_bytes").cast("bigint").alias("region_bytes"))
+    )
+    avg_t = regions.agg(
+        F.expr("SUM(region_bytes) div COUNT(*)").alias("avg_bytes")
+    )
+    seq = regions.crossJoin(F.broadcast(avg_t)).withColumn(
+        "next_bytes", F.lead("region_bytes").over(Window.orderBy("region"))
+    )
+    return seq.select(
+        "region",
+        "region_bytes",
+        F.col("avg_bytes").cast("bigint").alias("avg_bytes"),
+        F.when(F.col("region_bytes") > 2 * F.col("avg_bytes"), "split")
+        .when(
+            F.col("next_bytes").isNotNull()
+            & (F.col("region_bytes") + F.col("next_bytes") < F.col("avg_bytes")),
+            "merge_with_next",
+        )
+        .otherwise("none")
+        .alias("action"),
+    )
