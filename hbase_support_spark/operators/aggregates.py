@@ -4971,3 +4971,131 @@ def events_attribution_time_decay(spark, sf_dir):
         "credit_micro",
         F.expr("credit_micro * 10000 div total").cast("bigint").alias("share_bps"),
     )
+
+
+@register(
+    "agg_skewness_kurtosis",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             CAST(SUM(v * v) AS BIGINT) AS s2,
+             CAST(SUM(v * v * v) AS BIGINT) AS s3,
+             CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+      FROM q GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, n, s1, s2, s3, s4,
+           ((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+            - ((3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+               * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+            + (2.0 * ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))))
+           / (((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+               - ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+              * SQRT((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                     - ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))))
+             AS skewness,
+           (((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+             - ((4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)))
+             + ((6.0 * ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+             - (3.0 * (((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))))
+            / (((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                - ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+               * ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  - ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))))
+           - 3.0 AS kurtosis_excess
+    FROM m
+    """,
+)
+def agg_skewness_kurtosis(spark, sf_dir):
+    """Population skewness and excess kurtosis of order quantities
+    per (returnflag, linestatus) — the 3rd/4th-moment shape profile
+    a data-quality monitor tracks for drift. The distributed part is
+    ONE hash aggregation producing exact BIGINT power sums s1..s4
+    (quantities are small integers, so v^4 fits with orders of
+    magnitude to spare: 50^4 * 6e4 ~ 4e11); the shape statistics are
+    then derived from those integers by a single closed-form double
+    expression written token-for-token identically in both engines
+    (only IEEE-exact ops: binary64 divide / multiply / subtract and
+    correctly-rounded SQRT), so the floats are bit-identical without
+    any rounding step. Central moments come from the power-sum
+    identities m2 = E[x^2]-mu^2, m3 = E[x^3]-3mu E[x^2]+2mu^3,
+    m4 = E[x^4]-4mu E[x^3]+6mu^2 E[x^2]-3mu^4.
+
+    Scale shape: map-side partial aggregation into 4 groups — the
+    cheapest possible statistic at 100 TB (one pass, five counters
+    per group per task). At petabyte group cardinalities the BIGINT
+    headroom rule is the one to re-check: bin values so max|v|^4 * n
+    stays under 2^63, exactly as the variance ops bin cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    m = (
+        li.select("l_returnflag", "l_linestatus", v.alias("v"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+            F.sum(F.col("v") * F.col("v") * F.col("v"))
+            .cast("bigint")
+            .alias("s3"),
+            F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v"))
+            .cast("bigint")
+            .alias("s4"),
+        )
+    )
+    skew = """
+           ((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+            - ((3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+               * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+            + (2.0 * ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))))
+           / (((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+               - ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+              * SQRT((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                     - ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))))
+    """
+    kurt = """
+           (((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+             - ((4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)))
+             + ((6.0 * ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+             - (3.0 * (((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))))
+            / (((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                - ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+               * ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  - ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))))
+           - 3.0
+    """
+    return m.select(
+        "l_returnflag", "l_linestatus", "n", "s1", "s2", "s3", "s4",
+        F.expr(skew).alias("skewness"),
+        F.expr(kurt).alias("kurtosis_excess"),
+    )

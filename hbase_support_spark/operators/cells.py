@@ -1827,3 +1827,76 @@ def scan_timerange_versions(spark, sf_dir):
         .alias("returned_bytes"),
         F.countDistinct("user_id").cast("bigint").alias("n_rows_touched"),
     )
+
+
+@register(
+    "cells_bulkload_hfile_plan",
+    oracle="""
+    WITH kv AS (
+      SELECT user_id, user_id // 16 AS region,
+             32 + LENGTH(event_type) + LENGTH(props) AS kv_bytes,
+             event_type, ts, event_id
+      FROM events
+    ),
+    c AS (
+      SELECT region, user_id, kv_bytes,
+             SUM(kv_bytes) OVER (PARTITION BY region
+                                 ORDER BY user_id, event_type, ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM kv
+    )
+    SELECT region, CAST((cum - 1) // 8192 AS BIGINT) AS hfile,
+           CAST(COUNT(*) AS BIGINT) AS n_kvs,
+           CAST(SUM(kv_bytes) AS BIGINT) AS file_bytes,
+           CAST(MIN(user_id) AS BIGINT) AS first_key,
+           CAST(MAX(user_id) AS BIGINT) AS last_key
+    FROM c GROUP BY region, (cum - 1) // 8192
+    """,
+)
+def cells_bulkload_hfile_plan(spark, sf_dir):
+    """Bulk-load HFile partition plan — the write side of
+    LoadIncrementalHFiles: KVs destined for a bulk load are sorted in
+    HBase cell order (rowkey, qualifier, timestamp) WITHIN each
+    target region (an HFile must never cross a region boundary or
+    the loader splits it server-side, the classic bulkload
+    anti-pattern), and the running byte total cuts a new HFile every
+    8 KiB (hbase.mapreduce.hfileoutputformat.blocksize scaled to the
+    fixture). The plan reports, per (region, hfile), the KV count,
+    byte size, and first/last rowkey — exactly the manifest a
+    LoadIncrementalHFiles dry run prints. Boundaries are integer
+    cum-div cuts over a uniquely-ordered BIGINT running sum, so the
+    file assignment is bit-identical cross-engine.
+
+    Scale shape: ONE exchange on the region key with an in-partition
+    sort — the same physical shape as the real HFileOutputFormat
+    (TotalOrderPartitioner by region start key + per-reducer sort);
+    the per-file rollup reuses the same partitioning map-side. At
+    100 TB the only knob is region count: more regions = more, more
+    parallel, smaller sorts."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        "user_id",
+        F.expr("user_id div 16").alias("region"),
+        (F.lit(32) + F.length("event_type") + F.length("props")).alias(
+            "kv_bytes"
+        ),
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("region")
+        .orderBy("user_id", "event_type", "ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = kv.withColumn("cum", F.sum("kv_bytes").over(w))
+    return (
+        c.withColumn("hfile", F.expr("(cum - 1) div 8192").cast("bigint"))
+        .groupBy("region", "hfile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kvs"),
+            F.sum("kv_bytes").cast("bigint").alias("file_bytes"),
+            F.min("user_id").cast("bigint").alias("first_key"),
+            F.max("user_id").cast("bigint").alias("last_key"),
+        )
+    )

@@ -587,3 +587,93 @@ def graph_connected_components(spark, sf_dir):
         F.min(F.col("id")).cast("bigint").alias("min_member"),
         F.max(F.col("id")).cast("bigint").alias("max_member"),
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ds AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg_s
+           FROM edges GROUP BY s),
+    dc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS deg_c
+           FROM edges GROUP BY c),
+    j AS (
+      SELECT ds.deg_s AS x, dc.deg_c AS y
+      FROM edges e JOIN ds ON e.s = ds.s JOIN dc ON e.c = dc.c
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM j
+    )
+    SELECT n, sx, sy, sxy, sx2, sy2,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+            - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+           / (SQRT((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                   - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * SQRT((CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                     - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             AS assortativity
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the supplier-customer trade graph —
+    the Pearson correlation of endpoint degrees over edges (Newman
+    2002): do high-degree suppliers trade with high-degree customers
+    (assortative, r>0) or with the long tail (disassortative, r<0)?
+    Edges are the distinct supplier-customer pairs in the fact
+    table; each endpoint's degree is its distinct-neighbor count;
+    the statistic is derived from six exact BIGINT edge-level moments
+    by one closed-form double expression written identically in both
+    engines (IEEE divide/multiply/subtract + correctly-rounded SQRT,
+    so bit-identical with no rounding step). Degree products are
+    bounded (deg <= node count of the other side), keeping every
+    moment far inside BIGINT at fixture scale; the docstringed
+    headroom rule at 100 TB is the same as every moments op: bin or
+    cap degrees so n * max(x*y) stays under 2^63.
+
+    Scale shape: dedup shuffles on the edge key; the two degree
+    tables are node-cardinality (tiny relative to edges) and
+    broadcast back onto edges, so the moment pass is map-only; the
+    final reduce is a single 6-counter aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    ds = edges.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg_s"))
+    dc = edges.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("deg_c"))
+    j = (
+        edges.join(F.broadcast(ds), "s")
+        .join(F.broadcast(dc), "c")
+        .select(F.col("deg_s").alias("x"), F.col("deg_c").alias("y"))
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+    r = """
+        ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+         - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        / (SQRT((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * SQRT((CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                  - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+    """
+    return m.select(
+        "n", "sx", "sy", "sxy", "sx2", "sy2", F.expr(r).alias("assortativity")
+    )

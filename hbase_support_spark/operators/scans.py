@@ -1599,3 +1599,95 @@ def layout_region_normalizer_plan(spark, sf_dir):
         .otherwise("none")
         .alias("action"),
     )
+
+
+@register(
+    "layout_balancer_cost_model",
+    oracle="""
+    WITH regions AS (
+      SELECT o_custkey // 32 AS region_id,
+             CAST((o_custkey // 32) % 8 AS BIGINT) AS server,
+             CAST(COUNT(*) AS BIGINT) AS read_reqs,
+             CAST(SUM(24 + LENGTH(o_orderpriority)) AS BIGINT) AS store_bytes
+      FROM orders GROUP BY o_custkey // 32
+    ),
+    servers AS (
+      SELECT server,
+             CAST(COUNT(*) AS BIGINT) AS n_regions,
+             CAST(SUM(read_reqs) AS BIGINT) AS total_reqs,
+             CAST(SUM(store_bytes) AS BIGINT) AS total_bytes
+      FROM regions GROUP BY server
+    ),
+    scored AS (
+      SELECT server, n_regions, total_reqs, total_bytes,
+             MAX(n_regions) OVER () AS maxr, MIN(n_regions) OVER () AS minr,
+             MAX(total_bytes) OVER () AS maxb, MIN(total_bytes) OVER () AS minb
+      FROM servers
+    )
+    SELECT server, n_regions, total_reqs, total_bytes,
+           CAST(((maxr - minr) * 10000) // maxr AS BIGINT) AS count_skew_bps,
+           CAST(((maxb - minb) * 10000) // maxb AS BIGINT) AS size_skew_bps,
+           CAST(((6 * (((maxr - minr) * 10000) // maxr))
+                 + (4 * (((maxb - minb) * 10000) // maxb))) // 10
+                AS BIGINT) AS cluster_cost_bps
+    FROM scored
+    """,
+)
+def layout_balancer_cost_model(spark, sf_dir):
+    """StochasticLoadBalancer-style cluster cost readout — the two
+    dominant cost components HBase's balancer minimizes (region-count
+    skew and store-size skew across region servers), computed as
+    exact basis-point range ratios ((max-min)/max) and blended with
+    the balancer's heavier weight on region count. Regions are the
+    rowkey-range buckets of the salted layout (custkey div 32),
+    placed round-robin on 8 servers — so count skew is near zero by
+    construction while byte skew reflects real per-customer volume
+    variance, exactly the situation where the real balancer starts
+    moving regions by size. Every ratio is integer division of
+    non-negative BIGINTs, bit-identical cross-engine; the cluster
+    score is repeated on each server row (the per-server columns are
+    what an operator pages through; the score is the sort key).
+
+    Scale shape: region stats are one map-side-combinable hash agg on
+    the fact table; server stats aggregate ~regions rows; the
+    MAX/MIN-over-() window runs on server-count rows (8 here, a few
+    hundred in production) — driver-trivial by construction, never a
+    data-volume operator."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    regions = (
+        o.select(
+            F.expr("o_custkey div 32").alias("region_id"),
+            (F.lit(24) + F.length("o_orderpriority")).alias("row_bytes"),
+        )
+        .groupBy("region_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("read_reqs"),
+            F.sum("row_bytes").cast("bigint").alias("store_bytes"),
+        )
+        .withColumn("server", (F.col("region_id") % 8).cast("bigint"))
+    )
+    servers = regions.groupBy("server").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_regions"),
+        F.sum("read_reqs").cast("bigint").alias("total_reqs"),
+        F.sum("store_bytes").cast("bigint").alias("total_bytes"),
+    )
+    wall = Window.partitionBy()
+    scored = (
+        servers.withColumn("maxr", F.max("n_regions").over(wall))
+        .withColumn("minr", F.min("n_regions").over(wall))
+        .withColumn("maxb", F.max("total_bytes").over(wall))
+        .withColumn("minb", F.min("total_bytes").over(wall))
+    )
+    count_skew = F.expr("((maxr - minr) * 10000) div maxr")
+    size_skew = F.expr("((maxb - minb) * 10000) div maxb")
+    return scored.select(
+        "server", "n_regions", "total_reqs", "total_bytes",
+        count_skew.cast("bigint").alias("count_skew_bps"),
+        size_skew.cast("bigint").alias("size_skew_bps"),
+        F.expr(
+            "((6 * (((maxr - minr) * 10000) div maxr))"
+            " + (4 * (((maxb - minb) * 10000) div maxb))) div 10"
+        ).cast("bigint").alias("cluster_cost_bps"),
+    )

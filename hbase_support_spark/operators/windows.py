@@ -1091,3 +1091,199 @@ def win_drawdown_duration(spark, sf_dir):
         F.sum("len").cast("bigint").alias("underwater_events"),
         F.max("len").cast("bigint").alias("longest_spell"),
     )
+
+
+@register(
+    "win_rsi_cutler",
+    oracle="""
+    WITH bars AS (
+      SELECT o_orderpriority AS priority, o_orderdate AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS close_c
+      FROM orders GROUP BY o_orderpriority, o_orderdate
+    ),
+    d AS (
+      SELECT priority, day, close_c,
+             close_c - LAG(close_c) OVER (PARTITION BY priority
+                                          ORDER BY day) AS diff
+      FROM bars
+    ),
+    f AS (
+      SELECT priority, day,
+             CAST(COUNT(diff) OVER w AS BIGINT) AS n14,
+             CAST(SUM(GREATEST(diff, 0)) OVER w AS BIGINT) AS gain_c,
+             CAST(SUM(GREATEST(-diff, 0)) OVER w AS BIGINT) AS loss_c
+      FROM d
+      WINDOW w AS (PARTITION BY priority ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT priority, day, gain_c, loss_c,
+           CAST(CASE WHEN gain_c + loss_c = 0 THEN 5000
+                     ELSE (10000 * gain_c) // (gain_c + loss_c)
+                END AS BIGINT) AS rsi_bps
+    FROM f WHERE n14 = 14
+    """,
+)
+def win_rsi_cutler(spark, sf_dir):
+    """Cutler's 14-period RSI over the daily order-revenue series per
+    priority class — the momentum oscillator in its simple-moving
+    form (plain 14-bar gain/loss sums) rather than Wilder's form,
+    because Wilder smoothing is an infinite exponential recursion
+    with a non-dyadic alpha=1/14 that no engine pair reproduces
+    bit-exactly, while Cutler's is pure bounded-frame integer
+    arithmetic: day-over-day diffs of integer-cent closes, trailing
+    sums of the positive and negative parts, and a basis-point ratio
+    via integer division (both operands non-negative, so DuckDB's
+    truncate-toward-zero `//` and Spark's `div` agree). The
+    zero-motion frame (14 flat days) is pinned to RSI=50 exactly as
+    chartists define it. Warm-up frames (<14 diffs) are excluded.
+
+    Scale shape: one exchange on the series key serves the daily
+    rollup, the lag, and both trailing sums; every frame is
+    ROWS-bounded so the window exec streams in constant memory —
+    no unbounded-frame state, no second shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    bars = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(F.sum(cents).cast("bigint").alias("close_c"))
+    ws = Window.partitionBy("priority").orderBy("day")
+    d = bars.withColumn("diff", F.col("close_c") - F.lag("close_c").over(ws))
+    wf = ws.rowsBetween(-13, Window.currentRow)
+    f = d.select(
+        "priority",
+        "day",
+        F.count("diff").over(wf).cast("bigint").alias("n14"),
+        F.sum(F.greatest("diff", F.lit(0))).over(wf).cast("bigint").alias("gain_c"),
+        F.sum(F.greatest(-F.col("diff"), F.lit(0)))
+        .over(wf)
+        .cast("bigint")
+        .alias("loss_c"),
+    ).filter(F.col("n14") == 14)
+    return f.select(
+        "priority",
+        "day",
+        "gain_c",
+        "loss_c",
+        F.when(F.col("gain_c") + F.col("loss_c") == 0, F.lit(5000))
+        .otherwise(F.expr("(10000 * gain_c) div (gain_c + loss_c)"))
+        .cast("bigint")
+        .alias("rsi_bps"),
+    )
+
+
+@register(
+    "win_stochastic_oscillator",
+    oracle="""
+    WITH pr AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    bars AS (
+      SELECT event_type, day,
+             CAST(MAX(cents) AS BIGINT) AS hi,
+             CAST(MIN(cents) AS BIGINT) AS lo,
+             CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS close_c
+      FROM pr GROUP BY event_type, day
+    ),
+    k AS (
+      SELECT event_type, day, close_c,
+             CAST(MAX(hi) OVER w AS BIGINT) AS hh,
+             CAST(MIN(lo) OVER w AS BIGINT) AS ll,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n14
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    kb AS (
+      SELECT event_type, day, close_c, hh, ll, n14,
+             CAST(CASE WHEN hh = ll THEN 5000
+                       ELSE ((close_c - ll) * 10000) // (hh - ll)
+                  END AS BIGINT) AS k_bps
+      FROM k
+    ),
+    db AS (
+      SELECT event_type, day, close_c, hh, ll, n14, k_bps,
+             CAST(SUM(k_bps) OVER w3 AS BIGINT) AS k3,
+             CAST(COUNT(*) OVER w3 AS BIGINT) AS n3
+      FROM kb
+      WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, close_c, hh, ll, k_bps,
+           CAST(k3 // 3 AS BIGINT) AS d_bps
+    FROM db WHERE n14 = 14 AND n3 = 3
+           AND day >= DATE '2024-01-01' + INTERVAL 16 DAY
+    """,
+)
+def win_stochastic_oscillator(spark, sf_dir):
+    """Stochastic oscillator (%K fast, %D = 3-bar simple smoothing)
+    over daily OHLC bars built from the event stream — where today's
+    close sits inside the trailing 14-day high-low envelope. Bars are
+    integer cents (hi/lo by MIN/MAX, close resolved as the LAST tick
+    of the day by (ts, event_id) — the same conditional-MAX winner
+    pattern as snapshot_diff_asof); %K is a basis-point integer
+    ratio with the flat-envelope case pinned to 50%, and %D is the
+    integer mean of the last three %K values (sum div 3, truncating
+    identically in both engines since %K is non-negative). Rows
+    before bar 17 are warm-up for one window or the other and are
+    excluded in both engines by the same date predicate, which also
+    keeps the n3 count aligned: %D windows never straddle a
+    missing-%K gap because the fixture stream has a bar every day.
+
+    Scale shape: one exchange on event_type serves bar building and
+    BOTH window passes (same partition key, same order); all frames
+    ROWS-bounded, streaming evaluation, nothing unbounded."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    wd = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    pr = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        cents.alias("cents"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    bars = pr.groupBy("event_type", "day").agg(
+        F.max("cents").cast("bigint").alias("hi"),
+        F.min("cents").cast("bigint").alias("lo"),
+        F.max(F.when(F.col("rn") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("close_c"),
+    )
+    w14 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+    )
+    k = bars.select(
+        "event_type",
+        "day",
+        "close_c",
+        F.max("hi").over(w14).cast("bigint").alias("hh"),
+        F.min("lo").over(w14).cast("bigint").alias("ll"),
+        F.count(F.lit(1)).over(w14).cast("bigint").alias("n14"),
+    ).withColumn(
+        "k_bps",
+        F.when(F.col("hh") == F.col("ll"), F.lit(5000))
+        .otherwise(F.expr("((close_c - ll) * 10000) div (hh - ll)"))
+        .cast("bigint"),
+    )
+    w3 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    db = k.withColumn("k3", F.sum("k_bps").over(w3).cast("bigint")).withColumn(
+        "n3", F.count(F.lit(1)).over(w3).cast("bigint")
+    )
+    return (
+        db.filter(
+            (F.col("n14") == 14)
+            & (F.col("n3") == 3)
+            & (F.col("day") >= F.expr("DATE '2024-01-01' + INTERVAL 16 DAY"))
+        )
+        .select(
+            "event_type", "day", "close_c", "hh", "ll", "k_bps",
+            F.expr("k3 div 3").cast("bigint").alias("d_bps"),
+        )
+    )
