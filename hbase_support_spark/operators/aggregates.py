@@ -5099,3 +5099,207 @@ def agg_skewness_kurtosis(spark, sf_dir):
         F.expr(skew).alias("skewness"),
         F.expr(kurt).alias("kurtosis_excess"),
     )
+
+
+@register(
+    "events_lead_lag_xcorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    lags AS (SELECT UNNEST([0, 1, 2, 3]) AS lag),
+    pairs AS (
+      SELECT l.lag, b.x AS x, a.y AS y
+      FROM daily a JOIN lags l ON TRUE
+      JOIN daily b ON b.day = a.day - l.lag
+    ),
+    m AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n, sx, sy, sxy, sx2, sy2,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+            - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+           / (SQRT((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                   - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * SQRT((CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                     - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             AS xcorr
+    FROM m
+    """,
+)
+def events_lead_lag_xcorr(spark, sf_dir):
+    """Lead-lag cross-correlation function between the daily view
+    series and the daily purchase series at lags 0..3 days — the
+    classic "does browsing predict buying k days later" diagnostic
+    behind marketing-mix and demand models. For each lag the pair
+    set is (views on day−lag, purchases on day) over days where both
+    bars exist; the coefficient is derived from six exact BIGINT
+    moments per lag by the same identically-parenthesized IEEE
+    closed form as the other correlation ops (bit-exact, no rounding
+    step). Note lag 0 is plain same-day Pearson, so the curve is
+    read relative to its own base point.
+
+    Scale shape: the daily rollup is one map-side-combinable agg to
+    ~days rows; the lag fan-out joins day-count rows against a
+    4-element broadcast literal and self-joins on a date key —
+    cost is days x lags rows regardless of event volume, so the
+    event scan dominates at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    lags = spark.range(4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("yday"), "y")
+    b = daily.select(F.col("day").alias("xday"), "x")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("date_sub(yday, lag)") == F.col("xday"))
+        .select("lag", "x", "y")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+    r = """
+        ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+         - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        / (SQRT((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * SQRT((CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                  - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+    """
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n", "sx", "sy", "sxy", "sx2", "sy2",
+        F.expr(r).alias("xcorr"),
+    )
+
+
+@register(
+    "events_burstiness_fano",
+    oracle="""
+    WITH mins AS (
+      SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, epoch_us(ts) // 60000000
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS active_minutes,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2,
+             CAST(MAX(c) AS BIGINT) AS peak_per_minute
+      FROM mins GROUP BY event_type
+    )
+    SELECT event_type, active_minutes, s1, s2, peak_per_minute,
+           CAST((1000000 * ((43200 * s2) - (s1 * s1))) // (43200 * s1)
+                AS BIGINT) AS fano_micro
+    FROM m
+    """,
+)
+def events_burstiness_fano(spark, sf_dir):
+    """Fano factor (index of dispersion, var/mean of per-minute
+    arrival counts) per event type — the point-process burstiness
+    diagnostic: 1 for Poisson traffic, >1 for bursty (bot storms,
+    thundering herds), <1 for throttled/regular. The wall-clock grid
+    is the fixture's full 30-day span (43 200 minutes, a constant in
+    both engines), and empty minutes enter the variance for free:
+    zeros contribute nothing to s1 = total events or s2 = sum c², so
+    var = (N*s2 - s1²)/N² and fano = (N*s2 - s1²)/(N*s1), evaluated
+    entirely in BIGINT cross-multiplies with one final micro-unit
+    integer division (non-negative numerator, so `div` and `//`
+    agree). Minute ids are exact integer microsecond math
+    (unix_micros/epoch_us — the repo's time contract, no doubles).
+
+    Scale shape: one map-side-combinable agg to (type, minute)
+    granularity, then a 5-row rollup — two shuffles of shrinking
+    size, no windows, no state; the per-minute key space grows with
+    time not volume, so the first agg output is bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    mins = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 60000000").alias("minute"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = mins.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.max("c").cast("bigint").alias("peak_per_minute"),
+    )
+    return m.select(
+        "event_type", "active_minutes", "s1", "s2", "peak_per_minute",
+        F.expr("(1000000 * ((43200 * s2) - (s1 * s1))) div (43200 * s1)")
+        .cast("bigint")
+        .alias("fano_micro"),
+    )
+
+
+@register(
+    "orders_eoq_reorder_policy",
+    oracle="""
+    WITH demand AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS demand_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, demand_qty, n_lines,
+           SQRT(((2.0 * CAST(demand_qty AS DOUBLE)) * 50.0) / 3.0) AS eoq,
+           CAST((demand_qty * 7) // 2405 AS BIGINT) AS reorder_point
+    FROM demand WHERE demand_qty >= 100
+    """,
+)
+def orders_eoq_reorder_policy(spark, sf_dir):
+    """Economic-order-quantity replenishment policy per part — the
+    Wilson EOQ lot size sqrt(2DS/H) (ordering cost S=50, holding
+    cost H=3 per unit-period) plus a 7-day-lead-time reorder point
+    from the part's demand rate over the fixture's 2405-day order
+    history. Demand is an exact BIGINT quantity sum; EOQ is one
+    closed-form double (multiply/divide then correctly-rounded SQRT
+    of identical integers — bit-exact cross-engine); the reorder
+    point is a pure integer cross-multiply division of non-negative
+    operands. Low-volume parts (demand < 100) are excluded the way
+    a planner scopes the policy to runners, and the cut also keeps
+    the ratio well away from small-denominator edge cases.
+
+    Scale shape: one map-side-combinable hash agg on the natural
+    part key plus per-row closed forms — the cheapest possible shape
+    for a policy sweep over a 100 TB demand ledger."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    d = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(q).cast("bigint").alias("demand_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .filter(F.col("demand_qty") >= 100)
+    )
+    return d.select(
+        "l_partkey", "demand_qty", "n_lines",
+        F.expr("SQRT(((2.0 * CAST(demand_qty AS DOUBLE)) * 50.0) / 3.0)")
+        .alias("eoq"),
+        F.expr("(demand_qty * 7) div 2405").cast("bigint").alias("reorder_point"),
+    )

@@ -7665,3 +7665,73 @@ def text_stopword_profile(spark, sf_dir):
         .cast("bigint")
         .alias("n_docs_high_stop"),
     )
+
+
+@register(
+    "pipeline_filter_ablation_grid",
+    oracle="""
+    WITH flags AS (
+      SELECT CAST(n_chars >= 150 AS BOOLEAN) AS pass_len,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 30
+                  AS BOOLEAN) AS pass_words,
+             CAST(lang = 'en' AS BOOLEAN) AS pass_lang,
+             n_chars
+      FROM documents
+    ),
+    g AS (
+      SELECT pass_len, pass_words, pass_lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM flags GROUP BY pass_len, pass_words, pass_lang
+    )
+    SELECT pass_len, pass_words, pass_lang, n_docs, total_chars,
+           CAST((n_docs * 10000) // SUM(n_docs) OVER () AS BIGINT)
+             AS share_bps
+    FROM g
+    """,
+)
+def pipeline_filter_ablation_grid(spark, sf_dir):
+    """Quality-filter ablation grid — the 2^3 contingency table a
+    data-curation team reads before composing cleaning filters:
+    every document is scored against each candidate filter
+    independently (length floor, word-count floor, language gate)
+    and the corpus is partitioned by the full flag combination, so
+    the table shows exactly what each filter removes that the others
+    don't (the off-diagonal cells are the marginal value of each
+    rule, the all-false cell is the hopeless tail). Counts and char
+    budgets are exact integers; the share column is an integer
+    basis-point division against the window total.
+
+    Word count uses the separator-counting identity
+    (len − len(remove(' ')) + 1) instead of split+size so the
+    expression stays in whole-stage codegen with zero array
+    allocation per row — the profile-guided idiom for hot text
+    scans. Scale shape: one map-side-combinable agg to at most 8
+    groups, then a window over those 8 rows — scan-dominated at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        (F.col("n_chars") >= 150).alias("pass_len"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+            >= 30
+        ).alias("pass_words"),
+        (F.col("lang") == "en").alias("pass_lang"),
+        "n_chars",
+    )
+    g = flags.groupBy("pass_len", "pass_words", "pass_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    from pyspark.sql import Window
+
+    return g.select(
+        "pass_len", "pass_words", "pass_lang", "n_docs", "total_chars",
+        F.expr("(n_docs * 10000)")
+        .cast("bigint")
+        .alias("_num"),
+        F.sum("n_docs").over(Window.partitionBy()).alias("_tot"),
+    ).select(
+        "pass_len", "pass_words", "pass_lang", "n_docs", "total_chars",
+        F.expr("_num div _tot").cast("bigint").alias("share_bps"),
+    )

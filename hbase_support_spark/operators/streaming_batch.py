@@ -1753,3 +1753,87 @@ def events_retention_matrix(spark, sf_dir):
         "n_cohort",
         F.round(F.col("n_active") * 1.0 / F.col("n_cohort"), 6).alias("retention"),
     )
+
+
+@register(
+    "events_markov_entropy",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    t AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_st
+      FROM ordered WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    s AS (
+      SELECT src, dst, n_st,
+             CAST(SUM(n_st) OVER (PARTITION BY src) AS BIGINT) AS n_s
+      FROM t
+    ),
+    terms AS (
+      SELECT src, n_s, n_st,
+             CAST(FLOOR(1000000000.0
+                        * ((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                           * LN(CAST(n_s AS DOUBLE) / CAST(n_st AS DOUBLE))))
+                  AS BIGINT) AS term_nano
+      FROM s
+    )
+    SELECT src, CAST(MAX(n_s) AS BIGINT) AS n_out,
+           CAST(COUNT(*) AS BIGINT) AS n_dst,
+           CAST(SUM(term_nano) AS BIGINT) AS h_cond_nano
+    FROM terms GROUP BY src
+    """,
+)
+def events_markov_entropy(spark, sf_dir):
+    """Conditional next-action entropy per source state — the
+    information content of the behavioral transition matrix
+    (H(next | src) = Σ_t −p_t ln p_t with p_t = n_st / n_s): low
+    entropy states are deterministic funnels, high entropy states
+    are browse/explore hubs, and drift in this profile is a
+    canonical bot / UX-change detector on top of
+    events_markov_transitions. Float discipline is the
+    win_parkinson_volatility contract: each transition's entropy
+    term is ONE per-row double expression over two exact BIGINTs
+    (ratio times LN of the reciprocal ratio), floored to nano units
+    immediately, and the per-state accumulation is an order-proof
+    BIGINT sum — no accumulation-order float hazard anywhere.
+    Self-loops with p=1 contribute exactly LN(1)=0.
+
+    Scale shape: the transition extraction is one exchange on
+    user_id with an in-partition sort (shared shape with
+    sessionization); everything after runs on the (src, dst) key
+    space — 25 rows here, bounded by the square of the event-type
+    vocabulary at any scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_st"))
+    )
+    s = t.withColumn(
+        "n_s", F.sum("n_st").over(Window.partitionBy("src")).cast("bigint")
+    )
+    terms = s.withColumn(
+        "term_nano",
+        F.expr(
+            "CAST(FLOOR(1000000000.0"
+            " * ((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+            "    * LN(CAST(n_s AS DOUBLE) / CAST(n_st AS DOUBLE))))"
+            " AS BIGINT)"
+        ),
+    )
+    return terms.groupBy("src").agg(
+        F.max("n_s").cast("bigint").alias("n_out"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dst"),
+        F.sum("term_nano").cast("bigint").alias("h_cond_nano"),
+    )

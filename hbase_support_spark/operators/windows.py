@@ -1287,3 +1287,96 @@ def win_stochastic_oscillator(spark, sf_dir):
             F.expr("k3 div 3").cast("bigint").alias("d_bps"),
         )
     )
+
+
+@register(
+    "win_ulcer_index",
+    oracle="""
+    WITH flows AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS flow
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    eq AS (
+      SELECT user_id, ts, event_id,
+             1000000 + SUM(flow)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS equity
+      FROM flows
+    ),
+    pk AS (
+      SELECT user_id, equity,
+             MAX(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS peak
+      FROM eq
+    ),
+    d2 AS (
+      SELECT user_id, ((peak - equity) * 10000) // peak AS dd_bps
+      FROM pk
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(dd_bps * dd_bps) AS BIGINT) AS sum_dd2,
+           CAST(MAX(dd_bps) AS BIGINT) AS max_dd_bps,
+           SQRT(CAST(SUM(dd_bps * dd_bps) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) AS ulcer_bps
+    FROM d2 GROUP BY user_id
+    """,
+)
+def win_ulcer_index(spark, sf_dir):
+    """Ulcer index per account — Peter Martin's drawdown-severity
+    measure: the RMS of percentage drawdown from the running peak
+    over the whole equity curve (unlike max-drawdown it prices both
+    depth AND duration of underwater spells). Equity is a $10k
+    starting bankroll plus the exact integer-cent running sum of
+    signed flows (purchases credit, errors debit — the same ledger
+    as win_drawdown_duration); the bankroll keeps the running peak
+    strictly positive so the percentage is defined everywhere.
+    Drawdown in basis points is an integer division (non-negative
+    numerator, positive denominator, so `div` and `//` agree), its
+    square accumulates exactly in BIGINT, and only the final RMS
+    touches doubles (one identical SQRT-of-ratio expression,
+    bit-exact cross-engine).
+
+    Scale shape: one exchange on the account key serves the running
+    sum, the running max, and the rollup (same partitioning, frames
+    all running/ROWS so the window exec streams); output is one row
+    per account."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    flow = F.when(F.col("event_type") == "purchase", cents).otherwise(-cents)
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eq = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .select("user_id", "ts", "event_id", flow.alias("flow"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.lit(1000000) + F.sum("flow").over(wo)).alias("equity"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = eq.withColumn("peak", F.max("equity").over(wp)).select(
+        "user_id",
+        F.expr("((peak - equity) * 10000) div peak").alias("dd_bps"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum(F.col("dd_bps") * F.col("dd_bps")).cast("bigint").alias("sum_dd2"),
+        F.max("dd_bps").cast("bigint").alias("max_dd_bps"),
+        F.expr(
+            "SQRT(CAST(SUM(dd_bps * dd_bps) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE))"
+        ).alias("ulcer_bps"),
+    )

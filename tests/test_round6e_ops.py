@@ -164,3 +164,117 @@ def test_bulkload_plan_conservation_and_sortedness(spark, sf_dir):
         assert [f.hfile for f in fs] == list(range(len(fs)))
         for a, b in zip(fs, fs[1:]):
             assert a.last_key <= b.first_key
+
+
+def test_xcorr_lag0_is_pearson_and_bounded(spark, sf_dir):
+    """Lag-0 cross-correlation equals pandas' same-day Pearson of the
+    two daily series; every lag's coefficient is in [-1, 1] and pair
+    counts shrink by exactly one row per lag step."""
+    rows = {r.lag: r for r in QUERIES["events_lead_lag_xcorr"](spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+        )
+        .toPandas()
+        .sort_values("day")
+    )
+    import numpy as np
+
+    r0 = rows[0]
+    assert r0.n == len(daily)
+    want = np.corrcoef(daily.x.astype(float), daily.y.astype(float))[0, 1]
+    assert abs(r0.xcorr - want) < 1e-9
+    for lag in range(4):
+        assert -1.0 <= rows[lag].xcorr <= 1.0
+        assert rows[lag].n == len(daily) - lag
+
+
+def test_fano_conservation_and_poisson_scale(spark, sf_dir):
+    """Per-type totals conserve the event count; the Fano recompute
+    from the reported integer moments matches; active minutes never
+    exceed the 43200-minute grid."""
+    rows = QUERIES["events_burstiness_fano"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.s1 for r in rows) == ev.count()
+    for r in rows:
+        assert 0 < r.active_minutes <= 43200
+        assert r.s2 >= r.s1  # sum of c^2 >= sum of c for positive counts
+        assert r.fano_micro == 1000000 * (43200 * r.s2 - r.s1 * r.s1) // (43200 * r.s1)
+
+
+def test_eoq_formula_and_monotonicity(spark, sf_dir):
+    """EOQ recomputes from demand exactly and is monotone in demand;
+    the reorder point is the lead-time share of total demand."""
+    rows = sorted(
+        QUERIES["orders_eoq_reorder_policy"](spark, sf_dir).collect(),
+        key=lambda r: r.demand_qty,
+    )
+    assert rows
+    for r in rows:
+        assert r.demand_qty >= 100
+        assert r.eoq == math.sqrt((2.0 * float(r.demand_qty) * 50.0) / 3.0)
+        assert r.reorder_point == r.demand_qty * 7 // 2405
+    eoqs = [r.eoq for r in rows]
+    assert eoqs == sorted(eoqs)
+
+
+def test_ulcer_rms_recompute_from_ledger(spark, sf_dir):
+    """Ulcer index recomputed in plain Python from the signed-flow
+    ledger (bankroll + running peak) matches every account row."""
+    rows = {r.user_id: r for r in QUERIES["win_ulcer_index"](spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    ledger = {}
+    for e in sorted(ev, key=lambda e: (e.user_id, e.ts, e.event_id)):
+        c = int(math.floor(e.value * 100 + 0.5))
+        ledger.setdefault(e.user_id, []).append(c if e.event_type == "purchase" else -c)
+    for uid, flows in ledger.items():
+        eq, peak, n, s2, mx = 1000000, None, 0, 0, 0
+        for f in flows:
+            eq += f
+            peak = eq if peak is None or eq > peak else peak
+            dd = (peak - eq) * 10000 // peak
+            n += 1
+            s2 += dd * dd
+            mx = max(mx, dd)
+        r = rows[uid]
+        assert (r.n_points, r.sum_dd2, r.max_dd_bps) == (n, s2, mx)
+        assert r.ulcer_bps == math.sqrt(s2 / n)
+
+
+def test_markov_entropy_bounds_and_uniform_limit(spark, sf_dir):
+    """Conditional entropy is non-negative and bounded by ln(n_dst)
+    (uniform limit), and out-transition totals conserve the LEAD
+    pair count."""
+    rows = QUERIES["events_markov_entropy"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_out for r in rows) == ev.count() - n_users
+    for r in rows:
+        assert r.h_cond_nano >= 0
+        # nano-floored terms can only undershoot the true entropy
+        assert r.h_cond_nano <= int(1e9 * math.log(r.n_dst)) + r.n_dst
+        assert 1 <= r.n_dst <= 5
+
+
+def test_ablation_grid_partitions_corpus(spark, sf_dir):
+    """The 2^3 grid partitions the corpus exactly: doc counts and
+    char budgets conserve, every share recomputes, and the flag
+    combinations are distinct."""
+    rows = QUERIES["pipeline_filter_ablation_grid"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.count()
+    assert sum(r.n_docs for r in rows) == tot
+    assert sum(r.total_chars for r in rows) == docs.select(F.sum("n_chars")).collect()[0][0]
+    combos = {(r.pass_len, r.pass_words, r.pass_lang) for r in rows}
+    assert len(combos) == len(rows) <= 8
+    for r in rows:
+        assert r.share_bps == r.n_docs * 10000 // tot
