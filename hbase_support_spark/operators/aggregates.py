@@ -5303,3 +5303,143 @@ def orders_eoq_reorder_policy(spark, sf_dir):
         .alias("eoq"),
         F.expr("(demand_qty * 7) div 2405").cast("bigint").alias("reorder_point"),
     )
+
+
+@register(
+    "orders_discount_elasticity_ols",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand,
+             CAST(FLOOR(l.l_discount * 10000 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    m AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2
+      FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand, n, sx, sy, sxy, sx2,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+            - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+           / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+              - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             AS slope_qty_per_bps
+    FROM m
+    """,
+)
+def orders_discount_elasticity_ols(spark, sf_dir):
+    """Discount elasticity of demand per brand — the OLS slope of
+    order quantity on discount depth (in basis points), the
+    first-order answer to "does discounting this brand actually move
+    volume?". The regression is reduced to five exact BIGINT moments
+    per brand (x is the 0..1000 bps discount grid, y the integer
+    quantity — every product bounded far inside 2^63) and the slope
+    is one identically-parenthesized IEEE closed form over those
+    integers, bit-exact cross-engine with no rounding step. The
+    moments travel with the slope so a reviewer can recompute the
+    intercept or R² downstream without re-scanning.
+
+    Scale shape: the part dimension broadcasts onto the fact scan
+    (classic star probe), then one map-side-combinable agg into 25
+    brand groups — scan-dominated at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.floor(F.col("l_discount") * 10000 + 0.5).cast("long").alias("x"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("y"),
+    )
+    m = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+    )
+    slope = """
+        ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+         - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+           - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+    """
+    return m.select(
+        "p_brand", "n", "sx", "sy", "sxy", "sx2",
+        F.expr(slope).alias("slope_qty_per_bps"),
+    )
+
+
+@register(
+    "events_interarrival_cv2",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - LAG(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             // 1000000 AS gap_s
+      FROM events
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS s1,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+      FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps, s1, s2,
+           (CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+           / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS cv2
+    FROM m WHERE n_gaps >= 2 AND s1 > 0
+    """,
+)
+def events_interarrival_cv2(spark, sf_dir):
+    """Squared coefficient of variation of inter-arrival times per
+    user — the per-entity burstiness scalar queueing theory runs on
+    (CV² = 1 Poisson, ≫1 bursty bots/batch jobs, ≪1 metronomic
+    schedulers; the per-type Fano factor's entity-level complement).
+    Gaps are exact integer seconds (microsecond subtraction then one
+    integer division — both engines' time contract), the moments are
+    exact BIGINTs (second-scale gaps keep n·s2 and s1² far inside
+    2^63 even at 100× the per-user history), and CV² =
+    (n·Σg² − (Σg)²)/(Σg)² is one identically-parenthesized IEEE
+    expression over those integers — bit-exact cross-engine.
+    Degenerate users (fewer than 2 gaps, or all gaps sub-second) are
+    excluded by the same predicate in both engines.
+
+    Scale shape: one exchange on user_id serves the lag and the
+    rollup; output is one row per active user."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts))"
+            " OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+            " div 1000000"
+        ).alias("gap_s"),
+    )
+    m = (
+        gaps.filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("bigint").alias("n_gaps"),
+            F.sum("gap_s").cast("bigint").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
+        )
+        .filter((F.col("n_gaps") >= 2) & (F.col("s1") > 0))
+    )
+    return m.select(
+        "user_id", "n_gaps", "s1", "s2",
+        F.expr(
+            "(CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            " - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))"
+            " / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+        ).alias("cv2"),
+    )

@@ -1900,3 +1900,57 @@ def cells_bulkload_hfile_plan(spark, sf_dir):
             F.max("user_id").cast("bigint").alias("last_key"),
         )
     )
+
+
+@register(
+    "scan_raw_with_tombstones",
+    oracle="""
+    WITH markers AS (
+      SELECT user_id, MAX(ts) AS del_ts FROM events
+      WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type, e.ts,
+           CAST(e.event_type = 'error' AS BOOLEAN) AS is_marker,
+           CAST(e.event_type <> 'error'
+                AND m.del_ts IS NOT NULL
+                AND e.ts <= m.del_ts AS BOOLEAN) AS masked
+    FROM events e LEFT JOIN markers m ON e.user_id = m.user_id
+    """,
+)
+def scan_raw_with_tombstones(spark, sf_dir):
+    """Scan.setRaw(true) — the diagnostic scan mode that returns
+    delete markers AND the cells they mask instead of resolving
+    them: every cell is annotated with whether it IS a tombstone
+    (the same 'error'-as-DeleteFamily convention as tombstone_merge)
+    and whether a newer-or-equal marker on its row masks it from
+    normal reads. The masked flag restates tombstone_merge's
+    visibility predicate exactly (visible iff ts > newest marker),
+    so `masked = false AND is_marker = false` reproduces that
+    operator's output — the cross-check a compaction debugging
+    session actually runs.
+
+    Scale shape: the marker table is one hash agg at rowkey
+    cardinality, broadcast back onto the scan — a map-only annotate
+    at any scale; nothing is filtered, so the scan streams straight
+    through with two codegen booleans appended."""
+    ev = load_table(spark, sf_dir, "events")
+    markers = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("del_ts"))
+    )
+    return (
+        ev.join(F.broadcast(markers), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            (F.col("event_type") == "error").alias("is_marker"),
+            (
+                (F.col("event_type") != "error")
+                & F.col("del_ts").isNotNull()
+                & (F.col("ts") <= F.col("del_ts"))
+            ).alias("masked"),
+        )
+    )

@@ -677,3 +677,128 @@ def graph_degree_assortativity(spark, sf_dir):
     return m.select(
         "n", "sx", "sy", "sxy", "sx2", "sy2", F.expr(r).alias("assortativity")
     )
+
+
+def _hits_oracle(iters: int) -> str:
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    hubs AS (SELECT DISTINCT s FROM pairs),
+    h0 AS (SELECT s, CAST(1048576 AS BIGINT) AS h FROM hubs)"""
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    araw{i} AS (
+      SELECT e.p, CAST(SUM({prev_h}.h) AS BIGINT) AS a
+      FROM pairs e JOIN {prev_h} ON {prev_h}.s = e.s GROUP BY e.p
+    ),
+    am{i} AS (SELECT MAX(a) AS amax FROM araw{i}),
+    an{i} AS (
+      SELECT p, CAST((a * 1048576) // am{i}.amax AS BIGINT) AS a
+      FROM araw{i} CROSS JOIN am{i}
+    ),
+    hraw{i} AS (
+      SELECT e.s, CAST(SUM(an{i}.a) AS BIGINT) AS h
+      FROM pairs e JOIN an{i} ON an{i}.p = e.p GROUP BY e.s
+    ),
+    hm{i} AS (SELECT MAX(h) AS hmax FROM hraw{i}),
+    hn{i} AS (
+      SELECT s, CAST((h * 1048576) // hm{i}.hmax AS BIGINT) AS h
+      FROM hraw{i} CROSS JOIN hm{i}
+    )"""
+        )
+        prev_h = f"hn{i}"
+    last = iters
+    parts.append(
+        f"""
+    SELECT node_kind, node_key, score_units FROM (
+      SELECT 'authority' AS node_kind, CAST(p AS BIGINT) AS node_key,
+             a AS score_units FROM an{last}
+      UNION ALL
+      SELECT 'hub' AS node_kind, CAST(s AS BIGINT) AS node_key,
+             h AS score_units FROM hn{last}
+    )
+    ORDER BY score_units DESC, node_kind, node_key
+    LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@register("graph_hits_bipartite", oracle=_hits_oracle(3))
+def graph_hits_bipartite(spark, sf_dir):
+    """HITS (Kleinberg hubs-and-authorities) over the supplier→part
+    procurement graph, 3 fixed supersteps: suppliers are hubs (good
+    hubs stock many good parts), parts are authorities (good parts
+    are stocked by good hubs). Scores live in integer units
+    (2^20 == 1.0) and each half-step renormalizes by the current
+    maximum via integer division — a power-of-two numerator over a
+    positive BIGINT max, so the truncation is bit-identical
+    cross-engine and the iteration can never overflow (degrees are
+    bounded by the opposite side's node count; every product stays
+    under 2^40). Same fixed-iteration determinism contract as
+    graph_pagerank_bipartite (module docstring): unbounded
+    convergence loops belong to jobs, not graded queries.
+
+    Scale shape per superstep: the edge list joins the current score
+    vector on one side's key then hash-aggs on the other — two
+    shuffles on keys a 100-TB deployment would bucket once; the max
+    reductions are single-row broadcasts, never a driver collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # consumed twice per superstep (6x total): pin the deduped edge
+    # list or every iteration re-runs the scan+distinct upstream
+    pairs = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hubs = pairs.select("s").distinct()
+    h = hubs.select("s", F.lit(1048576).cast("bigint").alias("h"))
+    a = None
+    for _ in range(3):
+        araw = (
+            pairs.join(h, "s")
+            .groupBy("p")
+            .agg(F.sum("h").cast("bigint").alias("a"))
+        )
+        am = araw.agg(F.max("a").alias("amax"))
+        # node-cardinality score vectors: truncate lineage each half-
+        # step or every broadcast-max subtree replays all prior
+        # supersteps (each iteration's plan nests the last one's)
+        a = (
+            araw.crossJoin(F.broadcast(am))
+            .select(
+                "p", F.expr("(a * 1048576) div amax").cast("bigint").alias("a")
+            )
+            .localCheckpoint(eager=False)
+        )
+        hraw = (
+            pairs.join(a, "p")
+            .groupBy("s")
+            .agg(F.sum("a").cast("bigint").alias("h"))
+        )
+        hm = hraw.agg(F.max("h").alias("hmax"))
+        h = (
+            hraw.crossJoin(F.broadcast(hm))
+            .select(
+                "s", F.expr("(h * 1048576) div hmax").cast("bigint").alias("h")
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = a.select(
+        F.lit("authority").alias("node_kind"),
+        F.col("p").cast("bigint").alias("node_key"),
+        F.col("a").alias("score_units"),
+    ).unionByName(
+        h.select(
+            F.lit("hub").alias("node_kind"),
+            F.col("s").cast("bigint").alias("node_key"),
+            F.col("h").alias("score_units"),
+        )
+    )
+    return out.orderBy(
+        F.col("score_units").desc(), "node_kind", "node_key"
+    ).limit(20)

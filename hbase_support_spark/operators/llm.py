@@ -7735,3 +7735,119 @@ def pipeline_filter_ablation_grid(spark, sf_dir):
         "pass_len", "pass_words", "pass_lang", "n_docs", "total_chars",
         F.expr("_num div _tot").cast("bigint").alias("share_bps"),
     )
+
+
+@register(
+    "text_js_divergence_vs_corpus",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, UNNEST({D_TOKENS}) AS w FROM documents
+    ),
+    sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cs
+      FROM toks GROUP BY source, w
+    ),
+    ns AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM toks
+      GROUP BY source
+    ),
+    cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM toks GROUP BY w),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_t FROM toks),
+    grid AS (
+      SELECT ns.source, ns.n_s, cw.w, cw.c_w, nt.n_t,
+             COALESCE(sw.cs, 0) AS cs
+      FROM ns CROSS JOIN cw CROSS JOIN nt
+      LEFT JOIN sw ON sw.source = ns.source AND sw.w = cw.w
+    ),
+    terms AS (
+      SELECT source, n_s, cs,
+             CAST(FLOOR(1000000000.0 * (
+               (0.5 * (CASE WHEN cs > 0 THEN
+                  (CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE))
+                  * LN((2.0 * (CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE)))
+                       / ((CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE))
+                          + (CAST(c_w AS DOUBLE) / CAST(n_t AS DOUBLE))))
+                ELSE 0.0 END))
+               + (0.5 * ((CAST(c_w AS DOUBLE) / CAST(n_t AS DOUBLE))
+                  * LN((2.0 * (CAST(c_w AS DOUBLE) / CAST(n_t AS DOUBLE)))
+                       / ((CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE))
+                          + (CAST(c_w AS DOUBLE) / CAST(n_t AS DOUBLE))))))
+             )) AS BIGINT) AS term_nano
+      FROM grid
+    )
+    SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_used,
+           CAST(COUNT(*) AS BIGINT) AS vocab_total,
+           CAST(SUM(term_nano) AS BIGINT) AS jsd_nano
+    FROM terms GROUP BY source
+    """,
+)
+def text_js_divergence_vs_corpus(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's unigram
+    distribution from the whole-corpus distribution — the symmetric,
+    always-finite drift metric curation teams prefer over KL for
+    "which feed is stylistically off" (and the pairwise version is
+    the standard corpus-mixing distance). The source-absent side is
+    handled exactly: a word missing from the source contributes only
+    the corpus half-term q·ln(2q/(p+q)) with p=0 (JS never divides
+    by zero), which the full source × vocab grid materializes
+    explicitly. Float discipline is the parkinson/markov-entropy
+    contract: each grid cell's term is ONE double expression over
+    exact BIGINT counts, floored to nano units (FLOOR truncates the
+    occasional negative p-side term toward −∞ identically in both
+    engines), and the per-source reduction is an order-proof BIGINT
+    sum.
+
+    Scale shape: token explosion feeds three hash aggs (source×word,
+    source, word); the grid is |sources| × |vocab| — bounded by
+    vocabulary, not corpus size — built from two broadcast-scale
+    dimensions; at web scale you'd cap vocab to the top-K words
+    first (the standard practice), which drops in as one TakeOrdered
+    before the grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.expr(TOKENS)).alias("w"))
+    sw = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cs")
+    )
+    ns = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    cw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    nt = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    grid = (
+        ns.crossJoin(F.broadcast(cw))
+        .crossJoin(F.broadcast(nt))
+        .join(sw, ["source", "w"], "left")
+        .select(
+            "source", "n_s", "w", "c_w", "n_t",
+            F.coalesce(F.col("cs"), F.lit(0)).cast("bigint").alias("cs"),
+        )
+    )
+    terms = grid.withColumn(
+        "term_nano",
+        F.expr(
+            """
+            CAST(FLOOR(1000000000.0 * (
+              (0.5 * (CASE WHEN cs > 0 THEN
+                 (CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE))
+                 * LN((2.0 * (CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE)))
+                      / ((CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE))
+                         + (CAST(c_w AS DOUBLE) / CAST(n_t AS DOUBLE))))
+               ELSE 0.0 END))
+              + (0.5 * ((CAST(c_w AS DOUBLE) / CAST(n_t AS DOUBLE))
+                 * LN((2.0 * (CAST(c_w AS DOUBLE) / CAST(n_t AS DOUBLE)))
+                      / ((CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE))
+                         + (CAST(c_w AS DOUBLE) / CAST(n_t AS DOUBLE))))))
+            )) AS BIGINT)
+            """
+        ),
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("cs") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("vocab_used"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_total"),
+        F.sum("term_nano").cast("bigint").alias("jsd_nano"),
+    )

@@ -1380,3 +1380,70 @@ def win_ulcer_index(spark, sf_dir):
             " / CAST(COUNT(*) AS DOUBLE))"
         ).alias("ulcer_bps"),
     )
+
+
+@register(
+    "win_obv_accumulation",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS vol,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS close_c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    d AS (
+      SELECT event_type, day, vol, close_c,
+             close_c - LAG(close_c) OVER (PARTITION BY event_type
+                                          ORDER BY day) AS diff
+      FROM bars
+    ),
+    s AS (
+      SELECT event_type, day, vol, close_c,
+             CASE WHEN diff > 0 THEN vol
+                  WHEN diff < 0 THEN -vol
+                  ELSE 0 END AS signed_vol
+      FROM d
+    )
+    SELECT event_type, day, vol, close_c,
+           CAST(SUM(signed_vol) OVER (PARTITION BY event_type ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS obv
+    FROM s
+    """,
+)
+def win_obv_accumulation(spark, sf_dir):
+    """On-balance volume per instrument — Granville's flow indicator:
+    each day's volume is added when the close rises, subtracted when
+    it falls, ignored on a flat close, and the running total is the
+    OBV line whose divergence from price is the classic accumulation
+    / distribution signal. Closes are exact integer-cent daily sums,
+    volumes are counts, the sign decision is integer comparison, and
+    the OBV line is a running BIGINT sum over a uniquely-ordered
+    ROWS frame — bit-identical cross-engine with no float anywhere.
+    The first bar of each series has no prior close and contributes
+    zero, the standard OBV seed.
+
+    Scale shape: one exchange on the instrument key serves the daily
+    rollup, the lag, and the running sum (same partitioning
+    throughout); frames are running-ROWS so the window exec streams
+    in constant memory."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    bars = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vol"),
+        F.sum(cents).cast("bigint").alias("close_c"),
+    )
+    ws = Window.partitionBy("event_type").orderBy("day")
+    d = bars.withColumn("diff", F.col("close_c") - F.lag("close_c").over(ws))
+    s = d.withColumn(
+        "signed_vol",
+        F.when(F.col("diff") > 0, F.col("vol"))
+        .when(F.col("diff") < 0, -F.col("vol"))
+        .otherwise(F.lit(0)),
+    )
+    wr = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return s.select(
+        "event_type", "day", "vol", "close_c",
+        F.sum("signed_vol").over(wr).cast("bigint").alias("obv"),
+    )

@@ -278,3 +278,100 @@ def test_ablation_grid_partitions_corpus(spark, sf_dir):
     assert len(combos) == len(rows) <= 8
     for r in rows:
         assert r.share_bps == r.n_docs * 10000 // tot
+
+
+def test_obv_recompute_and_conservation(spark, sf_dir):
+    """OBV recomputed in plain Python from daily (vol, close) bars
+    matches every row; per-type volumes conserve the event count."""
+    rows = sorted(
+        QUERIES["win_obv_accumulation"](spark, sf_dir).collect(),
+        key=lambda r: (r.event_type, r.day),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.vol for r in rows) == ev.count()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        obv, prev = 0, None
+        for r in rs:
+            if prev is not None:
+                obv += r.vol if r.close_c > prev else (-r.vol if r.close_c < prev else 0)
+            prev = r.close_c
+            assert r.obv == obv
+
+
+def test_raw_scan_restates_tombstone_merge(spark, sf_dir):
+    """raw=false reconstruction (drop markers and masked cells)
+    reproduces tombstone_merge exactly; markers are never masked."""
+    raw = QUERIES["scan_raw_with_tombstones"](spark, sf_dir).collect()
+    merged = {r.event_id for r in QUERIES["tombstone_merge"](spark, sf_dir).collect()}
+    visible = {r.event_id for r in raw if not r.is_marker and not r.masked}
+    assert visible == merged
+    assert all(not r.masked for r in raw if r.is_marker)
+    assert len(raw) == load_table(spark, sf_dir, "events").count()
+
+
+def test_ols_slope_matches_numpy_polyfit(spark, sf_dir):
+    """Per-brand OLS slope equals numpy's least-squares slope on the
+    raw (discount_bps, qty) points to float tolerance."""
+    import numpy as np
+
+    rows = QUERIES["orders_discount_elasticity_ols"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.floor(F.col("l_discount") * 10000 + 0.5).cast("long").alias("x"),
+            F.floor(F.col("l_quantity") + 0.5).cast("long").alias("y"),
+        )
+        .toPandas()
+    )
+    assert len(rows) == pts.p_brand.nunique()
+    for r in rows[:5]:
+        g = pts[pts.p_brand == r.p_brand]
+        slope = np.polyfit(g.x.astype(float), g.y.astype(float), 1)[0]
+        assert abs(r.slope_qty_per_bps - slope) < 1e-6
+
+
+def test_cv2_poisson_neighborhood_and_recompute(spark, sf_dir):
+    """CV² recomputes from the reported integer moments; for the
+    fixture's near-Poisson per-user streams the population CV² sits
+    in a sane (0, 10) band."""
+    rows = QUERIES["events_interarrival_cv2"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want = (r.n_gaps * r.s2 - r.s1 * r.s1) / (r.s1 * r.s1)
+        assert r.cv2 == want
+        assert 0.0 <= r.cv2 < 10.0
+
+
+def test_hits_normalization_and_top_contract(spark, sf_dir):
+    """Every HITS score is in (0, 2^20]; at least one authority and
+    one hub hit the normalization ceiling exactly; rows arrive in
+    the deterministic (score desc, kind, key) order."""
+    rows = QUERIES["graph_hits_bipartite"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(0 < r.score_units <= 1048576 for r in rows)
+    assert rows[0].score_units == 1048576
+    keys = [(-r.score_units, r.node_kind, r.node_key) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_jsd_bounds_and_identical_distribution_zero(spark, sf_dir):
+    """JS divergence is within [−vocab nano-ulps, ln2·1e9] per
+    source, vocab accounting is consistent, and token totals
+    conserve the corpus."""
+    rows = QUERIES["text_js_divergence_vs_corpus"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(F.size(F.expr("filter(split(lower(text), ' '), w -> w <> '')")))
+    ).collect()[0][0]
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert r.vocab_used <= r.vocab_total
+        # JSD in nats is bounded by ln 2; nano-floored terms can dip
+        # at most one ulp per grid cell below 0
+        assert -r.vocab_total <= r.jsd_nano <= int(1e9 * math.log(2)) + 1
