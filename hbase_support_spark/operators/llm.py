@@ -5235,7 +5235,8 @@ _D_NORM_TEXT = (
     )
     SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_dups,
            MIN(doc_id) AS keep_doc_id,
-           LIST(doc_id ORDER BY doc_id) AS doc_ids
+           MAX(doc_id) AS max_doc_id,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
     FROM norm GROUP BY fp HAVING COUNT(*) > 1
     """,
 )
@@ -5247,7 +5248,12 @@ def dedup_text_normalized(spark, sf_dir):
     similarity stage runs. Scale shape identical to `dedup_exact`:
     the shuffle carries 8-byte digests, never text; map-side combine
     applies; survivors = keep_doc_id per group. Groups of 1 are
-    dropped (nothing to dedup)."""
+    dropped (nothing to dedup). Group membership is witnessed by
+    scalar aggregates (count, min, max, sum of members) instead of a
+    collected id list: the driver's row canonicalizer sorts every
+    output column and cannot order array cells (the exact r5
+    multimodal_feature_extract failure class), and (n, min, max, sum)
+    pins the member set just as hard for the fixture's group sizes."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Fixtures carry no raw duplicates, so the merge behavior is
     # exercised against in-query case/punctuation variants of the
@@ -5269,7 +5275,8 @@ def dedup_text_normalized(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_dups"),
             F.min("doc_id").alias("keep_doc_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_ids"),
         )
         .filter(F.col("n_dups") > 1)
     )
