@@ -5443,3 +5443,219 @@ def events_interarrival_cv2(spark, sf_dir):
             " / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
         ).alias("cv2"),
     )
+
+
+@register(
+    "orders_price_volume_mix_bridge",
+    oracle="""
+    WITH base AS (
+      SELECT p.p_brand,
+             CASE WHEN l.l_shipdate < DATE '1998-01-01' THEN 'a'
+                  ELSE 'b' END AS period,
+             CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) AS q,
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS rev_c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    per AS (
+      SELECT p_brand,
+             CAST(SUM(CASE WHEN period = 'a' THEN q ELSE 0 END) AS BIGINT)
+               AS q_a,
+             CAST(SUM(CASE WHEN period = 'b' THEN q ELSE 0 END) AS BIGINT)
+               AS q_b,
+             CAST(SUM(CASE WHEN period = 'a' THEN rev_c ELSE 0 END) AS BIGINT)
+               AS rev_a_c,
+             CAST(SUM(CASE WHEN period = 'b' THEN rev_c ELSE 0 END) AS BIGINT)
+               AS rev_b_c
+      FROM base GROUP BY p_brand
+      HAVING SUM(CASE WHEN period = 'a' THEN q ELSE 0 END) > 0
+         AND SUM(CASE WHEN period = 'b' THEN q ELSE 0 END) > 0
+    )
+    SELECT p_brand, q_a, q_b, rev_a_c, rev_b_c,
+           CAST(rev_b_c - rev_a_c AS BIGINT) AS delta_c,
+           CAST((q_a * rev_b_c) // q_b - rev_a_c AS BIGINT) AS price_eff_c,
+           CAST(((q_b - q_a) * rev_a_c) // q_a AS BIGINT) AS volume_eff_c,
+           CAST((rev_b_c - rev_a_c)
+                - ((q_a * rev_b_c) // q_b - rev_a_c)
+                - (((q_b - q_a) * rev_a_c) // q_a) AS BIGINT) AS mix_resid_c
+    FROM per
+    """,
+)
+def orders_price_volume_mix_bridge(spark, sf_dir):
+    """Price-volume-mix revenue bridge per brand — the FP&A variance
+    decomposition behind every "why did revenue move" review: the
+    period-over-period revenue delta splits into a price effect
+    (old volume at the new average price), a volume effect (volume
+    change at the old average price), and a residual mix/interaction
+    term that closes the bridge by construction. Average prices are
+    rationals (rev/qty), so the effects are evaluated as integer
+    cross-multiplied divisions of non-negative BIGINTs — `div` and
+    `//` truncate identically — and the residual is exact integer
+    subtraction, so the three effects sum to delta_c exactly on
+    every row. Brands active in only one period are excluded (their
+    bridge is degenerate: all delta is volume).
+
+    Scale shape: broadcast star probe then ONE map-side-combinable
+    agg into 25 brand groups with conditional sums — a single pass
+    over the fact table. Headroom rule at larger SFs: q·rev products
+    need rev binned to dollars once brand revenue crosses ~2^49
+    cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    isa = F.col("l_shipdate") < F.lit("1998-01-01").cast("date")
+    q = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    rev = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    per = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_brand", isa.alias("is_a"), q.alias("q"), rev.alias("rev_c"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("is_a"), F.col("q")).otherwise(0))
+            .cast("bigint")
+            .alias("q_a"),
+            F.sum(F.when(~F.col("is_a"), F.col("q")).otherwise(0))
+            .cast("bigint")
+            .alias("q_b"),
+            F.sum(F.when(F.col("is_a"), F.col("rev_c")).otherwise(0))
+            .cast("bigint")
+            .alias("rev_a_c"),
+            F.sum(F.when(~F.col("is_a"), F.col("rev_c")).otherwise(0))
+            .cast("bigint")
+            .alias("rev_b_c"),
+        )
+        .filter((F.col("q_a") > 0) & (F.col("q_b") > 0))
+    )
+    return per.select(
+        "p_brand", "q_a", "q_b", "rev_a_c", "rev_b_c",
+        (F.col("rev_b_c") - F.col("rev_a_c")).cast("bigint").alias("delta_c"),
+        F.expr("(q_a * rev_b_c) div q_b - rev_a_c")
+        .cast("bigint")
+        .alias("price_eff_c"),
+        F.expr("((q_b - q_a) * rev_a_c) div q_a")
+        .cast("bigint")
+        .alias("volume_eff_c"),
+        F.expr(
+            "(rev_b_c - rev_a_c) - ((q_a * rev_b_c) div q_b - rev_a_c)"
+            " - (((q_b - q_a) * rev_a_c) div q_a)"
+        )
+        .cast("bigint")
+        .alias("mix_resid_c"),
+    )
+
+
+@register(
+    "events_changepoint_binseg",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pre AS (
+      SELECT event_type, day, x,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+             CAST(SUM(x) OVER w AS BIGINT) AS s1l,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS s2l,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS s1,
+             CAST(SUM(x * x) OVER (PARTITION BY event_type) AS BIGINT) AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    cand AS (
+      SELECT event_type, day, i, s1l, s2l, n, s1, s2,
+             (CAST(s2l AS DOUBLE)
+              - ((CAST(s1l AS DOUBLE) * CAST(s1l AS DOUBLE))
+                 / CAST(i AS DOUBLE)))
+             + (CAST(s2 - s2l AS DOUBLE)
+                - ((CAST(s1 - s1l AS DOUBLE) * CAST(s1 - s1l AS DOUBLE))
+                   / CAST(n - i AS DOUBLE))) AS sse_split
+      FROM pre WHERE i >= 2 AND i <= n - 2
+    ),
+    best AS (
+      SELECT event_type, day, i, n, s1l, s1, sse_split,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY sse_split, day) AS rk
+      FROM cand
+    )
+    SELECT event_type, day AS split_day,
+           CAST(i AS BIGINT) AS n_left, CAST(n - i AS BIGINT) AS n_right,
+           CAST(s1l // i AS BIGINT) AS mean_left_c,
+           CAST((s1 - s1l) // (n - i) AS BIGINT) AS mean_right_c,
+           sse_split
+    FROM best WHERE rk = 1
+    """,
+)
+def events_changepoint_binseg(spark, sf_dir):
+    """Single-split binary segmentation changepoint per series — the
+    first step of the classic binseg detector (and the workhorse
+    behind "when did this metric regime change"): over the daily
+    revenue series, pick the split that minimizes total within-
+    segment SSE, i.e. the two-segment least-squares fit. Prefix
+    moments are exact BIGINTs from one running window; each
+    candidate's SSE is one identically-parenthesized IEEE expression
+    over those integers (bit-identical cross-engine, so the argmin —
+    tie-broken by day — is deterministic without any rounding);
+    segment means are integer divisions of non-negative sums. Splits
+    leaving fewer than 2 days on a side are excluded, the standard
+    minimum-segment-length constraint. The complement of
+    events_cusum_changepoint: same question, the other canonical
+    estimator (least-squares vs cumulative-deviation max).
+
+    Scale shape: one exchange on the series key serves the daily
+    rollup, the prefix window, the per-series totals, and the argmin
+    rank — the candidate set is day-count-bounded, never
+    event-volume-bounded."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(cents).cast("bigint").alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("bigint")
+        .alias("i"),
+        F.sum("x").over(w).cast("bigint").alias("s1l"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("s2l"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+        F.sum("x").over(wt).cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(wt).cast("bigint").alias("s2"),
+    )
+    cand = pre.filter((F.col("i") >= 2) & (F.col("i") <= F.col("n") - 2)).withColumn(
+        "sse_split",
+        F.expr(
+            "(CAST(s2l AS DOUBLE)"
+            " - ((CAST(s1l AS DOUBLE) * CAST(s1l AS DOUBLE))"
+            "    / CAST(i AS DOUBLE)))"
+            " + (CAST(s2 - s2l AS DOUBLE)"
+            "    - ((CAST(s1 - s1l AS DOUBLE) * CAST(s1 - s1l AS DOUBLE))"
+            "       / CAST(n - i AS DOUBLE)))"
+        ),
+    )
+    best = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("sse_split", "day")
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        F.col("i").cast("bigint").alias("n_left"),
+        (F.col("n") - F.col("i")).cast("bigint").alias("n_right"),
+        F.expr("s1l div i").cast("bigint").alias("mean_left_c"),
+        F.expr("(s1 - s1l) div (n - i)").cast("bigint").alias("mean_right_c"),
+        "sse_split",
+    )

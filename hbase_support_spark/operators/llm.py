@@ -7858,3 +7858,190 @@ def text_js_divergence_vs_corpus(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("vocab_total"),
         F.sum("term_nano").cast("bigint").alias("jsd_nano"),
     )
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle=f"""
+    WITH pts AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab
+      FROM (SELECT source, UNNEST({D_TOKENS}) AS w FROM documents)
+      GROUP BY source
+    ),
+    xy AS (
+      SELECT source,
+             CAST(FLOOR(1000000.0 * LN(CAST(n_tok AS DOUBLE))) AS BIGINT)
+               AS x,
+             CAST(FLOOR(1000000.0 * LN(CAST(vocab AS DOUBLE))) AS BIGINT)
+               AS y
+      FROM pts
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2
+      FROM xy
+    )
+    SELECT n AS n_sources, sx, sy, sxy, sx2,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+            - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+           / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+              - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS beta,
+           CAST(FLOOR(1000000.0 *
+             ((CAST(sy AS DOUBLE)
+               - ((((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+                    - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                      - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+                  * CAST(sx AS DOUBLE)))
+              / CAST(n AS DOUBLE)) / 1000000.0) AS BIGINT)
+             AS ln_k_micro
+    FROM m
+    """,
+)
+def text_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law fit over the per-source (tokens, vocabulary)
+    points — V = K·nᵝ, the vocabulary-growth exponent that predicts
+    tokenizer OOV pressure as a corpus scales (the lexical-richness
+    complement of text_zipf_fit's rank-frequency exponent). Each
+    source contributes one log-log point; the logs are per-row
+    doubles over exact BIGINTs floored to micro units FIRST (the
+    parkinson contract — LN agrees cross-engine, the floor removes
+    any residual risk from the regression inputs), and the OLS
+    moments over the 20 floored points are exact BIGINTs. Both beta
+    and the floored micro intercept (ln K, since the x/y micro
+    scalings cancel in the slope and shift LN K by a constant the
+    expression accounts for by dividing back) are single
+    identically-parenthesized IEEE closed forms over those integers.
+
+    Scale shape: one token explosion into a (source, word) hash agg
+    then a 20-row regression — the heavy pass is the same shared
+    tokenize scan every text op pays; the fit itself is
+    metadata-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.expr(TOKENS)).alias("w"))
+    pts = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+        F.countDistinct("w").cast("bigint").alias("vocab"),
+    )
+    xy = pts.select(
+        "source",
+        F.expr(
+            "CAST(FLOOR(1000000.0 * LN(CAST(n_tok AS DOUBLE))) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * LN(CAST(vocab AS DOUBLE))) AS BIGINT)"
+        ).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+    )
+    beta = """
+        ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+         - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+           - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+    """
+    lnk = """
+        CAST(FLOOR(1000000.0 *
+          ((CAST(sy AS DOUBLE)
+            - ((((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+                 - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                   - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+               * CAST(sx AS DOUBLE)))
+           / CAST(n AS DOUBLE)) / 1000000.0) AS BIGINT)
+    """
+    return m.select(
+        F.col("n").alias("n_sources"), "sx", "sy", "sxy", "sx2",
+        F.expr(beta).alias("beta"),
+        F.expr(lnk).alias("ln_k_micro"),
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, '>> ' || UPPER(text) FROM documents
+      WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 2000000, UPPER(text) || ' !!' FROM documents
+      WHERE doc_id < 50
+    ),
+    norm AS (
+      SELECT doc_id, {_d_h60(_D_NORM_TEXT)} AS fp FROM corpus
+    ),
+    clusters AS (
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS sz FROM norm GROUP BY fp
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST((SUM(sz) * 10000) // (SELECT COUNT(*) FROM corpus)
+                AS BIGINT) AS corpus_share_bps
+    FROM clusters GROUP BY sz
+    """,
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Duplicate-cluster size histogram — the first chart of every
+    dedup report: how much of the corpus lives in singletons vs
+    pairs vs bigger near-dup families (the size distribution decides
+    whether keep-one dedup saves 2% or 40% of tokens, and a heavy
+    tail is the classic mirror-site signature). Clusters are the
+    normalized-exact groups of dedup_text_normalized; the fixture
+    has no raw duplicates, so the corpus is augmented in-query with
+    two deterministic variant generations (first 100 docs get one
+    case/punct variant, first 50 a second) producing known size-2
+    and size-3 families. Counts and the basis-point corpus share
+    are exact integers.
+
+    Scale shape: digest → two nested hash aggs (cluster sizes, then
+    the size histogram) — each strictly smaller than the last; the
+    scalar corpus total broadcasts. Nothing pairwise anywhere."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit(">> "), F.upper("text")).alias("text"),
+    )
+    v2 = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = d.unionAll(v1).unionAll(v2)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    clusters = (
+        corpus.select("doc_id", norm.alias("norm"))
+        .select("doc_id", F.expr(_h60("norm")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    total = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+    return (
+        clusters.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size", "n_clusters", "n_docs",
+            F.expr("(n_docs * 10000) div tot")
+            .cast("bigint")
+            .alias("corpus_share_bps"),
+        )
+    )

@@ -1691,3 +1691,132 @@ def layout_balancer_cost_model(spark, sf_dir):
             " + (4 * (((maxb - minb) * 10000) div maxb))) div 10"
         ).cast("bigint").alias("cluster_cost_bps"),
     )
+
+
+@register(
+    "source_parquet_schema_merge",
+    oracle="""
+    WITH a AS (
+      SELECT 1 AS batch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(n_chars) AS BIGINT) AS n_chars_present,
+             CAST(0 AS BIGINT) AS lang_present,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents WHERE doc_id < 250
+    ),
+    b AS (
+      SELECT 2 AS batch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS n_chars_present,
+             CAST(COUNT(lang) AS BIGINT) AS lang_present,
+             CAST(NULL AS BIGINT) AS total_chars
+      FROM documents WHERE doc_id >= 250
+    )
+    SELECT * FROM a UNION ALL SELECT * FROM b
+    """,
+)
+def source_parquet_schema_merge(spark, sf_dir):
+    """Parquet schema evolution (mergeSchema=true) — the lake
+    reality where yesterday's files lack today's columns: batch 1
+    was written with (doc_id, n_chars), batch 2 with (doc_id, lang,
+    source), both under one table root, and the merged read unions
+    the schemas with NULLs where a file predates a column. The audit
+    proves the semantics: per batch, rows survive, the other batch's
+    columns read as NULL (COUNT of them is 0 across the foreign
+    batch), and values round-trip. This is the contract a
+    schema-evolving ingestion pipeline (HBase snapshot exports
+    accreting columns over time) depends on.
+
+    Scale shape: mergeSchema reconciles FOOTERS, not data — the cost
+    is one metadata pass over file schemas at planning time; the
+    scan itself stays columnar with pushdown. The partition column
+    (batch) prunes exactly like any other directory key."""
+    docs = load_table(spark, sf_dir, "documents")
+    dst = os.path.join(_SCRATCH, "docs_schema_evo")
+    a = docs.filter(F.col("doc_id") < 250).select("doc_id", "n_chars")
+    b = docs.filter(F.col("doc_id") >= 250).select("doc_id", "lang", "source")
+    a.write.mode("overwrite").parquet(os.path.join(dst, "batch=1"))
+    b.write.mode("overwrite").parquet(os.path.join(dst, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(dst)
+    return back.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("n_chars").cast("bigint").alias("n_chars_present"),
+        F.count("lang").cast("bigint").alias("lang_present"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "layout_clustering_factor_audit",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey // 100 AS bkt,
+             ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS r_date,
+             ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) AS r_key
+      FROM orders
+    ),
+    l1 AS (
+      SELECT 'date_linear' AS layout, bkt,
+             CAST(COUNT(DISTINCT (r_date - 1) // 1000) AS BIGINT) AS files
+      FROM ranked GROUP BY bkt
+    ),
+    l2 AS (
+      SELECT 'custkey_sorted' AS layout, bkt,
+             CAST(COUNT(DISTINCT (r_key - 1) // 1000) AS BIGINT) AS files
+      FROM ranked GROUP BY bkt
+    ),
+    u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(files) AS BIGINT) AS file_bucket_pairs,
+           CAST((SUM(files) * 1000000) // COUNT(*) AS BIGINT)
+             AS avg_files_per_bucket_micro
+    FROM u GROUP BY layout
+    """,
+)
+def layout_clustering_factor_audit(spark, sf_dir):
+    """Clustering-factor audit — Oracle's index clustering factor /
+    Delta's OPTIMIZE ZORDER rationale as a measured number: under a
+    date-linear file layout vs a custkey-sorted layout (1000-row
+    files in each), how many files must a per-customer-bucket probe
+    touch? The custkey-sorted layout collapses every bucket to its
+    minimal file span (great for key probes, useless for time
+    pruning); the date-linear layout smears each bucket across
+    ~every file — the measured gap IS the data-skipping win file
+    statistics would deliver, the number that justifies re-clustering
+    a 100 TB table. File ids are exact integer rank-div cuts; the
+    summary is pure integer division.
+
+    Scale shape: both global ranks ride the distributed rank kernel
+    (operators/ranking.py — range exchange + broadcast offsets, no
+    single-partition window), then two hash aggs on (bucket, file)
+    scale keys. Citing the survey's layout-audit family
+    (layout_zorder_scan is the write-side twin)."""
+    from .ranking import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("o_custkey div 100").alias("bkt"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_custkey",
+    )
+    r1 = with_global_rank(o, ["o_orderdate", "o_orderkey"], "r_date")
+    r2 = with_global_rank(o, ["o_custkey", "o_orderkey"], "r_key")
+    l1 = (
+        r1.select("bkt", F.expr("(r_date - 1) div 1000").alias("f"))
+        .groupBy("bkt")
+        .agg(F.countDistinct("f").cast("bigint").alias("files"))
+        .select(F.lit("date_linear").alias("layout"), "bkt", "files")
+    )
+    l2 = (
+        r2.select("bkt", F.expr("(r_key - 1) div 1000").alias("f"))
+        .groupBy("bkt")
+        .agg(F.countDistinct("f").cast("bigint").alias("files"))
+        .select(F.lit("custkey_sorted").alias("layout"), "bkt", "files")
+    )
+    u = l1.unionByName(l2)
+    return u.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("files").cast("bigint").alias("file_bucket_pairs"),
+        F.expr("(SUM(files) * 1000000) div COUNT(*)")
+        .cast("bigint")
+        .alias("avg_files_per_bucket_micro"),
+    )

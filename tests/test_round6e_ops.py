@@ -375,3 +375,103 @@ def test_jsd_bounds_and_identical_distribution_zero(spark, sf_dir):
         # JSD in nats is bounded by ln 2; nano-floored terms can dip
         # at most one ulp per grid cell below 0
         assert -r.vocab_total <= r.jsd_nano <= int(1e9 * math.log(2)) + 1
+
+
+def test_pvm_bridge_closes_exactly(spark, sf_dir):
+    """The three effects close the revenue bridge exactly on every
+    brand row, and period totals conserve corpus revenue for brands
+    active in both periods."""
+    rows = QUERIES["orders_price_volume_mix_bridge"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.delta_c == r.rev_b_c - r.rev_a_c
+        assert r.price_eff_c + r.volume_eff_c + r.mix_resid_c == r.delta_c
+        assert r.q_a > 0 and r.q_b > 0
+        assert r.price_eff_c == (r.q_a * r.rev_b_c) // r.q_b - r.rev_a_c
+
+
+def test_binseg_split_is_argmin_sse(spark, sf_dir):
+    """The reported split minimizes two-segment SSE: recompute every
+    candidate split in plain Python for one series and compare."""
+    rows = {r.event_type: r for r in QUERIES["events_changepoint_binseg"](spark, sf_dir).collect()}
+    et = sorted(rows)[0]
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == et)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r.x for r in daily]
+    n = len(xs)
+    best = None
+    for i in range(2, n - 1):
+        l, r_ = xs[:i], xs[i:]
+        sse = (
+            sum(v * v for v in l) - sum(l) ** 2 / len(l)
+            + sum(v * v for v in r_) - sum(r_) ** 2 / len(r_)
+        )
+        if best is None or sse < best[0]:
+            best = (sse, i)
+    got = rows[et]
+    assert got.n_left == best[1]
+    assert abs(got.sse_split - best[0]) < 1e-6 * max(1.0, abs(best[0]))
+    assert got.split_day == daily[best[1] - 1].day
+
+
+def test_schema_merge_null_semantics(spark, sf_dir):
+    """Foreign-batch columns read as NULL: batch 1 carries n_chars
+    only, batch 2 lang only, and row counts partition the corpus."""
+    rows = {r.batch: r for r in QUERIES["source_parquet_schema_merge"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    assert rows[1].n_rows + rows[2].n_rows == docs.count()
+    assert rows[1].n_chars_present == rows[1].n_rows and rows[1].lang_present == 0
+    assert rows[2].lang_present == rows[2].n_rows and rows[2].n_chars_present == 0
+    assert rows[2].total_chars is None
+
+
+def test_clustering_factor_orders_layouts(spark, sf_dir):
+    """The custkey-sorted layout touches at most as many files per
+    bucket as the date-linear layout (it is the clustered one), and
+    both layouts see every bucket."""
+    rows = {r.layout: r for r in QUERIES["layout_clustering_factor_audit"](spark, sf_dir).collect()}
+    assert set(rows) == {"date_linear", "custkey_sorted"}
+    a, b = rows["custkey_sorted"], rows["date_linear"]
+    assert a.n_buckets == b.n_buckets
+    assert a.file_bucket_pairs <= b.file_bucket_pairs
+    o = load_table(spark, sf_dir, "orders")
+    n_files = -(-o.count() // 1000)
+    # clustered layout: each bucket spans a contiguous rank range
+    assert a.file_bucket_pairs <= n_files + a.n_buckets
+
+
+def test_heaps_fit_matches_recompute(spark, sf_dir):
+    """Beta and ln K recompute from the reported integer moments
+    using the query's own double semantics (each moment cast to
+    binary64 BEFORE the products — they exceed 2^53, so exact-int
+    recompute would diverge by design)."""
+    r = QUERIES["text_heaps_law_fit"](spark, sf_dir).collect()[0]
+    n, sx, sy, sxy, sx2 = (
+        float(r.n_sources), float(r.sx), float(r.sy), float(r.sxy), float(r.sx2)
+    )
+    beta = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    assert r.beta == beta
+    # fixture vocab saturates (tiny closed vocabulary), so the
+    # exponent sits near 0; real corpora land in 0.4-0.6
+    assert 0.0 <= r.beta < 1.5
+    assert r.ln_k_micro == math.floor(1e6 * ((sy - beta * sx) / n) / 1e6)
+
+
+def test_cluster_histogram_known_sizes(spark, sf_dir):
+    """The synthesized variant corpus yields exactly the designed
+    cluster sizes (3 for first-50 docs, 2 for docs 50-99, singletons
+    elsewhere) and doc counts conserve."""
+    rows = {r.cluster_size: r for r in QUERIES["dedup_cluster_size_histogram"](spark, sf_dir).collect()}
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    total = docs_n + 100 + 50
+    assert rows[3].n_clusters == 50 and rows[2].n_clusters == 50
+    assert rows[1].n_clusters == docs_n - 100
+    assert sum(r.n_docs for r in rows.values()) == total
+    for r in rows.values():
+        assert r.corpus_share_bps == r.n_docs * 10000 // total
