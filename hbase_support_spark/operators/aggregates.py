@@ -5472,11 +5472,24 @@ def events_interarrival_cv2(spark, sf_dir):
     )
     SELECT p_brand, q_a, q_b, rev_a_c, rev_b_c,
            CAST(rev_b_c - rev_a_c AS BIGINT) AS delta_c,
-           CAST((q_a * rev_b_c) // q_b - rev_a_c AS BIGINT) AS price_eff_c,
-           CAST(((q_b - q_a) * rev_a_c) // q_a AS BIGINT) AS volume_eff_c,
+           CAST((q_a * (rev_b_c // q_b)
+                 + (q_a * (rev_b_c % q_b)) // q_b) - rev_a_c
+                AS BIGINT) AS price_eff_c,
+           CAST(CASE WHEN q_b >= q_a
+                  THEN (q_b - q_a) * (rev_a_c // q_a)
+                       + ((q_b - q_a) * (rev_a_c % q_a)) // q_a
+                  ELSE -((q_a - q_b) * (rev_a_c // q_a)
+                         + ((q_a - q_b) * (rev_a_c % q_a)) // q_a)
+                END AS BIGINT) AS volume_eff_c,
            CAST((rev_b_c - rev_a_c)
-                - ((q_a * rev_b_c) // q_b - rev_a_c)
-                - (((q_b - q_a) * rev_a_c) // q_a) AS BIGINT) AS mix_resid_c
+                - ((q_a * (rev_b_c // q_b)
+                    + (q_a * (rev_b_c % q_b)) // q_b) - rev_a_c)
+                - (CASE WHEN q_b >= q_a
+                     THEN (q_b - q_a) * (rev_a_c // q_a)
+                          + ((q_b - q_a) * (rev_a_c % q_a)) // q_a
+                     ELSE -((q_a - q_b) * (rev_a_c // q_a)
+                            + ((q_a - q_b) * (rev_a_c % q_a)) // q_a)
+                   END) AS BIGINT) AS mix_resid_c
     FROM per
     """,
 )
@@ -5487,18 +5500,23 @@ def orders_price_volume_mix_bridge(spark, sf_dir):
     (old volume at the new average price), a volume effect (volume
     change at the old average price), and a residual mix/interaction
     term that closes the bridge by construction. Average prices are
-    rationals (rev/qty), so the effects are evaluated as integer
-    cross-multiplied divisions of non-negative BIGINTs — `div` and
-    `//` truncate identically — and the residual is exact integer
-    subtraction, so the three effects sum to delta_c exactly on
-    every row. Brands active in only one period are excluded (their
-    bridge is degenerate: all delta is volume).
+    rationals (rev/qty), so the effects are evaluated with the exact
+    truncating-division decomposition
+    a·b div c = a·(b div c) + (a·(b mod c)) div c — an identity for
+    non-negative BIGINTs that keeps every intermediate under
+    q_a·q_b instead of q·rev (the naive cross-multiply overflows
+    once brand revenue crosses ~2^49 cents; the ×32 scale stress
+    caught exactly that). The volume effect's sign is split
+    explicitly because both engines truncate toward zero, making
+    -(|d|·r div q) == (d·r div q) for negative d. The residual is
+    exact integer subtraction, so the three effects sum to delta_c
+    exactly on every row. Brands active in only one period are
+    excluded (their bridge is degenerate: all delta is volume).
 
     Scale shape: broadcast star probe then ONE map-side-combinable
     agg into 25 brand groups with conditional sums — a single pass
-    over the fact table. Headroom rule at larger SFs: q·rev products
-    need rev binned to dollars once brand revenue crosses ~2^49
-    cents."""
+    over the fact table. Overflow now needs q_a·q_b > 2^63 —
+    billions of units on BOTH sides of one brand."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     isa = F.col("l_shipdate") < F.lit("1998-01-01").cast("date")
@@ -5524,18 +5542,25 @@ def orders_price_volume_mix_bridge(spark, sf_dir):
         )
         .filter((F.col("q_a") > 0) & (F.col("q_b") > 0))
     )
+    price_eff = (
+        "(q_a * (rev_b_c div q_b)"
+        " + (q_a * (rev_b_c % q_b)) div q_b) - rev_a_c"
+    )
+    vol_eff = (
+        "CASE WHEN q_b >= q_a"
+        " THEN (q_b - q_a) * (rev_a_c div q_a)"
+        "      + ((q_b - q_a) * (rev_a_c % q_a)) div q_a"
+        " ELSE -((q_a - q_b) * (rev_a_c div q_a)"
+        "        + ((q_a - q_b) * (rev_a_c % q_a)) div q_a)"
+        " END"
+    )
     return per.select(
         "p_brand", "q_a", "q_b", "rev_a_c", "rev_b_c",
         (F.col("rev_b_c") - F.col("rev_a_c")).cast("bigint").alias("delta_c"),
-        F.expr("(q_a * rev_b_c) div q_b - rev_a_c")
-        .cast("bigint")
-        .alias("price_eff_c"),
-        F.expr("((q_b - q_a) * rev_a_c) div q_a")
-        .cast("bigint")
-        .alias("volume_eff_c"),
+        F.expr(price_eff).cast("bigint").alias("price_eff_c"),
+        F.expr(vol_eff).cast("bigint").alias("volume_eff_c"),
         F.expr(
-            "(rev_b_c - rev_a_c) - ((q_a * rev_b_c) div q_b - rev_a_c)"
-            " - (((q_b - q_a) * rev_a_c) div q_a)"
+            f"(rev_b_c - rev_a_c) - ({price_eff}) - ({vol_eff})"
         )
         .cast("bigint")
         .alias("mix_resid_c"),
