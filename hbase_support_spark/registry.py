@@ -73,10 +73,9 @@ def register(name: str, oracle: str | None = None):
 # additions beyond the first 13 roll into the r07 window.
 #
 # Round-6 dry-run of the r07 window (VERDICT r05 item 5; refreshed
-# 2026-08-15 after the batch-14 additions took the registry to
-# 380): simulating the staged r06 window green leaves exactly 88
-# never-graded names; the r07 window is the first 50 of them in
-# registry order —
+# 2026-08-15 at session close with the registry at 412): simulating
+# the staged r06 window green leaves exactly 120 never-graded names;
+# the r07 window is the first 50 of them in registry order —
 #   1-25 (unchanged from the original dry-run): agg_bitmap_audience_overlap,
 #     events_rolling_uniques_bitmap, events_cep_3step, graph_bfs_hops,
 #     win_anchored_vwap, win_rolling_median_7, win_rolling_zscore,
@@ -87,21 +86,23 @@ def register(name: str, oracle: str | None = None):
 #     embedding_pca_power_top1, events_activity_deciles,
 #     supplier_sla_report, events_new_vs_returning_revenue,
 #     orders_repeat_purchase_curve, cells_family_stats, scan_multi_range
-#   26-50 (round-6 additions, import order; scans/cells batch-14 ops
-#   land before llm-module ones): layout_region_balance_plan,
-#     source_binaryfile_multimodal, source_csv_malformed_audit,
-#     layout_small_files_compaction_plan, scan_keyset_pagination,
-#     layout_meta_lookup, sample_neyman_allocation,
-#     layout_compaction_io_amplification, scan_fuzzy_rowkey,
-#     layout_region_split_policy_sim, cells_delete_marker_precedence,
-#     txlog_replay_gap_audit, cells_compaction_reclaim_preview,
-#     cells_version_gc_policy, wal_rollover_plan,
-#     cells_column_pagination, snapshot_diff_asof,
-#     cells_mob_storage_plan, wal_replication_lag_report,
-#     join_null_key_bypass, privacy_t_closeness, events_anova_f_oneway,
-#     events_sprt_sequential_test, events_srm_check, privacy_masking_view
-# The remaining 38 round-6 additions open the r08 window; with green
-# r06+r07, every pre-batch-11 query has a driver verdict by r07-close.
+#   26-50 (round-6 additions, import order; scans/cells-module ops —
+#   including the batch-15..19 tail appends — land before llm-module
+#   ones): layout_region_balance_plan, source_binaryfile_multimodal,
+#     source_csv_malformed_audit, layout_small_files_compaction_plan,
+#     scan_keyset_pagination, layout_meta_lookup,
+#     sample_neyman_allocation, layout_compaction_io_amplification,
+#     scan_fuzzy_rowkey, layout_region_split_policy_sim,
+#     layout_rpc_quota_throttle, scan_multiget_batch_plan,
+#     layout_region_normalizer_plan, layout_balancer_cost_model,
+#     source_parquet_schema_merge, layout_clustering_factor_audit,
+#     cells_delete_marker_precedence, txlog_replay_gap_audit,
+#     cells_compaction_reclaim_preview, cells_version_gc_policy,
+#     wal_rollover_plan, cells_column_pagination, snapshot_diff_asof,
+#     cells_mob_storage_plan, wal_replication_lag_report
+# The remaining 70 never-graded (late cells/llm/aggregates/windows
+# batches) fill r08 and r09 windows; with green r06+r07, every
+# pre-batch-7 query has a driver verdict by r07-close.
 GRADING_PRIORITY: list[str] = [
     # ---- round-3 window, slots 1-19: the 19 kind-cast fixes (r02 FAILs first)
     "sim_lsh_hyperplane",
