@@ -5684,3 +5684,238 @@ def events_changepoint_binseg(spark, sf_dir):
         F.expr("(s1 - s1l) div (n - i)").cast("bigint").alias("mean_right_c"),
         "sse_split",
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, cents, w,
+             SUM(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY cents, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+      FROM pts
+    ),
+    hit AS (
+      SELECT l_returnflag, cents, cumw, totw,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cumw, cents) AS rk
+      FROM c WHERE 2 * cumw >= totw
+    )
+    SELECT l_returnflag,
+           CAST(totw AS BIGINT) AS total_weight,
+           CAST(cents AS BIGINT) AS wmedian_cents,
+           CAST(cumw AS BIGINT) AS cum_weight_at_median
+    FROM hit WHERE rk = 1
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag — the weighted
+    median (lower weighted median, the standard definition: smallest
+    value whose cumulative weight reaches half the total) that
+    pricing and procurement reviews use because an unweighted median
+    over line items overweights small orders. Entirely integer: cent
+    prices, integer weights, a running BIGINT cumulative over a
+    uniquely-ordered frame, and the integer predicate 2·cumw ≥ totw
+    — no division at all, so no rounding seam exists. The first
+    qualifying row per group is selected by rank, tie-broken
+    deterministically.
+
+    Scale shape: one exchange on the group key serves the running
+    sum, the group total, and the rank — the exact-quantile shape
+    (sort within partition); for the global-median variant the
+    distributed rank kernel (operators/ranking.py) replaces the
+    per-group window, as agg_quantile_exact_global demonstrates."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = pts.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wrun).alias("cumw"),
+        F.sum("w").over(wall).alias("totw"),
+    )
+    hit = c.filter(2 * F.col("cumw") >= F.col("totw")).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("cumw", "cents")
+        ),
+    )
+    return hit.filter(F.col("rk") == 1).select(
+        "l_returnflag",
+        F.col("totw").cast("bigint").alias("total_weight"),
+        F.col("cents").cast("bigint").alias("wmedian_cents"),
+        F.col("cumw").cast("bigint").alias("cum_weight_at_median"),
+    )
+
+
+@register(
+    "events_ljung_box_q",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) // 100
+                  AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             LAG(x, 1) OVER w AS x1,
+             LAG(x, 2) OVER w AS x2,
+             LAG(x, 3) OVER w AS x3
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2,
+             CAST(SUM(x * x1) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x1 END) AS BIGINT) AS a1,
+             CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x END) AS BIGINT) AS b1,
+             CAST(SUM(x * x2) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN x2 IS NOT NULL THEN x2 END) AS BIGINT) AS a2,
+             CAST(SUM(CASE WHEN x2 IS NOT NULL THEN x END) AS BIGINT) AS b2,
+             CAST(SUM(x * x3) AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN x3 IS NOT NULL THEN x3 END) AS BIGINT) AS a3,
+             CAST(SUM(CASE WHEN x3 IS NOT NULL THEN x END) AS BIGINT) AS b3
+      FROM lagged GROUP BY event_type
+    ),
+    r AS (
+      SELECT event_type, n,
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(c1 AS DOUBLE)
+              - CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                * (CAST(a1 AS DOUBLE) + CAST(b1 AS DOUBLE))
+              + CAST(n - 1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE)
+                * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS r1,
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(c2 AS DOUBLE)
+              - CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                * (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE))
+              + CAST(n - 2 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE)
+                * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS r2,
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(c3 AS DOUBLE)
+              - CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                * (CAST(a3 AS DOUBLE) + CAST(b3 AS DOUBLE))
+              + CAST(n - 3 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE)
+                * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS r3
+      FROM m
+    )
+    SELECT event_type, n, r1, r2, r3,
+           (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0))
+           * (((r1 * r1) / (CAST(n AS DOUBLE) - 1.0))
+              + ((r2 * r2) / (CAST(n AS DOUBLE) - 2.0))
+              + ((r3 * r3) / (CAST(n AS DOUBLE) - 3.0))) AS q_stat
+    FROM r
+    """,
+)
+def events_ljung_box_q(spark, sf_dir):
+    """Ljung-Box portmanteau test (lags 1..3) per daily series — the
+    standard "is there ANY autocorrelation left" diagnostic run on
+    forecast residuals and A/A streams (completes the time-series
+    toolkit next to autocorr_lag1 / Mann-Kendall / binseg). Daily
+    values are binned to whole dollars so every cross-moment —
+    n²·Σx_t·x_{t−k} is the largest — stays far inside BIGINT; each
+    lag-k autocorrelation is the mean-centered sample ACF expanded
+    into exact integer moments (lag pair sums, boundary sums a_k/b_k,
+    and the n−k correction) and evaluated as one
+    identically-parenthesized IEEE expression; Q = n(n+2)·Σ r_k²/(n−k)
+    is a second identical closed form over those r_k. Bit-exact
+    cross-engine, no rounding step.
+
+    Scale shape: one exchange on the series key for the daily
+    rollup; the lags ride the same partitioning; the moment rollup
+    is map-side-combinable into 5 groups. Day-count-bounded
+    everywhere after the scan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) div 100"
+            " AS BIGINT)"
+        ).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+        F.lag("x", 3).over(w).alias("x3"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    ]
+    for k in (1, 2, 3):
+        xk = F.col(f"x{k}")
+        aggs += [
+            F.sum(F.col("x") * xk).cast("bigint").alias(f"c{k}"),
+            F.sum(F.when(xk.isNotNull(), xk)).cast("bigint").alias(f"a{k}"),
+            F.sum(F.when(xk.isNotNull(), F.col("x")))
+            .cast("bigint")
+            .alias(f"b{k}"),
+        ]
+    m = lagged.groupBy("event_type").agg(*aggs)
+
+    def rk(k: int) -> str:
+        return (
+            f"(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(c{k} AS DOUBLE)"
+            f" - CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            f"   * (CAST(a{k} AS DOUBLE) + CAST(b{k} AS DOUBLE))"
+            f" + CAST(n - {k} AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            f"   * CAST(s1 AS DOUBLE))"
+            f" / (CAST(n AS DOUBLE)"
+            f"    * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            f"       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))"
+        )
+
+    r = m.select(
+        "event_type", "n",
+        F.expr(rk(1)).alias("r1"),
+        F.expr(rk(2)).alias("r2"),
+        F.expr(rk(3)).alias("r3"),
+    )
+    return r.select(
+        "event_type", "n", "r1", "r2", "r3",
+        F.expr(
+            "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0))"
+            " * (((r1 * r1) / (CAST(n AS DOUBLE) - 1.0))"
+            "    + ((r2 * r2) / (CAST(n AS DOUBLE) - 2.0))"
+            "    + ((r3 * r3) / (CAST(n AS DOUBLE) - 3.0)))"
+        ).alias("q_stat"),
+    )

@@ -1954,3 +1954,56 @@ def scan_raw_with_tombstones(spark, sf_dir):
             ).alias("masked"),
         )
     )
+
+
+@register(
+    "cells_row_mutations_batch_audit",
+    oracle="""
+    WITH muts AS (
+      SELECT user_id, epoch_us(ts) // 300000000 AS batch_win,
+             event_type, event_id
+      FROM events
+    ),
+    per_q AS (
+      SELECT user_id, batch_win, event_type,
+             CAST(COUNT(*) AS BIGINT) AS versions
+      FROM muts GROUP BY user_id, batch_win, event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(versions) AS BIGINT) AS n_mutations,
+           CAST(SUM(versions - 1) AS BIGINT) AS n_collisions,
+           CAST((SUM(versions - 1) * 10000) // SUM(versions) AS BIGINT)
+             AS collision_bps
+    FROM per_q GROUP BY event_type
+    """,
+)
+def cells_row_mutations_batch_audit(spark, sf_dir):
+    """RowMutations batch collision audit — when a writer groups a
+    row's edits into atomic 5-minute batches (the checkAndMutate /
+    RowMutations pattern), multiple puts to the SAME qualifier
+    inside one batch collapse to last-write-wins: every earlier
+    version in the batch is dead weight that still pays RPC and WAL
+    bytes. The audit counts, per column family, how many mutations
+    each atomic (row, window) batch carried per qualifier and prices
+    the collision rate in exact basis points — the number that tells
+    a client team to coalesce client-side. Window ids are exact
+    integer microsecond division; everything else is counting.
+
+    Scale shape: one map-side-combinable hash agg on the
+    (row, window, qualifier) coordinate — the natural write-path
+    key — then a 5-row family rollup; no windows, no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    per_q = ev.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 300000000").alias("batch_win"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("versions"))
+    return per_q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.sum("versions").cast("bigint").alias("n_mutations"),
+        F.sum(F.col("versions") - 1).cast("bigint").alias("n_collisions"),
+        F.expr("(SUM(versions - 1) * 10000) div SUM(versions)")
+        .cast("bigint")
+        .alias("collision_bps"),
+    )

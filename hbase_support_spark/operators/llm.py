@@ -8045,3 +8045,60 @@ def dedup_cluster_size_histogram(spark, sf_dir):
             .alias("corpus_share_bps"),
         )
     )
+
+
+@register(
+    "text_mattr_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {D_TOKENS} AS t, len({D_TOKENS}) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_tok - 24 AS BIGINT) AS n_windows,
+           CAST(list_sum(list_transform(range(1, n_tok - 23),
+                i -> len(list_distinct(t[i:i+24])))) AS BIGINT)
+             AS sum_distinct,
+           CAST((list_sum(list_transform(range(1, n_tok - 23),
+                 i -> len(list_distinct(t[i:i+24])))) * 1000000)
+                // (25 * (n_tok - 24)) AS BIGINT) AS mattr_micro
+    FROM toks WHERE n_tok >= 25
+    """,
+)
+def text_mattr_diversity(spark, sf_dir):
+    """MATTR lexical diversity per document — the moving-average
+    type-token ratio (Covington & McFall 2010), the length-robust
+    replacement for raw TTR every corpus-quality stack reports:
+    average the distinct-token share over every 25-token sliding
+    window. The per-window distinct counts are integers, their sum
+    is an integer, and the mean ratio is one integer cross-multiplied
+    division — exact, no floats at all (the denominator 25·windows
+    clears the per-window /25). Documents shorter than one window
+    are excluded by the same predicate in both engines (also keeping
+    the window range generator away from the empty-sequence
+    divergence documented for Spark sequence()).
+
+    Scale shape: map-only — one array expression per row inside
+    whole-stage codegen, no explode, no shuffle before the scan's
+    natural output; cost is O(tokens · window) per document, the
+    same budget as the shingle kernels."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(TOKENS).alias("t"),
+        F.size(F.expr(TOKENS)).alias("n_tok"),
+    ).filter(F.col("n_tok") >= 25)
+    sumd = (
+        "aggregate(transform(sequence(1, n_tok - 24),"
+        " i -> size(array_distinct(slice(t, i, 25)))),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    return toks.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        (F.col("n_tok") - 24).cast("bigint").alias("n_windows"),
+        F.expr(sumd).cast("bigint").alias("sum_distinct"),
+        F.expr(f"({sumd} * 1000000) div (25 * (n_tok - 24))")
+        .cast("bigint")
+        .alias("mattr_micro"),
+    )

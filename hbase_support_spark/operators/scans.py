@@ -1820,3 +1820,121 @@ def layout_clustering_factor_audit(spark, sf_dir):
         .cast("bigint")
         .alias("avg_files_per_bucket_micro"),
     )
+
+
+@register(
+    "layout_autoscale_plan",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour_id,
+             CAST(COUNT(*) AS BIGINT) AS reqs
+      FROM events GROUP BY epoch_us(ts) // 3600000000
+    ),
+    plan AS (
+      SELECT hour_id, reqs,
+             CAST((reqs + 49) // 50 AS BIGINT) AS servers_now,
+             CAST(MAX((reqs + 49) // 50)
+                    OVER (ORDER BY hour_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS servers_held
+      FROM hourly
+    )
+    SELECT hour_id, reqs, servers_now, servers_held,
+           CAST(servers_held - servers_now AS BIGINT) AS hysteresis_extra
+    FROM plan
+    """,
+)
+def layout_autoscale_plan(spark, sf_dir):
+    """Region-server autoscale plan — target-utilization sizing with
+    scale-down hysteresis: each hour needs ceil(requests / 50)
+    servers (the capacity target), but the fleet only shrinks after
+    the demand peak has been out of the trailing 3-hour window (the
+    standard flap-damping rule, HPA's stabilization window). Ceiling
+    division is the integer identity (a + b − 1) div b on
+    non-negative counts; the hold level is a ROWS-bounded running
+    max; hour ids are exact integer microsecond division. The
+    hysteresis_extra column prices the damping: server-hours kept
+    purely to avoid flapping.
+
+    Scale shape: one map-side-combinable agg to hour granularity
+    (time-bounded, not volume-bounded), then one ordered window over
+    those ~720 rows — the fact scan is the entire cost at 100 TB.
+    The global hour series is a single window partition by design
+    (it is one fleet's timeline); shard by cluster for multi-tenant
+    fleets."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_id")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("reqs"))
+    w3 = Window.orderBy("hour_id").rowsBetween(-2, 0)
+    plan = hourly.select(
+        "hour_id",
+        "reqs",
+        F.expr("(reqs + 49) div 50").cast("bigint").alias("servers_now"),
+    ).withColumn("servers_held", F.max("servers_now").over(w3).cast("bigint"))
+    return plan.select(
+        "hour_id", "reqs", "servers_now", "servers_held",
+        (F.col("servers_held") - F.col("servers_now"))
+        .cast("bigint")
+        .alias("hysteresis_extra"),
+    )
+
+
+@register(
+    "sink_partition_pruning_audit",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
+      GROUP BY CAST(ts AS DATE)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days_read,
+           CAST(COUNT(*) AS BIGINT) AS n_files_read,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM days) AS BIGINT) AS n_days_total
+    FROM days
+    WHERE day >= DATE '2024-01-10' AND day < DATE '2024-01-16'
+    """,
+)
+def sink_partition_pruning_audit(spark, sf_dir):
+    """Partition-pruning proof — write the event stream day-
+    partitioned (one file per partition via a pre-write repartition
+    on the partition key), read it back under a 6-day predicate, and
+    MEASURE the pruning with input_file_name(): the number of
+    distinct files actually opened must equal the number of days
+    selected, not the number of days written. This is the physical
+    audit behind every time-partitioned 100 TB table — if the file
+    count read exceeds the partition count selected, pruning is
+    broken and the scan pays the whole table.
+
+    Scale shape: the write is one hash exchange on the partition key
+    (day count bounded); the audited read scans only the six matched
+    directories — the measured file count IS the evidence. The
+    oracle restates the expectation from the raw table: files == days
+    in range, rows == rows in range."""
+    ev = load_table(spark, sf_dir, "events")
+    dst = os.path.join(_SCRATCH, "events_by_day")
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(dst)
+    )
+    back = spark.read.parquet(dst).filter(
+        (F.col("day") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("day") < F.lit("2024-01-16").cast("date"))
+    )
+    total_days = (
+        spark.read.parquet(dst).select("day").distinct().count()
+    )
+    return (
+        back.withColumn("src_file", F.input_file_name())
+        .agg(
+            F.countDistinct("day").cast("bigint").alias("n_days_read"),
+            F.countDistinct("src_file").cast("bigint").alias("n_files_read"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.lit(total_days).cast("bigint").alias("n_days_total"),
+        )
+    )

@@ -475,3 +475,126 @@ def test_cluster_histogram_known_sizes(spark, sf_dir):
     assert sum(r.n_docs for r in rows.values()) == total
     for r in rows.values():
         assert r.corpus_share_bps == r.n_docs * 10000 // total
+
+
+def test_autoscale_hold_dominates_and_ceil(spark, sf_dir):
+    """servers_held >= servers_now everywhere (hysteresis only adds),
+    the ceiling division recomputes, and the hold equals the trailing
+    3-hour max recomputed in plain Python."""
+    rows = sorted(
+        QUERIES["layout_autoscale_plan"](spark, sf_dir).collect(),
+        key=lambda r: r.hour_id,
+    )
+    assert rows
+    hist = []
+    for r in rows:
+        assert r.servers_now == -(-r.reqs // 50)
+        hist.append(r.servers_now)
+        assert r.servers_held == max(hist[-3:])
+        assert r.hysteresis_extra == r.servers_held - r.servers_now
+
+
+def test_partition_pruning_files_equal_days(spark, sf_dir):
+    """The physical proof: distinct files opened == days selected,
+    and both are fewer than the days written."""
+    r = QUERIES["sink_partition_pruning_audit"](spark, sf_dir).collect()[0]
+    assert r.n_files_read == r.n_days_read == 6
+    assert r.n_days_total > r.n_days_read
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.filter(
+        (F.to_date("ts") >= F.lit("2024-01-10").cast("date"))
+        & (F.to_date("ts") < F.lit("2024-01-16").cast("date"))
+    ).count()
+    assert r.n_rows == want
+
+
+def test_row_mutations_conservation(spark, sf_dir):
+    """Mutations conserve the event count; collisions = mutations −
+    batch-qualifier slots; bps recomputes."""
+    rows = QUERIES["cells_row_mutations_batch_audit"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_mutations for r in rows) == ev.count()
+    for r in rows:
+        assert r.n_collisions == r.n_mutations - r.n_batches
+        assert r.collision_bps == r.n_collisions * 10000 // r.n_mutations
+
+
+def test_mattr_window_recompute(spark, sf_dir):
+    """MATTR recomputed in plain Python over the same token stream
+    matches rows and exclusions: short docs absent, ratios in
+    (0, 1e6]."""
+    rows = {r.doc_id: r for r in QUERIES["text_mattr_diversity"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for d in docs[:50]:
+        toks = [w for w in d.text.lower().split(" ") if w]
+        if len(toks) < 25:
+            assert d.doc_id not in rows
+            continue
+        sums = sum(len(set(toks[i : i + 25])) for i in range(len(toks) - 24))
+        r = rows[d.doc_id]
+        assert (r.n_tok, r.n_windows, r.sum_distinct) == (
+            len(toks), len(toks) - 24, sums,
+        )
+        assert r.mattr_micro == sums * 1000000 // (25 * (len(toks) - 24))
+        assert 0 < r.mattr_micro <= 1000000
+
+
+def test_weighted_median_definition(spark, sf_dir):
+    """The reported value is the lower weighted median: cumulative
+    weight below it is < half the total, at-or-below reaches half —
+    recomputed in plain Python."""
+    rows = {r.l_returnflag: r for r in QUERIES["agg_weighted_median"](spark, sf_dir).collect()}
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    groups = {}
+    for x in li:
+        c = int(math.floor(x.l_extendedprice * 100 + 0.5))
+        w = int(math.floor(x.l_quantity + 0.5))
+        groups.setdefault(x.l_returnflag, []).append((c, x.l_orderkey, x.l_linenumber, w))
+    for flag, pts in groups.items():
+        pts.sort()
+        tot = sum(w for *_, w in pts)
+        cum = 0
+        for c, _, _, w in pts:
+            cum += w
+            if 2 * cum >= tot:
+                assert rows[flag].wmedian_cents == c
+                assert rows[flag].total_weight == tot
+                break
+
+
+def test_ljung_box_matches_statsmodels_formula(spark, sf_dir):
+    """r_k and Q recompute from the raw daily dollar series in plain
+    Python (textbook sample-ACF formulas) to float tolerance; Q is
+    non-negative."""
+    rows = {r.event_type: r for r in QUERIES["events_ljung_box_q"](spark, sf_dir).collect()}
+    et = sorted(rows)[0]
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == et)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) div 100"
+                " AS BIGINT)"
+            ).alias("x")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r.x for r in daily]
+    n = len(xs)
+    mu = sum(xs) / n
+    den = sum((v - mu) ** 2 for v in xs)
+    got = rows[et]
+    q = 0.0
+    for k, rk_got in ((1, got.r1), (2, got.r2), (3, got.r3)):
+        rk = sum((xs[t] - mu) * (xs[t + k] - mu) for t in range(n - k)) / den
+        assert abs(rk_got - rk) < 1e-9
+        q += rk * rk / (n - k)
+    q *= n * (n + 2)
+    assert abs(got.q_stat - q) < 1e-6
+    assert got.q_stat >= 0.0
