@@ -5919,3 +5919,176 @@ def events_ljung_box_q(spark, sf_dir):
             "    + ((r3 * r3) / (CAST(n AS DOUBLE) - 3.0)))"
         ).alias("q_stat"),
     )
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP))
+                  // 86400000000 AS BIGINT) AS epoch_day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tr AS (
+      SELECT event_type, day, epoch_day, x,
+             CAST(SUM(x) OVER w AS BIGINT) AS s7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, day, epoch_day, x,
+             CAST(s7 // 7 AS BIGINT) AS trend_c,
+             CAST(x - s7 // 7 AS BIGINT) AS detr_c,
+             CAST((epoch_day + 4) % 7 AS BIGINT) AS dow
+      FROM tr WHERE n7 = 7
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(SUM(detr_c) // COUNT(*) AS BIGINT) AS seasonal_c
+      FROM det GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.day, d.x, d.trend_c, s.seasonal_c,
+           CAST(d.detr_c - s.seasonal_c AS BIGINT) AS resid_c
+    FROM det d JOIN seas s
+      ON s.event_type = d.event_type AND s.dow = d.dow
+    """,
+)
+def events_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of the daily revenue series —
+    the classical trend / day-of-week / residual split (the moving-
+    average decomposition behind every 'is Monday always like this'
+    dashboard): trend is a centered 7-day moving average, the
+    seasonal component is the per-weekday mean of the detrended
+    series, and the residual closes the identity x = trend +
+    seasonal + residual + (the two integer-division remainders,
+    which stay bounded by construction). Entirely integer: cent
+    sums, integer divisions that truncate toward zero identically in
+    both engines (detrended values can be negative — `div` and `//`
+    agree on sign), and the weekday from exact epoch-day arithmetic
+    ((d+4) % 7, the Thursday-epoch identity). Edge days without a
+    full centered window are warm-up and excluded, as in the
+    classical method.
+
+    Scale shape: one exchange on the series key covers the daily
+    rollup, the centered window, and the weekday join key; the
+    seasonal table is 7 rows per series and broadcasts back."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(cents).cast("bigint").alias("x")
+    ).withColumn(
+        "epoch_day",
+        F.expr(
+            "unix_micros(CAST(day AS TIMESTAMP)) div 86400000000"
+        ).cast("bigint"),
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "epoch_day",
+        "x",
+        F.sum("x").over(w7).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("n7"),
+    )
+    det = tr.filter(F.col("n7") == 7).select(
+        "event_type",
+        "day",
+        "x",
+        F.expr("s7 div 7").cast("bigint").alias("trend_c"),
+        F.expr("x - s7 div 7").cast("bigint").alias("detr_c"),
+        F.expr("(epoch_day + 4) % 7").cast("bigint").alias("dow"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.expr("SUM(detr_c) div COUNT(*)").cast("bigint").alias("seasonal_c")
+    )
+    return det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type", "day", "x", "trend_c", "seasonal_c",
+        (F.col("detr_c") - F.col("seasonal_c")).cast("bigint").alias("resid_c"),
+    )
+
+
+@register(
+    "events_metric_definition_audit",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 4 AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purch
+      FROM events GROUP BY user_id
+    ),
+    per_cohort AS (
+      SELECT cohort,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n_events) AS BIGINT) AS tot_events,
+             CAST(SUM(n_purch) AS BIGINT) AS tot_purch,
+             CAST(SUM((n_purch * 1000000) // n_events) AS BIGINT)
+               AS sum_user_rate_micro
+      FROM per_user GROUP BY cohort
+    )
+    SELECT cohort, n_users, tot_events, tot_purch,
+           CAST((tot_purch * 1000000) // tot_events AS BIGINT)
+             AS ratio_of_sums_micro,
+           CAST(sum_user_rate_micro // n_users AS BIGINT)
+             AS avg_of_ratios_micro,
+           CAST((tot_purch * 1000000) // tot_events
+                - sum_user_rate_micro // n_users AS BIGINT) AS gap_micro
+    FROM per_cohort
+    """,
+)
+def events_metric_definition_audit(spark, sf_dir):
+    """Ratio-of-sums vs average-of-ratios audit — the metric-
+    definition trap every analytics team hits once (Simpson's
+    paradox in miniature): "purchase rate" computed as total
+    purchases / total events weights heavy users up, while the mean
+    of per-user rates weights every user equally, and the two move
+    dashboards in different directions when activity and conversion
+    correlate. The audit computes both per cohort in exact micro
+    units (per-user rates floored individually THEN summed — an
+    order-proof BIGINT accumulation — and each cohort ratio one
+    integer cross-multiplied division) and prices the gap. A
+    contract for metric layers: the gap column is the cost of
+    ambiguity in the metric's definition.
+
+    Scale shape: two nested map-side-combinable aggs (user, then
+    cohort) — the canonical two-level rollup, no windows, no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purch"),
+    ).withColumn("cohort", (F.col("user_id") % 4).cast("bigint"))
+    per_cohort = per_user.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("tot_events"),
+        F.sum("n_purch").cast("bigint").alias("tot_purch"),
+        F.sum(F.expr("(n_purch * 1000000) div n_events"))
+        .cast("bigint")
+        .alias("sum_user_rate_micro"),
+    )
+    return per_cohort.select(
+        "cohort", "n_users", "tot_events", "tot_purch",
+        F.expr("(tot_purch * 1000000) div tot_events")
+        .cast("bigint")
+        .alias("ratio_of_sums_micro"),
+        F.expr("sum_user_rate_micro div n_users")
+        .cast("bigint")
+        .alias("avg_of_ratios_micro"),
+        F.expr(
+            "(tot_purch * 1000000) div tot_events"
+            " - sum_user_rate_micro div n_users"
+        )
+        .cast("bigint")
+        .alias("gap_micro"),
+    )

@@ -802,3 +802,117 @@ def graph_hits_bipartite(spark, sf_dir):
     return out.orderBy(
         F.col("score_units").desc(), "node_kind", "node_key"
     ).limit(20)
+
+
+@register(
+    "graph_random_walk_deterministic",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    edges AS (
+      SELECT p * 2 AS src, s * 2 + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT s * 2 + 1 AS src, p * 2 AS dst FROM pairs
+    ),
+    w0 AS (SELECT DISTINCT s * 2 + 1 AS walker, s * 2 + 1 AS cur
+           FROM pairs),
+    c1 AS (
+      SELECT w0.walker, e.dst,
+             ROW_NUMBER() OVER (PARTITION BY w0.walker
+               ORDER BY ((w0.cur * 31 + e.dst) * 2654435761 + 97)
+                        % 2147483647, e.dst) AS rk
+      FROM w0 JOIN edges e ON e.src = w0.cur
+    ),
+    w1 AS (SELECT walker, dst AS cur FROM c1 WHERE rk = 1),
+    c2 AS (
+      SELECT w1.walker, e.dst,
+             ROW_NUMBER() OVER (PARTITION BY w1.walker
+               ORDER BY ((w1.cur * 31 + e.dst) * 2654435761 + 194)
+                        % 2147483647, e.dst) AS rk
+      FROM w1 JOIN edges e ON e.src = w1.cur
+    ),
+    w2 AS (SELECT walker, dst AS cur FROM c2 WHERE rk = 1),
+    c3 AS (
+      SELECT w2.walker, e.dst,
+             ROW_NUMBER() OVER (PARTITION BY w2.walker
+               ORDER BY ((w2.cur * 31 + e.dst) * 2654435761 + 291)
+                        % 2147483647, e.dst) AS rk
+      FROM w2 JOIN edges e ON e.src = w2.cur
+    ),
+    w3 AS (SELECT walker, dst AS cur FROM c3 WHERE rk = 1)
+    SELECT w0.walker AS start_node,
+           CAST(w1.cur AS BIGINT) AS hop1,
+           CAST(w2.cur AS BIGINT) AS hop2,
+           CAST(w3.cur AS BIGINT) AS hop3
+    FROM w0 JOIN w1 ON w1.walker = w0.walker
+            JOIN w2 ON w2.walker = w0.walker
+            JOIN w3 ON w3.walker = w0.walker
+    """,
+)
+def graph_random_walk_deterministic(spark, sf_dir):
+    """Hash-seeded graph walks — the node2vec/DeepWalk corpus
+    generator restated for a deterministic engine: from every
+    supplier node, take 3 steps where each step picks the neighbor
+    minimizing a pure-integer mix of (current node, neighbor, step
+    salt). The walk corpus is what a graph-embedding trainer consumes
+    (pairs within a window become skip-gram examples); hash seeding
+    replaces the RNG so the oracle can restate every choice —
+    identical integer multiply/add/mod both engines, ties broken by
+    neighbor id. Each step is one edge join + one per-walker argmin
+    (rank 1 over the hash order), the superstep shape shared with
+    pagerank/HITS/BFS.
+
+    Scale shape: walkers join edges on the current-node key per step
+    — 3 shuffles on edge keys, each carrying one row per walker; at
+    100 TB you run W walkers per node and the join fans out W-fold,
+    still linear in walks. No driver state, no RNG."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges = pairs.select(
+        (F.col("p") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("p") * 2).alias("dst")
+        )
+    ).localCheckpoint(eager=False)
+    w = pairs.select((F.col("s") * 2 + 1).alias("walker")).distinct().select(
+        "walker", F.col("walker").alias("cur")
+    )
+    hops = []
+    for step in (1, 2, 3):
+        salt = 97 * step
+        cand = w.join(edges, w.cur == edges.src).select(
+            "walker",
+            "dst",
+            F.expr(
+                f"((cur * 31 + dst) * 2654435761 + {salt}) % 2147483647"
+            ).alias("h"),
+        )
+        pick = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("walker").orderBy("h", "dst")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("walker", F.col("dst").alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+        hops.append(pick)
+        w = pick
+    out = hops[0].select("walker", F.col("cur").alias("hop1"))
+    out = out.join(
+        hops[1].select("walker", F.col("cur").alias("hop2")), "walker"
+    ).join(hops[2].select("walker", F.col("cur").alias("hop3")), "walker")
+    return out.select(
+        F.col("walker").alias("start_node"),
+        F.col("hop1").cast("bigint"),
+        F.col("hop2").cast("bigint"),
+        F.col("hop3").cast("bigint"),
+    )

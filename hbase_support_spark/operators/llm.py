@@ -8102,3 +8102,111 @@ def text_mattr_diversity(spark, sf_dir):
         .cast("bigint")
         .alias("mattr_micro"),
     )
+
+
+@register(
+    "text_collocation_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {D_TOKENS} AS t, len({D_TOKENS}) AS n FROM documents
+    ),
+    bigrams AS (
+      SELECT UNNEST(list_transform(range(1, n),
+               i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks WHERE n >= 2
+    ),
+    bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_xy FROM bigrams
+           GROUP BY bg),
+    uni AS (
+      SELECT UNNEST(t) AS w FROM toks
+    ),
+    uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM uni GROUP BY w),
+    nn AS (
+      SELECT CAST((SELECT COUNT(*) FROM uni) AS BIGINT) AS n_uni,
+             CAST((SELECT COUNT(*) FROM bigrams) AS BIGINT) AS n_bi
+    ),
+    scored AS (
+      SELECT bc.bg, bc.c_xy, u1.c_w AS c_x, u2.c_w AS c_y, nn.n_uni, nn.n_bi,
+             CAST(FLOOR(1000000000.0 * LN(
+               (CAST(bc.c_xy AS DOUBLE)
+                * (CAST(nn.n_uni AS DOUBLE) * CAST(nn.n_uni AS DOUBLE)))
+               / (CAST(nn.n_bi AS DOUBLE)
+                  * (CAST(u1.c_w AS DOUBLE) * CAST(u2.c_w AS DOUBLE)))))
+               AS BIGINT) AS pmi_nano
+      FROM bc
+      JOIN uc u1 ON u1.w = string_split(bc.bg, ' ')[1]
+      JOIN uc u2 ON u2.w = string_split(bc.bg, ' ')[2]
+      CROSS JOIN nn
+      WHERE bc.c_xy >= 5
+    )
+    SELECT bg AS bigram, c_xy, c_x, c_y, pmi_nano
+    FROM scored
+    ORDER BY pmi_nano DESC, bg
+    LIMIT 50
+    """,
+)
+def text_collocation_pmi(spark, sf_dir):
+    """Collocation extraction by pointwise mutual information — the
+    classic 'which word pairs belong together' statistic (Church &
+    Hanks): PMI = ln(p(xy) / (p(x)p(y))) over adjacent-token
+    bigrams, with a minimum-support cut (c ≥ 5) because PMI famously
+    explodes on hapax pairs. All counts are exact BIGINTs well under
+    2^53, so the single LN argument is an exactly-representable
+    double ratio and the nano-floored score is bit-identical
+    cross-engine (the parkinson LN contract); top-50 by (score,
+    bigram) with a total tie-break.
+
+    Scale shape: one array transform per row builds bigrams inside
+    codegen, two hash aggs count bigrams and unigrams, the unigram
+    table broadcasts onto the bigram table (vocabulary-scale), and
+    TakeOrdered emits the top-50 — no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr(TOKENS).alias("t"), F.size(F.expr(TOKENS)).alias("n")
+    )
+    bigrams = toks.filter(F.col("n") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, n - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bg")
+    )
+    bc = bigrams.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    nn = uni.agg(F.count(F.lit(1)).cast("bigint").alias("n_uni")).crossJoin(
+        bigrams.agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y"))
+    scored = (
+        bc.filter(F.col("c_xy") >= 5)
+        .withColumn("w1", F.expr("split(bg, ' ')[0]"))
+        .withColumn("w2", F.expr("split(bg, ' ')[1]"))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "pmi_nano",
+            F.expr(
+                """
+                CAST(FLOOR(1000000000.0 * LN(
+                  (CAST(c_xy AS DOUBLE)
+                   * (CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)))
+                  / (CAST(n_bi AS DOUBLE)
+                     * (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))))
+                  AS BIGINT)
+                """
+            ),
+        )
+    )
+    return (
+        scored.select(
+            F.col("bg").alias("bigram"), "c_xy", "c_x", "c_y", "pmi_nano"
+        )
+        .orderBy(F.col("pmi_nano").desc(), "bigram")
+        .limit(50)
+    )

@@ -1938,3 +1938,170 @@ def sink_partition_pruning_audit(spark, sf_dir):
             F.lit(total_days).cast("bigint").alias("n_days_total"),
         )
     )
+
+
+@register(
+    "layout_block_index_lookup",
+    oracle="""
+    WITH kv AS (
+      SELECT user_id, user_id // 16 AS region,
+             32 + LENGTH(event_type) + LENGTH(props) AS kv_bytes,
+             event_type, ts, event_id
+      FROM events
+    ),
+    c AS (
+      SELECT region, user_id,
+             SUM(kv_bytes) OVER (PARTITION BY region
+                                 ORDER BY user_id, event_type, ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM kv
+    ),
+    idx AS (
+      SELECT region, CAST((cum - 1) // 4096 AS BIGINT) AS block,
+             CAST(MIN(user_id) AS BIGINT) AS first_key
+      FROM c GROUP BY region, (cum - 1) // 4096
+    ),
+    probes AS (
+      SELECT DISTINCT user_id AS probe FROM events WHERE user_id % 10 = 5
+    ),
+    hits AS (
+      SELECT p.probe, i.region, i.block, i.first_key,
+             ROW_NUMBER() OVER (PARTITION BY p.probe
+                                ORDER BY i.block DESC) AS rk,
+             COUNT(*) OVER (PARTITION BY p.probe) AS n_candidates
+      FROM probes p JOIN idx i
+        ON i.region = p.probe // 16 AND i.first_key <= p.probe
+    )
+    SELECT probe, region, block, first_key AS block_first_key,
+           CAST(n_candidates AS BIGINT) AS n_candidate_blocks
+    FROM hits WHERE rk = 1
+    """,
+)
+def layout_block_index_lookup(spark, sf_dir):
+    """HFile block-index bisection — the data structure a point GET
+    actually consults: the block index maps each 4 KiB data block to
+    its first rowkey, and a probe key resolves to the LAST block
+    whose first key is ≤ the probe (the binary-search-then-scan read
+    path; a key spanning blocks resolves to the latest candidate,
+    matching HFileReader's seekBefore contract). Blocks come from
+    the same cell-ordered running-byte cut as the bulkload plan
+    (4 KiB here, the real hfile.block.size default scaled); the
+    bisect is an as-of join on the key axis: region-pruned index
+    probe, ordered rank over candidate blocks, rank 1 wins.
+
+    Scale shape: the block index is metadata (one row per 4 KiB of
+    data — exactly what a region server holds in memory), so the
+    probe join broadcasts it; candidates per probe are bounded by
+    the probe's region's block count. The window runs per probe on
+    that bounded candidate set."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        "user_id",
+        F.expr("user_id div 16").alias("region"),
+        (F.lit(32) + F.length("event_type") + F.length("props")).alias(
+            "kv_bytes"
+        ),
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("region")
+        .orderBy("user_id", "event_type", "ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    idx = (
+        kv.withColumn("cum", F.sum("kv_bytes").over(w))
+        .withColumn("block", F.expr("(cum - 1) div 4096").cast("bigint"))
+        .groupBy("region", "block")
+        .agg(F.min("user_id").cast("bigint").alias("first_key"))
+    )
+    probes = (
+        ev.filter(F.col("user_id") % 10 == 5)
+        .select(F.col("user_id").alias("probe"))
+        .distinct()
+    )
+    hits = probes.join(
+        F.broadcast(idx),
+        (idx.region == F.expr("probe div 16")) & (idx.first_key <= F.col("probe")),
+    )
+    wp = Window.partitionBy("probe")
+    ranked = hits.withColumn(
+        "rk", F.row_number().over(wp.orderBy(F.col("block").desc()))
+    ).withColumn("n_candidates", F.count(F.lit(1)).over(wp))
+    return ranked.filter(F.col("rk") == 1).select(
+        "probe", "region", "block",
+        F.col("first_key").alias("block_first_key"),
+        F.col("n_candidates").cast("bigint").alias("n_candidate_blocks"),
+    )
+
+
+@register(
+    "sample_systematic_kth",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS r
+      FROM orders
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(cents) AS BIGINT) AS total_rev_c,
+             CAST(SUM(CASE WHEN r % 20 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+             CAST(SUM(CASE WHEN r % 20 = 7 THEN cents ELSE 0 END) AS BIGINT)
+               AS sampled_rev_c
+      FROM ranked
+    )
+    SELECT n_total, n_sampled, total_rev_c, sampled_rev_c,
+           CAST(sampled_rev_c * 20 AS BIGINT) AS scaled_estimate_c,
+           CAST(ABS(sampled_rev_c * 20 - total_rev_c) * 10000
+                // total_rev_c AS BIGINT) AS estimate_error_bps
+    FROM s
+    """,
+)
+def sample_systematic_kth(spark, sf_dir):
+    """Systematic (every k-th) sampling audit — the stratified-by-
+    position design survey statisticians reach for when the frame is
+    sorted by time: rank the population in date order, take every
+    20th row at a fixed offset, and price the revenue estimator's
+    error in exact basis points. Unlike hash sampling (which this
+    engine also ships), systematic sampling guarantees exactly-even
+    temporal coverage — and its known failure mode (periodicity in
+    the frame resonating with k) is precisely what the error column
+    detects. The rank is the distributed rank kernel; everything
+    downstream is exact integer conditional sums.
+
+    Scale shape: one range exchange + broadcast offsets for the
+    global rank, then a single map-side-combinable scalar aggregate.
+    The sample never materializes separately — the audit is computed
+    in the same pass that would emit it."""
+    from .ranking import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    ranked = with_global_rank(o, ["o_orderdate", "o_orderkey"], "r")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("cents").cast("bigint").alias("total_rev_c"),
+        F.sum(F.when(F.col("r") % 20 == 7, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.sum(F.when(F.col("r") % 20 == 7, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_rev_c"),
+    )
+    return s.select(
+        "n_total", "n_sampled", "total_rev_c", "sampled_rev_c",
+        (F.col("sampled_rev_c") * 20).cast("bigint").alias("scaled_estimate_c"),
+        F.expr(
+            "ABS(sampled_rev_c * 20 - total_rev_c) * 10000 div total_rev_c"
+        )
+        .cast("bigint")
+        .alias("estimate_error_bps"),
+    )

