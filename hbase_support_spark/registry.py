@@ -72,10 +72,13 @@ def register(name: str, oracle: str | None = None):
 # own comment) — they no longer rely on the mid-group fallback;
 # additions beyond the first 13 roll into the r07 window.
 #
-# Round-6 dry-run of the r07 window (VERDICT r05 item 5; refreshed
-# 2026-08-15 at session close with the registry at 412): simulating
-# the staged r06 window green leaves exactly 120 never-graded names;
-# the r07 window is the first 50 of them in registry order —
+# Round-7 dry-run of the r07 window (VERDICT r06 item 2; refreshed
+# 2026-08-15 with the registry FINAL at 424 — batches 20-21 landed
+# after the previous 412-count dry-run): cumulative driver verdicts
+# are 292 green / 0 red, leaving exactly 424 − 292 = 132 never-graded
+# names; the r07 window is the first 50 of them in registry order
+# (verified this session by instantiating queries() and diffing
+# against the union of CORRECTNESS_r01..r06.json greens) —
 #   1-25 (unchanged from the original dry-run): agg_bitmap_audience_overlap,
 #     events_rolling_uniques_bitmap, events_cep_3step, graph_bfs_hops,
 #     win_anchored_vwap, win_rolling_median_7, win_rolling_zscore,
@@ -87,7 +90,7 @@ def register(name: str, oracle: str | None = None):
 #     supplier_sla_report, events_new_vs_returning_revenue,
 #     orders_repeat_purchase_curve, cells_family_stats, scan_multi_range
 #   26-50 (round-6 additions, import order; scans/cells-module ops —
-#   including the batch-15..19 tail appends — land before llm-module
+#   including the batch-15..21 tail appends — land before llm-module
 #   ones): layout_region_balance_plan, source_binaryfile_multimodal,
 #     source_csv_malformed_audit, layout_small_files_compaction_plan,
 #     scan_keyset_pagination, layout_meta_lookup,
@@ -96,13 +99,21 @@ def register(name: str, oracle: str | None = None):
 #     layout_rpc_quota_throttle, scan_multiget_batch_plan,
 #     layout_region_normalizer_plan, layout_balancer_cost_model,
 #     source_parquet_schema_merge, layout_clustering_factor_audit,
+#     layout_autoscale_plan, sink_partition_pruning_audit,
+#     layout_block_index_lookup, sample_systematic_kth,
 #     cells_delete_marker_precedence, txlog_replay_gap_audit,
 #     cells_compaction_reclaim_preview, cells_version_gc_policy,
-#     wal_rollover_plan, cells_column_pagination, snapshot_diff_asof,
-#     cells_mob_storage_plan, wal_replication_lag_report
-# The remaining 70 never-graded (late cells/llm/aggregates/windows
-# batches) fill r08 and r09 windows; with green r06+r07, every
-# pre-batch-7 query has a driver verdict by r07-close.
+#     wal_rollover_plan
+#   (vs the 412-count dry-run: the four batch-20/21 scans-module adds
+#   at slots 42-45 displace cells_column_pagination, snapshot_diff_asof,
+#   cells_mob_storage_plan, wal_replication_lag_report into r08 slot 1-4.)
+# The remaining 82 never-graded split exactly: 50 fill the r08 window
+# (cells_column_pagination ... text_bpe_merge_candidates — late cells/
+# txlog ops, stats/ops-analytics, the win_* technical-indicator block)
+# and the last 32 (late text/sim/pipeline/graph/fn batches,
+# text_ngram_novelty_rate ... fn_geo_quadkey) land in r09 slots 1-32;
+# with green r07+r08+r09, every registered query has a driver verdict
+# by r09-close, and r09 has 18 free slots for round-8+ additions.
 GRADING_PRIORITY: list[str] = [
     # ---- round-3 window, slots 1-19: the 19 kind-cast fixes (r02 FAILs first)
     "sim_lsh_hyperplane",
