@@ -5726,15 +5726,33 @@ def agg_weighted_median(spark, sf_dir):
     prices, integer weights, a running BIGINT cumulative over a
     uniquely-ordered frame, and the integer predicate 2·cumw ≥ totw
     — no division at all, so no rounding seam exists. The first
-    qualifying row per group is selected by rank, tie-broken
-    deterministically.
+    qualifying row per group is selected as the minimal cumulative
+    weight among qualifiers — ``w ≥ 1`` makes the running sum
+    strictly increasing along the unique order, so that minimum IS
+    the oracle's rank-1 row, obtained by hash aggregation instead of
+    a ranking window.
 
-    Scale shape: one exchange on the group key serves the running
-    sum, the group total, and the rank — the exact-quantile shape
-    (sort within partition); for the global-median variant the
-    distributed rank kernel (operators/ranking.py) replaces the
-    per-group window, as agg_quantile_exact_global demonstrates."""
+    Scale shape (restructured in the r7 ×32 audit — the original
+    per-group window funneled every row into |return flags| = 3
+    window tasks, 20.9 s at ×32 with 29 idle cores): the heavy pass
+    is a hash aggregation to the distinct (flag, cents) price grid
+    — map-side combine collapses duplicate price points BEFORE the
+    shuffle, so the exchange carries the grid, not the rows. The
+    grid's cumulative comes from the distributed prefix-sum kernel
+    (operators/ranking.py) over the total order (flag, cents) —
+    range shuffle + per-partition running sums + K-row broadcast
+    offsets, every stage parallel, no per-group funnel — with each
+    group's start offset subtracted from a 3-row broadcast. The
+    median price point per group falls out of a min(struct) hash
+    agg, and only the rows AT that one price point per group are
+    rescanned (broadcast semi-shaped join) to pin the row-level
+    cumulative-weight-at-crossing the contract reports, ordered by
+    the unique (orderkey, linenumber) tie-break. No stage's
+    parallelism depends on group cardinality — the 100-TB shape for
+    heavy-group exact medians."""
     from pyspark.sql import Window
+
+    from .ranking import with_global_prefix_sum
 
     li = load_table(spark, sf_dir, "lineitem")
     pts = li.select(
@@ -5746,28 +5764,72 @@ def agg_weighted_median(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
     )
-    wrun = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("cents", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid = pts.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("ws"))
+    g = with_global_prefix_sum(grid, ["l_returnflag", "cents"], "ws", "gcum")
+    # Per-group totals and start offsets ride the kernel's
+    # materialized output instead of re-aggregating the scan: within
+    # a group, max(gcum) is the global cumulative through its last
+    # grid row, so goff = max(gcum) − sum(ws) — one metadata-scale
+    # hash agg, no ordering window.
+    offs = g.groupBy("l_returnflag").agg(
+        F.sum("ws").alias("totw"),
+        (F.max("gcum") - F.sum("ws")).alias("goff"),
     )
-    wall = Window.partitionBy("l_returnflag")
-    c = pts.select(
+    c = g.join(F.broadcast(offs), "l_returnflag").select(
         "l_returnflag",
         "cents",
-        F.sum("w").over(wrun).alias("cumw"),
-        F.sum("w").over(wall).alias("totw"),
+        "totw",
+        (F.col("gcum") - F.col("goff")).alias("cum_incl"),
     )
-    hit = c.filter(2 * F.col("cumw") >= F.col("totw")).withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("l_returnflag").orderBy("cumw", "cents")
-        ),
+    med = (
+        c.filter(2 * F.col("cum_incl") >= F.col("totw"))
+        .groupBy("l_returnflag", "totw")
+        .agg(F.min(F.struct("cents", "cum_incl")).alias("h"))
+        .select(
+            "l_returnflag",
+            "totw",
+            F.col("h.cents").alias("med_cents"),
+            F.col("h.cum_incl").alias("cum_incl"),
+        )
     )
-    return hit.filter(F.col("rk") == 1).select(
+    block = pts.join(
+        F.broadcast(med),
+        (pts["l_returnflag"] == med["l_returnflag"])
+        & (pts["cents"] == med["med_cents"]),
+    ).select(
+        pts["l_returnflag"],
+        "med_cents",
+        "totw",
+        "cum_incl",
+        "w",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_blk = (
+        Window.partitionBy(block["l_returnflag"])
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(block["l_returnflag"])
+    runs = block.select(
+        "l_returnflag",
+        "med_cents",
+        "totw",
+        (
+            F.col("cum_incl")
+            - F.sum("w").over(w_tot)
+            + F.sum("w").over(w_blk)
+        ).alias("cumw"),
+    )
+    hit = (
+        runs.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag", "totw", "med_cents")
+        .agg(F.min("cumw").alias("cumw"))
+    )
+    return hit.select(
         "l_returnflag",
         F.col("totw").cast("bigint").alias("total_weight"),
-        F.col("cents").cast("bigint").alias("wmedian_cents"),
+        F.col("med_cents").cast("bigint").alias("wmedian_cents"),
         F.col("cumw").cast("bigint").alias("cum_weight_at_median"),
     )
 
