@@ -4197,9 +4197,17 @@ def agg_theta_sketch_users(spark, sf_dir):
     so both engines rank identical integers; the estimate divides
     two exactly-representable doubles ((k-1)*2^60 needs 6 mantissa
     bits) — one correctly-rounded IEEE division, bit-identical
-    cross-engine. Scale shape: distinct collapses map-side, the
-    rank window partitions by segment, and only k rows per segment
-    feed the final agg."""
+    cross-engine. Scale shape (restructured in the r7 funnel sweep):
+    distinct collapses map-side; the k-smallest selection then runs
+    the two-phase partial-top-k — a local k-smallest per (segment,
+    input partition) window, parallel and heap-bounded (each
+    partition surrenders ≤ k hashes per segment — exactly the
+    'each region ships k values' merge the sketch exists for),
+    then the exact rank over the ≤ k·P survivors per segment,
+    metadata-scale. The exact count rides its own hash agg. A
+    locally-dropped row always has k same-partition rows at-or-
+    before it, so the global k-th VALUE is unchanged under any
+    layout (asserted by the invariance sweep)."""
     from ..hashutil import h60 as _h
     from pyspark.sql import Window
 
@@ -4210,14 +4218,26 @@ def agg_theta_sketch_users(spark, sf_dir):
         .unionAll(ev.select(F.lit("ALL").alias("segment"), "user_id").distinct())
     )
     hashed = base.withColumn("h", F.expr(_h("cast(user_id AS string)")))
-    ranked = hashed.withColumn(
+    counts = hashed.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    cand = hashed.withColumn("_pid", F.spark_partition_id())
+    w_loc = Window.partitionBy("segment", "_pid").orderBy("h")
+    local = cand.withColumn("_lrn", F.row_number().over(w_loc)).filter(
+        F.col("_lrn") <= _THETA_K
+    )
+    ranked = local.withColumn(
         "rn", F.row_number().over(Window.partitionBy("segment").orderBy("h"))
     )
-    kth = F.max(F.when(F.col("rn") == _THETA_K, F.col("h")))
-    return ranked.groupBy("segment").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
-        kth.alias("kth_hash"),
-        F.when(kth.isNull(), F.count(F.lit(1)).cast("double"))
+    kth_tbl = ranked.groupBy("segment").agg(
+        F.max(F.when(F.col("rn") == _THETA_K, F.col("h"))).alias("kth_hash")
+    )
+    kth = F.col("kth_hash")
+    return counts.join(kth_tbl, "segment").select(
+        "segment",
+        "n_exact",
+        "kth_hash",
+        F.when(kth.isNull(), F.col("n_exact").cast("double"))
         .otherwise(F.expr(_THETA_SCALE) / kth.cast("double"))
         .alias("theta_est"),
     )

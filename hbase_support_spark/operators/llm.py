@@ -4108,18 +4108,35 @@ def sample_k_per_group(spark, sf_dir):
     the SAME members on every run, engine, and cluster; a seeded
     rand() guarantees none of those). Hash order is uniform over the
     group, so this is simple random sampling conditioned on
-    reproducibility. One window over the grouped stream; at 100 TB
-    swap the full sort for a per-group TakeOrdered on the hash —
-    same result, heap-bounded."""
+    reproducibility.
+
+    Scale shape (restructured in the r7 funnel sweep): a single
+    ``PARTITION BY lang`` window sorts the whole corpus inside
+    |langs| tasks. The two-phase partial-top-k restatement — the
+    per-group TakeOrdered the original docstring promised — runs a
+    local top-40 per (lang, input partition) window first (parallel,
+    heap-bounded per task: each scan partition keeps ≤ 40 rows per
+    lang), then the exact global window over the ≤ 40·P survivors
+    per lang, metadata-scale. Local winners are a superset of the
+    global top-40 under ANY input layout, so the final result is
+    layout-invariant (asserted by the invariance sweep)."""
     from pyspark.sql import Window
 
     from ..hashutil import h60
 
     d = load_table(spark, sf_dir, "documents")
     key = "concat('kpg|', cast(doc_id AS string))"
-    w = Window.partitionBy("lang").orderBy(F.expr(h60(key)), "doc_id")
+    h = F.expr(h60(key))
+    cand = d.select("doc_id", "lang", h.alias("_h")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_loc = Window.partitionBy("lang", "_pid").orderBy("_h", "doc_id")
+    local = cand.withColumn("_lrn", F.row_number().over(w_loc)).filter(
+        F.col("_lrn") <= 40
+    )
+    w = Window.partitionBy("lang").orderBy("_h", "doc_id")
     return (
-        d.withColumn("rn", F.row_number().over(w))
+        local.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 40)
         .select("doc_id", "lang")
     )
@@ -4160,12 +4177,18 @@ def pipeline_token_budget_plan(spark, sf_dir):
     Because the walk order is the reproducible hash order (not
     arrival order), the plan is stable across engines and reruns,
     and the membership digest pins the exact chosen set. Integer
-    token counts make the cumulative cutoff fp-free. One window per
-    language over (hash, doc_id) — sessionization's shuffle shape on
-    the lang key."""
-    from pyspark.sql import Window
+    token counts make the cumulative cutoff fp-free.
 
+    Scale shape (restructured in the r7 funnel sweep): the natural
+    ``PARTITION BY lang`` running sum walks every document inside
+    |langs| window tasks — the weighted-median funnel class. The
+    cumulative now comes from the distributed prefix-sum kernel
+    (operators/ranking.py) over the total order (lang, hash,
+    doc_id), with each language's starting offset recovered from a
+    |langs|-row broadcast — every stage parallel, indifferent to how
+    few languages the corpus has."""
     from ..hashutil import h60
+    from .ranking import with_global_prefix_sum
 
     d = load_table(spark, sf_dir, "documents")
     key = "concat('tb|', cast(doc_id AS string))"
@@ -4175,12 +4198,13 @@ def pipeline_token_budget_plan(spark, sf_dir):
         F.size(F.expr(TOKENS)).alias("n_toks"),
         F.expr(h60(key)).alias("h"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    g = with_global_prefix_sum(toks, ["lang", "h", "doc_id"], "n_toks", "pcum")
+    offs = g.groupBy("lang").agg(
+        (F.max("pcum") - F.sum("n_toks")).alias("_goff")
     )
-    walk = toks.withColumn("before", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+    walk = g.join(F.broadcast(offs), "lang").withColumn(
+        "before", F.col("pcum") - F.col("n_toks") - F.col("_goff")
+    )
     kept = walk.filter(F.col("before") < 4000)
     digest = F.expr(f"{h60('cast(doc_id AS string)')} % 1048576")
     return kept.groupBy("lang").agg(
@@ -4903,11 +4927,18 @@ def pipeline_preference_pairs(spark, sf_dir):
     emitting (chosen, rejected, quality margin) rows. Determinism:
     quality is ROUND(6)ed per row before ranking and doc_id breaks
     ties, so the rank — and therefore every pair — is
-    engine/partition-stable. Scale: one map pass for scores, one
-    shuffle on lang for the per-block rank windows, ONE equi-join on
-    (lang, mirrored rank) — no pairwise scoring, pairs fall out of
-    rank arithmetic. Odd blocks leave their median doc unpaired,
-    as the pairing should."""
+    engine/partition-stable. Scale (restructured in the r7 funnel
+    sweep): the per-block rank previously ran a ``PARTITION BY
+    lang`` window over every document — |langs| tasks sort the
+    corpus. It now rides the distributed rank kernel
+    (operators/ranking.py) over the total order (lang, quality,
+    doc_id), with per-language rank offsets and block sizes from a
+    |langs|-row broadcast; then ONE equi-join on (lang, mirrored
+    rank) — no pairwise scoring, pairs fall out of rank arithmetic,
+    every stage parallel. Odd blocks leave their median doc
+    unpaired, as the pairing should."""
+    from .ranking import with_global_rank
+
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "lang", F.expr(TOKENS).alias("toks"))
     n_t = F.size("toks").cast("double")
@@ -4915,20 +4946,21 @@ def pipeline_preference_pairs(spark, sf_dir):
     stop = (
         F.size(F.expr(f"filter(toks, w -> w IN {_STOPWORDS})")).cast("double") / n_t
     )
-    from pyspark.sql import Window
-
     q = t.select(
         "doc_id",
         "lang",
         F.round(0.5 * uniq + 0.5 * (1 - stop), 6).alias("quality"),
     )
-    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
-    ranked = q.select(
+    g = with_global_rank(q, ["lang", "quality", "doc_id"], "_grk")
+    offs = g.groupBy("lang").agg(
+        (F.min("_grk") - 1).alias("_off"), F.count("*").alias("_n")
+    )
+    ranked = g.join(F.broadcast(offs), "lang").select(
         "doc_id",
         "lang",
         "quality",
-        F.row_number().over(w).alias("r"),
-        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+        (F.col("_grk") - F.col("_off")).cast("int").alias("r"),
+        F.col("_n").cast("bigint").alias("n"),
     )
     a = ranked.alias("a")
     b = ranked.alias("b")

@@ -60,15 +60,45 @@ def win_row_number_topk(spark, sf_dir):
     """,
 )
 def win_rank_dense_ntile(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+    """Per-status price ranking with rank / dense_rank / ntile.
+
+    Scale shape (restructured in the r7 funnel sweep): the natural
+    ``PARTITION BY o_orderstatus`` window concentrates the whole
+    table into |statuses| = 3 window tasks — the same WindowExec
+    funnel class the ranking kernel exists for, hiding behind "but
+    it HAS a partition key". Restated on the distributed rank kernel
+    (operators/ranking.py) over the total order (status, price DESC,
+    orderkey): every stage parallel, and per-group ranks recovered by
+    subtracting a 3-row broadcast of group start offsets. Because the
+    contract's ORDER BY carries the unique o_orderkey tie-break (as
+    every ranked query in this repo does), the order tuples are
+    unique, so RANK = DENSE_RANK = ROW_NUMBER exactly — the identity
+    is in the ordering, not the fixture — and NTILE derives
+    arithmetically via ntile_from_rank."""
+    from .ranking import ntile_from_rank, with_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    g = with_global_rank(
+        o,
+        ["o_orderstatus", F.col("o_totalprice").desc(), "o_orderkey"],
+        "_grk",
+    )
+    offs = g.groupBy("o_orderstatus").agg(
+        (F.min("_grk") - 1).alias("_off"), F.count("*").alias("_n")
+    )
+    rn = F.col("_grk") - F.col("_off")
+    return (
+        g.join(F.broadcast(offs), "o_orderstatus")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            rn.cast("int").alias("rnk"),
+            rn.cast("int").alias("drnk"),
+            ntile_from_rank(rn, F.col("_n"), 4).alias("quartile"),
+        )
     )
 
 
@@ -216,18 +246,56 @@ def win_range_frame(spark, sf_dir):
 )
 def win_cume_percent_nth(spark, sf_dir):
     """Distribution-position analytics: cume_dist / percent_rank /
-    nth_value (explicit full frame — nth_value defaults to a growing
-    frame and silently returns NULL for early rows otherwise)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.nth_value("o_totalprice", 3).over(wfull).alias("third_highest"),
+    nth_value (the oracle keeps the explicit full frame — native
+    nth_value defaults to a growing frame and silently returns NULL
+    for early rows otherwise).
+
+    Scale shape (restructured in the r7 funnel sweep, same class as
+    win_rank_dense_ntile): a ``PARTITION BY o_orderstatus`` window
+    over raw orders funnels everything into 3 tasks. Restated on the
+    distributed rank kernel: with the unique o_orderkey tie-break the
+    order tuples are unique, so CUME_DIST = rn/n and PERCENT_RANK =
+    (rn−1)/(n−1) exactly — both are the same integer-over-integer
+    double divisions the native functions evaluate, so the ROUND(…,6)
+    values are bit-identical — and NTH_VALUE(price, 3) is the rn = 3
+    row per group, delivered by a 3-row broadcast join instead of an
+    unbounded-frame window."""
+    from .ranking import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    g = with_global_rank(
+        o,
+        ["o_orderstatus", F.col("o_totalprice").desc(), "o_orderkey"],
+        "_grk",
+    )
+    offs = g.groupBy("o_orderstatus").agg(
+        (F.min("_grk") - 1).alias("_off"), F.count("*").alias("_n")
+    )
+    gg = g.join(F.broadcast(offs), "o_orderstatus").withColumn(
+        "_rn", F.col("_grk") - F.col("_off")
+    )
+    third = gg.filter(F.col("_rn") == 3).select(
+        "o_orderstatus", F.col("o_totalprice").alias("third_highest")
+    )
+    n = F.col("_n")
+    rn = F.col("_rn")
+    return (
+        gg.join(F.broadcast(third), "o_orderstatus", "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.round(rn / n, 6).alias("cume"),
+            F.round(
+                F.when(n > 1, (rn - F.lit(1)) / (n - F.lit(1))).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("pct_rank"),
+            "third_highest",
+        )
     )
 
 
