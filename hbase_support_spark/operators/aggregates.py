@@ -1381,33 +1381,46 @@ def agg_quantile_exact_global(spark, sf_dir):
     the complement of `agg_percentile_approx`: approximate sketches
     answer dashboards, but billing cutoffs and SLO thresholds need
     the exact order statistic. The naive exact form is a global sort
-    (single-partition window) — fatal at 100 TB; this one runs on the
-    distributed rank kernel (operators/ranking.py): range shuffle +
-    per-partition row_number + K-row broadcast offsets give every row
-    its exact global rank in parallel, and the quantile is then just
-    the row whose rank equals ceil(p*n) — selected by a 3-row
-    broadcast join, one pass, no sort of the world. Ties are
-    rank-interchangeable, so the chosen VALUE is deterministic
-    regardless of tie-break order; the oracle restates the identical
-    rank arithmetic over a single-window ROW_NUMBER.
+    (single-partition window) — fatal at 100 TB.
+
+    Scale shape (restructured in the r7 ×128 audit): the previous
+    form ran the distributed rank kernel over every ROW, whose
+    localCheckpoint materializes the whole table — measured
+    super-linear at ×128 (41 s shared-session; OOM standalone,
+    UNABLE_TO_ACQUIRE_MEMORY in the checkpoint stage at 76.8M
+    rows). The order statistic only needs the VALUE DISTRIBUTION:
+    hash-agg to the distinct-value grid first (map-side combine —
+    the shuffle and the kernel's materialization carry |distinct
+    values|, not rows), distributed prefix-sum of the counts over
+    the value order, then the quantile row is the unique grid row
+    whose count interval straddles ceil(p*n), selected by a 3-row
+    broadcast join. Because a value's rank interval covers all its
+    tied row-level ranks, the selected VALUE — and the reported
+    rank_at = ceil(p*n), n — are identical to the row-level form;
+    the oracle keeps the row-level ROW_NUMBER restatement as the
+    independent derivation.
     """
-    from .ranking import with_global_rank
+    from .ranking import with_global_prefix_sum
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("value"), "l_orderkey", "l_linenumber"
+        F.col("l_extendedprice").alias("value")
     )
-    ranked = with_global_rank(
-        li, ["value", "l_orderkey", "l_linenumber"], "rank_at", total_col="n"
-    ).select("value", F.col("rank_at").cast("bigint").alias("rank_at"), "n")
+    grid = li.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    g = with_global_prefix_sum(grid, ["value"], "cnt", "cum")
+    tot = g.agg(F.sum("cnt").cast("bigint").alias("n"))
     pcts = spark.range(1).select(
         F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("pct")
     )
+    targets = pcts.crossJoin(F.broadcast(tot)).select(
+        "pct", "n", F.ceil(F.col("pct") * F.col("n")).alias("rank_at")
+    )
     return (
-        ranked.join(
-            F.broadcast(pcts),
-            F.col("rank_at") == F.ceil(F.col("pct") * F.col("n")),
+        g.join(
+            F.broadcast(targets),
+            (F.col("cum") - F.col("cnt") < F.col("rank_at"))
+            & (F.col("rank_at") <= F.col("cum")),
         )
-        .select("pct", "value", "rank_at", "n")
+        .select("pct", "value", F.col("rank_at").cast("bigint").alias("rank_at"), "n")
     )
 
 

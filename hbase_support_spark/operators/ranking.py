@@ -30,6 +30,17 @@ the partition id instead of a 1-task sort of the world.
 rows and the rest ``n/k`` — a closed form over the rank, so quintile
 scoring needs no second window. Both kernels are verified
 value-identical to the native window forms in tests/test_ranking.py.
+
+Feeding contract (r7 ×128 lesson): every kernel here
+``localCheckpoint``s its range-partitioned input, so the
+materialization is INPUT-scale. Feed the smallest sufficient frame:
+for order statistics over values, hash-aggregate to the distinct
+(group, value) grid with counts FIRST and prefix-sum the counts —
+the grid is map-side-combined and usually orders of magnitude
+smaller than the rows (agg_quantile_exact_global OOMed at ×128 on a
+row-scale checkpoint and runs in 3.5 s on the grid; see SCALE.md).
+Raw-row feeds are right only when the per-row rank itself is the
+output (RFM scores, per-row quartiles).
 """
 
 from __future__ import annotations
