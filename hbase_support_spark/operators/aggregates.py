@@ -4230,17 +4230,30 @@ def agg_theta_sketch_users(spark, sf_dir):
         .distinct()
         .unionAll(ev.select(F.lit("ALL").alias("segment"), "user_id").distinct())
     )
-    hashed = base.withColumn("h", F.expr(_h("cast(user_id AS string)")))
+    # Consumed twice (exact-count agg + k-smallest candidate path):
+    # pin one materialization so the distinct+union scan runs once —
+    # the same lazy-localCheckpoint pattern the ranking kernels use.
+    hashed = base.withColumn(
+        "h", F.expr(_h("cast(user_id AS string)"))
+    ).localCheckpoint(eager=False)
     counts = hashed.groupBy("segment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
     cand = hashed.withColumn("_pid", F.spark_partition_id())
-    w_loc = Window.partitionBy("segment", "_pid").orderBy("h")
+    # user_id tie-break = the repo's total-order contract for ranked
+    # queries. Only the k-th hash VALUE is consumed, so a duplicate
+    # 60-bit hash at the boundary yields the same kth_hash either
+    # way — but invariance should rest on a total order, not on that
+    # subtlety.
+    w_loc = Window.partitionBy("segment", "_pid").orderBy("h", "user_id")
     local = cand.withColumn("_lrn", F.row_number().over(w_loc)).filter(
         F.col("_lrn") <= _THETA_K
     )
     ranked = local.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("segment").orderBy("h"))
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("segment").orderBy("h", "user_id")
+        ),
     )
     kth_tbl = ranked.groupBy("segment").agg(
         F.max(F.when(F.col("rn") == _THETA_K, F.col("h"))).alias("kth_hash")
@@ -5783,8 +5796,6 @@ def agg_weighted_median(spark, sf_dir):
     the unique (orderkey, linenumber) tie-break. No stage's
     parallelism depends on group cardinality — the 100-TB shape for
     heavy-group exact medians."""
-    from pyspark.sql import Window
-
     from .ranking import with_global_prefix_sum
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5838,20 +5849,31 @@ def agg_weighted_median(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
     )
-    w_blk = (
-        Window.partitionBy(block["l_returnflag"])
-        .orderBy("l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # The rows AT the median price point still grow linearly with the
+    # data (bounded price-point domain), so their running sum goes
+    # through the same prefix-sum kernel instead of a per-group
+    # window — r8: this removes the engine's last tiny-key window
+    # over row-scale input (it survived the r7 sweep only because an
+    # Aggregate on its broadcast side fooled the audit). Raw-row
+    # kernel feed is correct here per the feeding contract: the rows
+    # are already unique per (orderkey, linenumber) — no grid exists
+    # — and the per-row cumulative IS what the crossing predicate
+    # consumes.
+    b = with_global_prefix_sum(
+        block, ["l_returnflag", "l_orderkey", "l_linenumber"], "w", "bcum"
     )
-    w_tot = Window.partitionBy(block["l_returnflag"])
-    runs = block.select(
+    boffs = b.groupBy("l_returnflag").agg(
+        F.sum("w").alias("blkw"),
+        (F.max("bcum") - F.sum("w")).alias("boff"),
+    )
+    runs = b.join(F.broadcast(boffs), "l_returnflag").select(
         "l_returnflag",
         "med_cents",
         "totw",
         (
             F.col("cum_incl")
-            - F.sum("w").over(w_tot)
-            + F.sum("w").over(w_blk)
+            - F.col("blkw")
+            + (F.col("bcum") - F.col("boff"))
         ).alias("cumw"),
     )
     hit = (

@@ -22,6 +22,7 @@ many tasks regardless of cluster size:
 from __future__ import annotations
 
 import pytest
+from py4j.protocol import Py4JError
 from pyspark.sql import Window, functions as F
 
 from hbase_support_spark import QUERIES, load_all
@@ -70,7 +71,15 @@ def _subtree_reduces(node, coarse_width: int) -> bool:
     """True if below this window the data was already reduced: an
     aggregation / limit, or a finer-partitioned Window (the local
     stage of two-phase top-k, whose partition spec is strictly
-    wider than the coarse window's)."""
+    wider than the coarse window's).
+
+    A reducing node on the BROADCAST side of a join does not count:
+    the broadcast branch is by definition a small dimension, so an
+    Aggregate there says nothing about the streamed/probe rows the
+    window actually sorts — a raw-row probe joined to a tiny
+    aggregated broadcast must still be flagged. Broadcast branches
+    (BroadcastExchange / BroadcastQueryStage / a ReusedExchange of
+    one) are therefore skipped during the descent."""
     stack = [node]
     while stack:
         n = stack.pop()
@@ -81,10 +90,22 @@ def _subtree_reduces(node, coarse_width: int) -> bool:
             try:
                 if n.partitionSpec().length() > coarse_width:
                     return True
-            except Exception:
+            except Py4JError:
                 pass
-        stack.extend(_children(n))
+        for c in _children(n):
+            cn = c.nodeName()
+            if "BroadcastExchange" in cn or "BroadcastQueryStage" in cn:
+                continue
+            if "ReusedExchange" in cn and "Broadcast" in c.simpleString(200):
+                continue
+            stack.append(c)
     return False
+
+
+# Count of Window nodes whose partition spec the sweep successfully
+# read — the no-op guard: if a PySpark API change made every
+# accessor throw, the audit would silently pass on zero inspections.
+_WINDOWS_INSPECTED = [0]
 
 
 def _tiny_key_funnels(node, out):
@@ -92,7 +113,8 @@ def _tiny_key_funnels(node, out):
     if name == "Window":
         try:
             names = _spec_names(node)
-        except Exception:
+            _WINDOWS_INSPECTED[0] += 1
+        except Py4JError:
             names = []
         if names and all(n in _TINY_DOMAIN for n in names):
             if not any(_subtree_reduces(c, len(names)) for c in _children(node)):
@@ -100,10 +122,11 @@ def _tiny_key_funnels(node, out):
     if name == "AdaptiveSparkPlan":
         for m in ("initialPlan", "inputPlan", "executedPlan"):
             try:
-                _tiny_key_funnels(getattr(node, m)(), out)
-                return out
-            except Exception:
+                inner = getattr(node, m)()
+            except (Py4JError, AttributeError):
                 continue
+            _tiny_key_funnels(inner, out)
+            return out
     for c in _children(node):
         _tiny_key_funnels(c, out)
     return out
@@ -118,6 +141,56 @@ def test_no_tiny_key_window_funnel(name, spark, sf_dir):
         f"{name}: Window partitioned only by tiny-domain keys over "
         f"un-reduced input (the SCALE.md funnel class): {bad}"
     )
+
+
+# ------------------------------------------------------------ audit canaries
+# Positive controls: plans KNOWN to be the funnel class must be
+# flagged. If a PySpark upgrade changes the catalyst accessors so the
+# narrowed excepts fire (or node names drift), these fail loudly
+# instead of the registry-wide audit silently passing on zero
+# inspections.
+
+
+def test_funnel_audit_flags_known_funnel(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    df = o.select("o_orderstatus", F.row_number().over(w).alias("rn"))
+    before = _WINDOWS_INSPECTED[0]
+    bad = _tiny_key_funnels(df._jdf.queryExecution().executedPlan(), [])
+    assert bad, "audit failed to flag a raw-row tiny-key window (no-op audit)"
+    assert _WINDOWS_INSPECTED[0] > before, "audit inspected zero Window nodes"
+
+
+def test_funnel_audit_not_fooled_by_broadcast_side_aggregate(spark, sf_dir):
+    # The ADVICE-r07 decoy: raw probe rows joined to a tiny aggregated
+    # broadcast, window keyed only by the tiny domain. The Aggregate
+    # lives on the broadcast branch, so it must NOT exempt the window.
+    o = load_table(spark, sf_dir, "orders")
+    dim = F.broadcast(
+        o.groupBy("o_orderstatus").agg(F.count("*").alias("status_n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    df = o.join(dim, "o_orderstatus").select(
+        "o_orderstatus", "status_n", F.row_number().over(w).alias("rn")
+    )
+    bad = _tiny_key_funnels(df._jdf.queryExecution().executedPlan(), [])
+    assert bad, (
+        "audit exempted a raw-row tiny-key window because of an "
+        "Aggregate on the broadcast side of its join"
+    )
+
+
+def test_funnel_audit_exempts_grid_fed_window(spark, sf_dir):
+    # Negative control: the legitimate shape — window over an
+    # Aggregate-reduced grid on the streamed side — stays exempt.
+    o = load_table(spark, sf_dir, "orders")
+    grid = o.groupBy("o_orderstatus", "o_totalprice").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    df = grid.select("o_orderstatus", F.sum("cnt").over(w).alias("run"))
+    bad = _tiny_key_funnels(df._jdf.queryExecution().executedPlan(), [])
+    assert not bad, f"audit flagged a grid-fed window: {bad}"
 
 
 # ---------------------------------------------------------------- identities
