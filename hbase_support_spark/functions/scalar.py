@@ -713,3 +713,79 @@ def fn_geo_quadkey(spark, sf_dir):
         "tile_y",
         F.expr(_quadkey_sql("tile_x", "tile_y")).alias("quadkey"),
     )
+
+
+@register(
+    "fn_inet_cidr",
+    oracle="""
+    WITH ips AS (
+      SELECT event_id,
+             (event_id * 2654435761) % 4294967296 AS ip
+      FROM events WHERE event_id < 500
+    )
+    SELECT event_id,
+           CAST(ip AS BIGINT) AS ip_u32,
+           CAST((ip >> 24) & 255 AS BIGINT) AS oct1,
+           CAST((ip >> 16) & 255 AS BIGINT) AS oct2,
+           CAST((ip >> 8) & 255 AS BIGINT) AS oct3,
+           CAST(ip & 255 AS BIGINT) AS oct4,
+           CAST((ip >> 24) & 255 AS VARCHAR) || '.'
+             || CAST((ip >> 16) & 255 AS VARCHAR) || '.'
+             || CAST((ip >> 8) & 255 AS VARCHAR) || '.'
+             || CAST(ip & 255 AS VARCHAR) AS ip_str,
+           CAST(CASE WHEN ((ip >> 24) & 255) = 10 THEN 1
+                     WHEN ((ip >> 24) & 255) = 172
+                          AND ((ip >> 16) & 255) BETWEEN 16 AND 31 THEN 1
+                     WHEN ((ip >> 24) & 255) = 192
+                          AND ((ip >> 16) & 255) = 168 THEN 1
+                     ELSE 0 END AS INT) AS is_private,
+           CAST(ip >> 8 AS BIGINT) AS net24,
+           CAST(CASE WHEN (ip >> 20) = 1365 THEN 1 ELSE 0 END AS INT)
+             AS in_demo_cidr12
+    FROM ips
+    """,
+)
+def fn_inet_cidr(spark, sf_dir):
+    """IPv4 / CIDR arithmetic — the inet toolbox weblog and netflow
+    analytics need: octet extraction, dotted-quad rendering, RFC 1918
+    private-range classification, /24 network prefix, and membership
+    in an arbitrary CIDR block (here a /12, i.e. the top 12 bits
+    equal the block's prefix). Addresses are synthesized from the
+    event key with a Knuth multiplicative hash folded into u32 space
+    so the oracle reproduces them exactly; every operation is pure
+    BIGINT shift/mask arithmetic — identical integers cross-engine,
+    no float anywhere. A CIDR test compiles to one shift+compare, so
+    at 100 TB it is a pushable/codegen-friendly predicate rather
+    than a string parse."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ip = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(4294967296))
+    oct1 = F.shiftright(ip, 24).bitwiseAND(F.lit(255))
+    oct2 = F.shiftright(ip, 16).bitwiseAND(F.lit(255))
+    oct3 = F.shiftright(ip, 8).bitwiseAND(F.lit(255))
+    oct4 = ip.bitwiseAND(F.lit(255))
+    return ev.select(
+        "event_id",
+        ip.cast("bigint").alias("ip_u32"),
+        oct1.cast("bigint").alias("oct1"),
+        oct2.cast("bigint").alias("oct2"),
+        oct3.cast("bigint").alias("oct3"),
+        oct4.cast("bigint").alias("oct4"),
+        F.concat_ws(
+            ".",
+            oct1.cast("string"),
+            oct2.cast("string"),
+            oct3.cast("string"),
+            oct4.cast("string"),
+        ).alias("ip_str"),
+        F.when(oct1 == 10, 1)
+        .when((oct1 == 172) & oct2.between(16, 31), 1)
+        .when((oct1 == 192) & (oct2 == 168), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_private"),
+        F.shiftright(ip, 8).cast("bigint").alias("net24"),
+        F.when(F.shiftright(ip, 20) == 1365, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("in_demo_cidr12"),
+    )

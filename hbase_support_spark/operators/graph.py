@@ -916,3 +916,118 @@ def graph_random_walk_deterministic(spark, sf_dir):
         F.col("hop2").cast("bigint"),
         F.col("hop3").cast("bigint"),
     )
+
+
+@register(
+    "graph_kcore_2step",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_partkey < l2.l_partkey
+       AND l1.l_quantity = l2.l_quantity
+    ),
+    edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+    deg0 AS (SELECT a AS id, COUNT(*) AS d FROM edges GROUP BY a),
+    alive1 AS (SELECT id FROM deg0 WHERE d >= 3),
+    e1 AS (
+      SELECT e.a, e.b FROM edges e
+      JOIN alive1 x ON e.a = x.id
+      JOIN alive1 y ON e.b = y.id
+    ),
+    deg1 AS (SELECT a AS id, COUNT(*) AS d FROM e1 GROUP BY a),
+    alive2 AS (SELECT id FROM deg1 WHERE d >= 3),
+    e2 AS (
+      SELECT e.a, e.b FROM e1 e
+      JOIN alive2 x ON e.a = x.id
+      JOIN alive2 y ON e.b = y.id
+    ),
+    deg2 AS (SELECT a AS id, COUNT(*) AS d FROM e2 GROUP BY a)
+    SELECT CAST(d0.id AS BIGINT) AS part_id,
+           CAST(d0.d AS BIGINT) AS degree0,
+           CAST(COALESCE(d1.d, 0) AS BIGINT) AS degree1,
+           CAST(COALESCE(d2.d, 0) AS BIGINT) AS degree2,
+           CAST(CASE WHEN d2.d >= 3 THEN 1 ELSE 0 END AS INT)
+             AS in_core_after_2
+    FROM deg0 d0
+    LEFT JOIN deg1 d1 ON d1.id = d0.id
+    LEFT JOIN deg2 d2 ON d2.id = d0.id
+    """,
+)
+def graph_kcore_2step(spark, sf_dir):
+    """Bounded k-core decomposition (k = 3, two synchronized peeling
+    rounds) — the degeneracy peel behind community cores, spam-ring
+    detection, and graph sparsification: repeatedly delete vertices
+    of degree < k; what survives is the k-core. Full peeling loops
+    to a fixed point; here the round count is FIXED at 2 (the same
+    bounded-superstep decision as graph_connected_components /
+    graph_bfs_hops) so the query is deterministic and fully
+    SQL-oracle-checkable: after round r, degrees are exact for the
+    'peel ≤ r' prefix of the decomposition, and ``in_core_after_2``
+    is the membership state a third round would start from. The
+    graph is the same equal-quantity co-purchase graph the CC and
+    triangle ops use.
+
+    Scale shape: each round is degree-agg (map-side combined) →
+    filter (the Aggregate-reduced alive set) → two hash semi-shaped
+    joins re-keying the edge list on each endpoint — the standard
+    Pregel peel, every stage equality-keyed and parallel, state one
+    row per vertex. The edge list is derived once and pinned
+    (localCheckpoint) so both rounds and the final report read one
+    materialization instead of re-running the co-purchase self-join
+    five times. No step's parallelism depends on core size; at
+    100 TB the peel is the same two shuffles per round GraphX's
+    aggregateMessages would emit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey"))
+            & (F.col("a.l_quantity") == F.col("b.l_quantity")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+
+    def _deg(e):
+        return e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+
+    def _prune(e, alive):
+        return (
+            e.join(alive.select(F.col("id").alias("a")), "a")
+            .join(alive.select(F.col("id").alias("b")), "b")
+            .select("a", "b")
+        )
+
+    deg0 = _deg(edges)
+    alive1 = deg0.filter(F.col("d") >= 3).select("id")
+    e1 = _prune(edges, alive1)
+    deg1 = _deg(e1)
+    alive2 = deg1.filter(F.col("d") >= 3).select("id")
+    e2 = _prune(e1, alive2)
+    deg2 = _deg(e2)
+    return (
+        deg0.select(F.col("id"), F.col("d").alias("degree0"))
+        .join(deg1.select("id", F.col("d").alias("d1")), "id", "left")
+        .join(deg2.select("id", F.col("d").alias("d2")), "id", "left")
+        .select(
+            F.col("id").cast("bigint").alias("part_id"),
+            F.col("degree0").cast("bigint"),
+            F.coalesce(F.col("d1"), F.lit(0)).cast("bigint").alias("degree1"),
+            F.coalesce(F.col("d2"), F.lit(0)).cast("bigint").alias("degree2"),
+            F.when(F.col("d2") >= 3, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("in_core_after_2"),
+        )
+    )

@@ -2105,3 +2105,62 @@ def sample_systematic_kth(spark, sf_dir):
         .cast("bigint")
         .alias("estimate_error_bps"),
     )
+
+
+_SALT_BUCKETS = 16
+_SALT_LO, _SALT_HI = 200, 1200  # logical [start, stop) key range — populated at every SF
+
+
+@register(
+    "scan_salted_rowkey",
+    oracle=f"""
+    SELECT lpad(CAST(o_orderkey % {_SALT_BUCKETS} AS VARCHAR), 2, '0')
+             || '|' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+             AS salted_key,
+           o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey >= {_SALT_LO} AND o_orderkey < {_SALT_HI}
+    """,
+)
+def scan_salted_rowkey(spark, sf_dir):
+    """Salted-rowkey range scan — THE canonical HBase hotspot cure:
+    monotonically increasing keys are prefixed with a small salt
+    (``hash(key) % N`` rendered as a fixed-width prefix) so writes
+    spread over N regions instead of hammering the tail region. The
+    price is on the read path: one logical key range becomes N
+    salted ranges, and the client must fan a Scan out per salt
+    bucket and merge. This op builds the salted keys in-query and
+    then answers the logical range [200, 1200) EXCLUSIVELY through
+    the N salted string-range predicates — the oracle filters on the
+    logical key directly, so parity proves the fan-out/merge is
+    lossless. Complementary to ``scan_salted_table_roundtrip``:
+    that op salts the physical DIRECTORY layout (partition pruning
+    does the fan-out); this one salts the KEY ENCODING itself — the
+    Phoenix ``SALT_BUCKETS`` / OpenTSDB design — where the fan-out
+    must be compiled into the predicate as N range sargs on the
+    single sorted key column (Phoenix's skip scan).
+
+    Spark shape: the N-branch OR over one string column is a single
+    pushed predicate (each branch a sarg on the sorted salted key —
+    at scale, N range probes instead of N full scans); no shuffle,
+    no window. The salt here is a deterministic mod so the oracle
+    can reproduce it; production uses the same fixed-width-prefix
+    construction over any stable hash."""
+    o = load_table(spark, sf_dir, "orders")
+    salted = o.select(
+        F.concat(
+            F.lpad((F.col("o_orderkey") % _SALT_BUCKETS).cast("string"), 2, "0"),
+            F.lit("|"),
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        ).alias("salted_key"),
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+    )
+    pred = None
+    for s in range(_SALT_BUCKETS):
+        lo = f"{s:02d}|{_SALT_LO:012d}"
+        hi = f"{s:02d}|{_SALT_HI:012d}"
+        branch = (F.col("salted_key") >= lo) & (F.col("salted_key") < hi)
+        pred = branch if pred is None else (pred | branch)
+    return salted.filter(pred)

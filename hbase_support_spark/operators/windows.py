@@ -1515,3 +1515,119 @@ def win_obv_accumulation(spark, sf_dir):
         "event_type", "day", "vol", "close_c",
         F.sum("signed_vol").over(wr).cast("bigint").alias("obv"),
     )
+
+
+def _wsum_terms(engine_lag, weights):
+    """Generalized finite-tap weighted-MA construction (the
+    win_ewma_dyadic pattern): term k is lag_k * weights[k] with the
+    denominator re-normalizing over the taps that exist at partition
+    heads. Every weight passed here must be EXACTLY representable as
+    a double (dyadic rationals, or 3^k/4^(k+1) — mantissa 3^k); the
+    repr() literal is shortest-roundtrip, so both engines parse the
+    identical bit pattern and the identical left-to-right sum is
+    IEEE-bit-equal cross-engine with no ROUND step."""
+    num = " + ".join(
+        f"coalesce({engine_lag(k)}, 0.0) * {w!r}" for k, w in enumerate(weights)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {engine_lag(k)} IS NULL THEN 0.0 ELSE {w!r} END)"
+        for k, w in enumerate(weights)
+    )
+    return num, den
+
+
+_MACD_FAST = [2.0 ** -(k + 1) for k in range(8)]        # decay 1/2
+_MACD_SLOW = [3.0**k / 4.0 ** (k + 1) for k in range(8)]  # decay 3/4
+_MACD_SIG = [2.0 ** -(j + 1) for j in range(4)]          # 4-tap signal
+
+
+def _macd_oracle() -> str:
+    lags = ", ".join(f"LAG(value, {k}) OVER w AS lag{k}" for k in range(8))
+    fn, fd = _wsum_terms(lambda k: f"lag{k}", _MACD_FAST)
+    sn, sd = _wsum_terms(lambda k: f"lag{k}", _MACD_SLOW)
+    mlags = ", ".join(f"LAG(macd, {j}) OVER w2 AS mlag{j}" for j in range(4))
+    gn, gd = _wsum_terms(lambda j: f"mlag{j}", _MACD_SIG)
+    return f"""
+    WITH base AS (
+      SELECT user_id, event_id, ts, value, {lags}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, event_id, ts,
+             ({fn}) / ({fd}) - ({sn}) / ({sd}) + 0.0 AS macd
+      FROM base
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, macd, {mlags}
+      FROM m
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts, macd,
+           ({gn}) / ({gd}) + 0.0 AS signal_line,
+           CAST(CASE WHEN macd > ({gn}) / ({gd}) THEN 1
+                     WHEN macd < ({gn}) / ({gd}) THEN -1
+                     ELSE 0 END AS INT) AS stance
+    FROM s
+    """
+
+
+@register("win_macd_signal", oracle=_macd_oracle())
+def win_macd_signal(spark, sf_dir):
+    """MACD with signal line — the one classic indicator missing
+    from this module's block (Bollinger/RSI/stochastic/OBV/VWAP all
+    exist): a fast minus a slow exponentially weighted MA of each
+    user's value stream, then a short EWMA of the MACD itself as the
+    signal line, with the stance flag (+1 above / −1 below / 0 tie)
+    whose sign CHANGES are the trading crossovers. Classic 12/26/9
+    EMAs are infinite recursions; this is the finite-tap restatement
+    the win_ewma_dyadic contract allows: fast = 8 taps of decay 1/2,
+    slow = 8 taps of decay 3/4, signal = 4 taps of decay 1/2 over
+    the MACD (both carrying the repo's `+ 0.0` sign-of-zero guard
+    — value > 0 makes a true -0.0 unreachable, but the guard keeps
+    the zero_sign audit's regeneration-proof contract). Every weight
+    is exactly representable (dyadic, or
+    3^k/4^(k+1) whose mantissa is 3^k), both engines evaluate the
+    identical left-to-right sums, and the stance compares
+    bit-identical doubles — deterministic with NO rounding step.
+
+    Scale shape: two window passes over the same high-cardinality
+    (user_id) partitioning — one sort amortized across all 8 + 4
+    lags (Spark collapses same-spec windows into one WindowExec
+    each), no joins, no funnels."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        *[F.lag("value", k).over(w).alias(f"lag{k}") for k in range(8)],
+    )
+    fn, fd = _wsum_terms(lambda k: f"lag{k}", _MACD_FAST)
+    sn, sd = _wsum_terms(lambda k: f"lag{k}", _MACD_SLOW)
+    m = lagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(f"({fn}) / ({fd}) - ({sn}) / ({sd}) + 0.0").alias("macd"),
+    )
+    s = m.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "macd",
+        *[F.lag("macd", j).over(w).alias(f"mlag{j}") for j in range(4)],
+    )
+    gn, gd = _wsum_terms(lambda j: f"mlag{j}", _MACD_SIG)
+    return s.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "macd",
+        F.expr(f"({gn}) / ({gd}) + 0.0").alias("signal_line"),
+        F.expr(
+            f"CAST(CASE WHEN macd > ({gn}) / ({gd}) THEN 1"
+            f" WHEN macd < ({gn}) / ({gd}) THEN -1 ELSE 0 END AS INT)"
+        ).alias("stance"),
+    )

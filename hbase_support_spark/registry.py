@@ -114,6 +114,61 @@ def register(name: str, oracle: str | None = None):
 # text_ngram_novelty_rate ... fn_geo_quadkey) land in r09 slots 1-32;
 # with green r07+r08+r09, every registered query has a driver verdict
 # by r09-close, and r09 has 18 free slots for round-8+ additions.
+#
+# Round-8 refresh (registry FINAL at 428 — four r8 net-new ops, well
+# under the ≤18 freeze): the mid group orders by import, so
+# scan_salted_rowkey (scans module, early import) takes r08 slot 1
+# and displaces exactly one old-window name (text_bpe_merge_candidates,
+# old slot 50) into r09; the other three new ops (win_macd_signal /
+# graph_kcore_2step / fn_inet_cidr — late modules) land in the r09
+# window. Verified this session by instantiating queries() and
+# diffing against the union of CORRECTNESS_r01..r07.json greens
+# (342 green / 86 never-graded):
+#   r08 window (slots 1-50) = scan_salted_rowkey,
+#     cells_column_pagination, snapshot_diff_asof,
+#     cells_mob_storage_plan, wal_replication_lag_report,
+#     cells_put_if_absent_replay, scan_timerange_versions,
+#     cells_bulkload_hfile_plan, scan_raw_with_tombstones,
+#     cells_row_mutations_batch_audit, join_null_key_bypass,
+#     privacy_t_closeness, events_anova_f_oneway,
+#     events_sprt_sequential_test, events_srm_check,
+#     privacy_masking_view, pipeline_curriculum_order,
+#     orders_littles_law_audit, privacy_dp_sensitivity_report,
+#     agg_theta_sketch_users, events_ctr_wilson_rank,
+#     agg_hdr_histogram_p99, events_kendall_tau_campaigns,
+#     orders_skyline_customers, agg_simpson_diversity,
+#     orders_abc_xyz_matrix, events_autocorr_lag1,
+#     events_mann_kendall_trend, events_attribution_time_decay,
+#     agg_skewness_kurtosis, events_lead_lag_xcorr,
+#     events_burstiness_fano, orders_eoq_reorder_policy,
+#     orders_discount_elasticity_ols, events_interarrival_cv2,
+#     orders_price_volume_mix_bridge, events_changepoint_binseg,
+#     agg_weighted_median, events_ljung_box_q,
+#     events_seasonal_decompose, events_metric_definition_audit,
+#     win_ewma_dyadic, win_rolling_1h_time_frame,
+#     win_bollinger_breakout, win_parkinson_volatility,
+#     win_drawdown_duration, win_rsi_cutler,
+#     win_stochastic_oscillator, win_ulcer_index, win_obv_accumulation
+#   r09 window (the remaining 36; slots 1-36, 14 free) =
+#     win_macd_signal, text_bpe_merge_candidates,
+#     text_ngram_novelty_rate, pipeline_length_bucket_batching,
+#     embedding_binary_quantize_recall, sim_kmeans_assign_step,
+#     text_bpe_apply_merge, text_hashed_feature_vector,
+#     sim_knn_filtered_vs_postfilter, dedup_minhash_1bit_recall,
+#     text_watermark_greenlist_score, text_phrase_search_positional,
+#     text_tokenizer_fertility, sim_pq_adc_recall,
+#     pipeline_mix_temperature_shares, dedup_bloom_prefilter_audit,
+#     text_stopword_profile, pipeline_filter_ablation_grid,
+#     text_js_divergence_vs_corpus, text_heaps_law_fit,
+#     dedup_cluster_size_histogram, text_mattr_diversity,
+#     text_collocation_pmi, events_markov_entropy,
+#     multimodal_scene_cut_detect, multimodal_audio_vad_segments,
+#     graph_jaccard_nation_trade, graph_connected_components,
+#     graph_degree_assortativity, graph_hits_bipartite,
+#     graph_random_walk_deterministic, graph_kcore_2step,
+#     fn_url, fn_business_days, fn_geo_quadkey, fn_inet_cidr
+# — with green r08+r09, every registered query has a driver verdict
+# by r09-close (arithmetic: 428 = 342 green + 50 r08 + 36 r09).
 GRADING_PRIORITY: list[str] = [
     # ---- round-3 window, slots 1-19: the 19 kind-cast fixes (r02 FAILs first)
     "sim_lsh_hyperplane",
