@@ -2129,23 +2129,27 @@ def scan_salted_rowkey(spark, sf_dir):
     spread over N regions instead of hammering the tail region. The
     price is on the read path: one logical key range becomes N
     salted ranges, and the client must fan a Scan out per salt
-    bucket and merge. This op builds the salted keys in-query and
-    then answers the logical range [200, 1200) EXCLUSIVELY through
-    the N salted string-range predicates — the oracle filters on the
-    logical key directly, so parity proves the fan-out/merge is
-    lossless. Complementary to ``scan_salted_table_roundtrip``:
-    that op salts the physical DIRECTORY layout (partition pruning
-    does the fan-out); this one salts the KEY ENCODING itself — the
-    Phoenix ``SALT_BUCKETS`` / OpenTSDB design — where the fan-out
-    must be compiled into the predicate as N range sargs on the
-    single sorted key column (Phoenix's skip scan).
+    bucket and merge. This op builds the salted-key TABLE (the
+    roundtrip idiom of scan_salted_table_roundtrip: write the layout
+    whose cost you claim, then read it) and answers the logical
+    range [200, 1200) EXCLUSIVELY through the N salted string-range
+    predicates on the STORED key — the oracle filters on the logical
+    key directly, so parity proves the fan-out/merge is lossless.
+    Complementary to ``scan_salted_table_roundtrip``: that op salts
+    the physical DIRECTORY layout (partition pruning does the
+    fan-out); this one salts the KEY ENCODING itself — the Phoenix
+    ``SALT_BUCKETS`` / OpenTSDB design — where the fan-out must be
+    compiled into the predicate as N range sargs on the single
+    sorted key column (Phoenix's skip scan).
 
-    Spark shape: the N-branch OR over one string column is a single
-    pushed predicate (each branch a sarg on the sorted salted key —
-    at scale, N range probes instead of N full scans); no shuffle,
-    no window. The salt here is a deterministic mod so the oracle
-    can reproduce it; production uses the same fixed-width-prefix
-    construction over any stable hash."""
+    Scale shape: the table is range-partitioned and sorted on the
+    salted key (what an HBase region layout IS), so the 16-branch OR
+    reaches the Parquet reader as PushedFilters and row-group
+    min/max stats skip everything outside the 16 salted ranges —
+    plan-asserted in tests/test_round8_ops.py. An earlier draft
+    computed the salted key in-query, which silently made the
+    predicate unpushable (a filter over a derived column) and paid a
+    full scan at x128 — the stored-key layout is the honest design."""
     o = load_table(spark, sf_dir, "orders")
     salted = o.select(
         F.concat(
@@ -2157,10 +2161,18 @@ def scan_salted_rowkey(spark, sf_dir):
         "o_custkey",
         "o_totalprice",
     )
+    dst = os.path.join(_SCRATCH, "orders_salted_key")
+    (
+        salted.repartitionByRange(8, "salted_key")
+        .sortWithinPartitions("salted_key")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    back = spark.read.schema(salted.schema).parquet(dst)
     pred = None
-    for s in range(_SALT_BUCKETS):
-        lo = f"{s:02d}|{_SALT_LO:012d}"
-        hi = f"{s:02d}|{_SALT_HI:012d}"
+    for b in range(_SALT_BUCKETS):
+        lo = f"{b:02d}|{_SALT_LO:012d}"
+        hi = f"{b:02d}|{_SALT_HI:012d}"
         branch = (F.col("salted_key") >= lo) & (F.col("salted_key") < hi)
         pred = branch if pred is None else (pred | branch)
-    return salted.filter(pred)
+    return back.filter(pred)
