@@ -6448,29 +6448,37 @@ def text_ngram_novelty_rate(spark, sf_dir):
     curriculum ordering.
 
     novelty_rate is one integer-over-integer division (bit-exact
-    cross-engine). Plan: explode -> min-agg on shingle (first_seen),
-    shuffle-join the shingle stream back on shingle, per-doc agg —
-    three shuffles, each bounded by |shingle occurrences|, no
-    driver state. At 100 TB first_seen is the big intermediate; it
-    prunes to (shingle, first_doc) pairs only."""
+    cross-engine). Plan (restructured r8 after the ×128 tier audit):
+    the original joined the full (doc, shingle) occurrence stream
+    back onto first_seen — an |occurrences|-scale shuffle join that
+    went super-linear under the ×128 stress (65 s; hot shingle keys
+    grow with the corpus) — but the join carried no information the
+    aggregates don't: per-doc shingle counts come straight off the
+    occurrence stream, and per-doc NOVEL counts are just first_seen
+    re-grouped by its argmin doc. Now: two map-side-combinable aggs
+    over the exploded stream (count per doc; min per shingle) and
+    one DOC-scale left join — the big intermediates never meet in a
+    join. At 100 TB first_seen prunes to (shingle, first_doc) pairs
+    and the only join is per-document metadata."""
     d = load_table(spark, sf_dir, "documents")
     s = with_shingles(d, "doc_id").select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
+    per_doc = s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
     first = s.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        s.join(first, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-            (
-                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
-                / F.count("*").cast("double")
-            ).alias("novelty_rate"),
-        )
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_novel")
+    )
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+        (
+            F.coalesce(F.col("_novel"), F.lit(0))
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty_rate"),
     )
 
 
