@@ -1524,37 +1524,120 @@ def events_kstest_arms(spark, sf_dir):
     )
 
 
-@register(
-    "agg_percentile_exact_groups",
-    oracle="""
+def _pct_grid_snippets(m: int, d: int, n: str, n_agg: str, cum: str, cnt: str, v: str, divop: str = "div"):
+    """Shared per-quantile grid-interpolation snippets (IDENTICAL
+    text in the Spark expressions and the DuckDB oracle — bit-exact
+    by construction): for q = m/d, the 0-based index into the sorted
+    values is q*(n-1) = (m*(n-1))/d, held EXACTLY as integer div/mod
+    (no float floor seam): lo/hi are the 1-based ranks of the two
+    straddling order statistics, frac their exact-rational weight.
+    ``n`` is the per-row group total (used INSIDE the MAX aggregates)
+    and ``n_agg`` its aggregated form (used in the post-aggregation
+    frac term — n is constant per group, so MAX(n) == n).
+    ``divop`` is the only engine-specific spelling (Spark ``div``,
+    DuckDB ``//``) — it is exact integer arithmetic, so the spelling
+    difference carries no IEEE risk; every FLOAT expression stays
+    textually identical."""
+    idx = f"({m} * ({n} - 1))"
+    lo1 = f"({idx} {divop} {d} + 1)"
+    hi1 = f"({idx} {divop} {d} + 1 + (CASE WHEN {idx} % {d} > 0 THEN 1 ELSE 0 END))"
+    frac = f"(({m} * ({n_agg} - 1)) % {d}) / CAST({d} AS DOUBLE)"
+    x_lo = f"MAX(CASE WHEN {cum} - {cnt} < {lo1} AND {lo1} <= {cum} THEN {v} END)"
+    x_hi = f"MAX(CASE WHEN {cum} - {cnt} < {hi1} AND {hi1} <= {cum} THEN {v} END)"
+    return f"ROUND({x_lo} + ({x_hi} - {x_lo}) * ({frac}), 6)"
+
+
+_PCTG_QS = ((1, 2, "p50"), (19, 20, "p95"), (99, 100, "p99"))
+
+
+def _pctg_oracle() -> str:
+    exprs = ",\n           ".join(
+        _pct_grid_snippets(m, d, "n", "MAX(n)", "cum", "cnt", "v", "//")
+        + f" AS {name}"
+        for m, d, name in _PCTG_QS
+    )
+    return f"""
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_extendedprice AS DOUBLE) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linestatus, CAST(l_extendedprice AS DOUBLE)
+    ), c AS (
+      SELECT l_returnflag, l_linestatus, v, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag, l_linestatus
+                                 ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag, l_linestatus)
+                  AS BIGINT) AS n
+      FROM g
+    )
     SELECT l_returnflag, l_linestatus,
-           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 6) AS p50,
-           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6) AS p95,
-           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 6) AS p99,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def agg_percentile_exact_groups(spark, sf_dir):
-    """EXACT per-group percentiles (p50/p95/p99 with linear
-    interpolation — the textbook continuous quantile both engines
-    implement identically) — the per-group complement of
-    `agg_quantile_exact_global`: group cardinality is bounded (a few
-    flag/status cells), so the per-group sorted aggregation is safe
-    at any fact-table size — the hash shuffle distributes GROUPS,
-    and no single group exceeds one executor's sort budget unless
-    the key itself is degenerate (then the global-rank kernel is the
-    escape hatch). ROUND(6) pins the one float the interpolation
-    produces. One partial+final sort-aggregate, no window, no join.
+           {exprs},
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM c GROUP BY l_returnflag, l_linestatus
     """
+
+
+@register("agg_percentile_exact_groups", oracle=_pctg_oracle())
+def agg_percentile_exact_groups(spark, sf_dir):
+    """EXACT per-group percentiles (p50/p95/p99, textbook linear
+    interpolation at index q*(n-1)) — the per-group complement of
+    `agg_quantile_exact_global`, restated on the same VALUE GRID
+    (r8). The original used Spark's exact `percentile` aggregate,
+    whose buffer holds every value of a group in one task — and the
+    group key here is the 6-cell flag/status domain, so the buffer
+    grows with the fact table: it OOM-killed the 8 g JVM at the x32
+    census (reproducibly, on fresh sessions — SCALE.md r8). The grid
+    restatement is the escape hatch this file already uses for the
+    global quantile: hash-aggregate to the (flag, status, price)
+    distinct-value grid (map-side combined, replica-invariant,
+    price-domain-bounded), cumulative counts over the grid, then
+    each quantile is the pair of straddling order statistics read
+    off the cumulative intervals. The only windows run over the
+    Aggregate-reduced grid; no task ever materializes a group's raw
+    values.
+
+    Determinism: the index q*(n-1) is held as EXACT integer div/mod
+    (m*(n-1) div d / mod d) — no float-floor seam — and the
+    interpolation x_lo + (x_hi - x_lo) * frac is the IDENTICAL
+    expression text in both engines (shared snippet builder), so the
+    doubles are bit-equal before the ROUND(6)."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("double")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.percentile(price, F.lit(0.50)), 6).alias("p50"),
-        F.round(F.percentile(price, F.lit(0.95)), 6).alias("p95"),
-        F.round(F.percentile(price, F.lit(0.99)), 6).alias("p99"),
-        F.count("*").alias("n"),
+    g = (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_extendedprice").cast("double").alias("v"),
+        )
+        .groupBy("l_returnflag", "l_linestatus", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_grp = Window.partitionBy("l_returnflag", "l_linestatus")
+    w_cum = w_grp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(
+            w_grp.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    aggs = [
+        F.expr(
+            _pct_grid_snippets(m, d, "n", "MAX(n)", "cum", "cnt", "v")
+        ).alias(name)
+        for m, d, name in _PCTG_QS
+    ]
+    return c.groupBy("l_returnflag", "l_linestatus").agg(
+        *aggs, F.max("n").cast("bigint").alias("n")
     )
 
 

@@ -1403,13 +1403,22 @@ def events_coactivity_topk(spark, sf_dir):
     by actives-per-hour, not events; the per-bin pair expansion is
     quadratic only in concurrent actives — the skew hazard is a hot
     global hour, handled by AQE skew-split (tests/test_aqe.py) or a
-    finer bin. TakeOrdered top-20 with a full pair tie-break."""
+    finer bin. TakeOrdered top-20 with a full pair tie-break.
+
+    The self-join carries an explicit merge (SMJ) hint: Catalyst's
+    size estimate for the distinct frame undershoots, so it picked a
+    BROADCAST build at scale — a HashedRelation of the entire
+    (user, hour) set replicated into every task, which OOM-killed
+    the 8 g JVM at the ×32 census (r8, SCALE.md). A broadcast build
+    side is the one shape AQE skew-split cannot rescue; sort-merge
+    on the bin streams per-key groups (buffer = one hour's actives)
+    and stays skew-splittable."""
     uh = (
         load_table(spark, sf_dir, "events")
         .select("user_id", F.date_trunc("hour", "ts").alias("hr"))
         .distinct()
     )
-    a, b = uh.alias("a"), uh.alias("b")
+    a, b = uh.alias("a"), uh.alias("b").hint("merge")
     return (
         a.join(
             b,

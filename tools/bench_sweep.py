@@ -20,6 +20,9 @@ census.
 
 Usage: python tools/bench_sweep.py [sf_dir] [name_filter ...]
 Default: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, all queries.
+A filter starting with ``-`` EXCLUDES queries whose name contains
+the rest (used by replica-harness censuses to skip the documented
+super-linear C(R,2) pair kernels); all other filters include.
 """
 
 from __future__ import annotations
@@ -33,6 +36,38 @@ sys.path.insert(0, ".")
 from hbase_support_spark import QUERIES, get_spark, load_all
 
 _RETRIES = 2  # attempts after the first failure
+
+# The documented super-linear-under-replica-harness family: pair/
+# similarity kernels whose TRUE output grows C(R,2) when the harness
+# replicates every entity (each doc/user gains R-1 exact twins), so a
+# replica census measures the artifact, not the plan (SCALE.md, r5
+# minhash row onward). events_coactivity_topk joined in r8: at x32
+# its exact answer is ~1.15e9 distinct pair counts (~55 GB of
+# distributed aggregation state) — sound on a cluster, unholdable in
+# the single 8 g census JVM under ANY plan (completes at x8 in 90 s).
+# Auto-excluded when the sf_dir is a stress replica dir.
+REPLICA_QUADRATIC = {
+    "dedup_near_minhash",
+    "dedup_semdedup_keep",
+    "dedup_source_overlap_matrix",
+    "dedup_minhash_1bit_recall",
+    "dedup_lsh_recall_report",
+    "dedup_winnow_pairs",
+    "dedup_embedding_cosine",
+    "dedup_cluster_keep_min",
+    "dedup_incremental_vs_corpus",
+    "sim_pairs_threshold",
+    "sim_pairs_threshold_blas",
+    "sim_knn_self_join",
+    "sim_knn_self_join_blas",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_fast",
+    "dedup_substring_spans",
+    "dedup_containment",
+    "dedup_simhash",
+    "join_er_fuzzy_string",
+    "events_coactivity_topk",
+}
 
 
 def _fresh_spark():
@@ -49,6 +84,29 @@ def _session_alive(spark) -> bool:
         return False
 
 
+def _restart_spark(spark):
+    """Replace a dead session. If the JVM itself crashed (py4j
+    gateway gone — the GC-death case, not just a stopped context),
+    builder.getOrCreate() would hand back a corpse: reset the
+    process-level gateway handles so a brand-new JVM launches."""
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        return _fresh_spark()
+    except Exception:  # noqa: BLE001 — gateway dead; force relaunch
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        return _fresh_spark()
+
+
 def main() -> None:
     sf_dir = (
         sys.argv[1]
@@ -59,7 +117,22 @@ def main() -> None:
     load_all()
     spark = _fresh_spark()
     QUERIES["agg_rowcount"](spark, sf_dir).collect()  # warm
-    todo = [n for n in QUERIES if not names or any(f in n for f in names)]
+    incl = [f for f in names if not f.startswith("-")]
+    excl = [f[1:] for f in names if f.startswith("-")]
+    auto_skip: set[str] = set()
+    if "stress_" in os.path.basename(os.path.normpath(sf_dir)):
+        auto_skip = REPLICA_QUADRATIC & set(QUERIES)
+        print(
+            f"replica-harness census: auto-excluding {len(auto_skip)} "
+            f"documented C(R,2) pair kernels (REPLICA_QUADRATIC)"
+        )
+    todo = [
+        n
+        for n in QUERIES
+        if (not incl or any(f in n for f in incl))
+        and not any(e in n for e in excl)
+        and n not in auto_skip
+    ]
     times: dict[str, float] = {}
     flaked: dict[str, str] = {}  # name -> first-attempt error summary
     failed: list[str] = []
@@ -88,11 +161,7 @@ def main() -> None:
                 )
                 if not _session_alive(spark):
                     print("  spark session dead — restarting JVM bridge")
-                    try:
-                        spark.stop()
-                    except Exception:  # noqa: BLE001
-                        pass
-                    spark = _fresh_spark()
+                    spark = _restart_spark(spark)
         else:
             failed.append(name)
     total = time.perf_counter() - t_all
