@@ -4842,15 +4842,33 @@ def sim_users_behavioral(spark, sf_dir):
     """User-to-user behavioral similarity — lookalike retrieval
     WITHOUT a learned embedding: each user's event-type mix becomes
     a 5-dim proportion vector (exact integer counts, one division
-    per dim), candidate pairs are BLOCKED on the dominant event type
-    (deterministic argmax, first-in-enum tie-break) so the pair join
-    is O(sum block^2) — the same never-all-pairs discipline as every
-    similarity op here — and cosine ranks the top lookalikes. The
-    feature-engineering twin of the embedding sims: same blocking,
-    same ROUND(6)+tie-break grading contract, features derived
-    in-engine from raw events. Scale: one user-keyed agg, a 5-block
-    self-equi-join (AQE skew-splits a dominant block), TakeOrdered.
-    """
+    per dim), and cosine ranks the top-10 lookalike pairs within
+    dominant-event-type blocks.
+
+    Scale shape (restructured r8 — the ×32 census timed the original
+    at 108 s): blocking on the dominant type yields only 5 blocks,
+    so the original user×user self-join was O(|users|²/5) — the
+    docstring's "never-all-pairs" claim was wrong; 2.3×10⁸ pairs at
+    ×32 and quadratic forever. But the feature space is tiny: 48 000
+    users collapse to ~1 500 DISTINCT proportion vectors (integer
+    compositions of small per-user counts), and a user-pair's cosine
+    depends only on its vector-pair. So: (1) aggregate users to the
+    distinct-vector grid with multiplicities; (2) join the GRID to
+    itself within blocks (grid²/5 — ~500× fewer pairs, and the grid
+    grows sub-linearly in users); (3) find the cosine threshold
+    where the cumulative user-pair count (m_a·m_b per inter pair,
+    C(m,2) per identical-vector pair) first reaches k=10 — a window
+    over the tiny cos-value grid; (4) expand ONLY vector-pairs at or
+    above the threshold back to user pairs, bounded per pair by the
+    11 smallest members of each side (any user pair touching a
+    12th-or-later member is preceded by ≥ 10 pairs from smaller
+    members, so it cannot reach the global top-10 — the two-phase
+    partial-top-k argument); (5) exact TakeOrdered(10). The final
+    cosine is recomputed on the expanded pairs with the ORIGINAL
+    expression over the same doubles, so the oracle (unchanged
+    all-pairs SQL) still grades bit-exact equality."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
     prof = ev.groupBy("user_id").agg(
         *[
@@ -4862,8 +4880,6 @@ def sim_users_behavioral(spark, sf_dir):
         F.count("*").alias("n"),
     )
     mx = F.greatest(*[F.col(f"c_{t}") for t in _ETYPES])
-    # build innermost-last so the FIRST enum entry is checked first —
-    # first-in-enum tie-break, matching the oracle's CASE order
     block = F.lit(_ETYPES[-1])
     for t in reversed(_ETYPES):
         block = F.when(F.col(f"c_{t}") >= mx, t).otherwise(block)
@@ -4872,24 +4888,115 @@ def sim_users_behavioral(spark, sf_dir):
         *[(F.col(f"c_{t}") * 1.0 / F.col("n")).alias(f"p_{t}") for t in _ETYPES],
         block.alias("block"),
     )
-    a, b = vec.alias("a"), vec.alias("b")
-    dot = sum(
-        (F.col(f"a.p_{t}") * F.col(f"b.p_{t}") for t in _ETYPES), F.lit(0.0)
+    v = vec.select(
+        "user_id",
+        "block",
+        F.struct(*[F.col(f"p_{t}") for t in _ETYPES]).alias("vk"),
+    ).localCheckpoint(eager=False)
+
+    # 11 smallest members per distinct vector — two-phase local top-k
+    # so no single task ever sorts one vector's full member list.
+    cand = v.withColumn("_pid", F.spark_partition_id())
+    w_loc = Window.partitionBy("vk", "_pid").orderBy("user_id")
+    local = cand.withColumn("_lrn", F.row_number().over(w_loc)).filter(
+        F.col("_lrn") <= 11
     )
-    na = F.sqrt(sum((F.col(f"a.p_{t}") * F.col(f"a.p_{t}") for t in _ETYPES), F.lit(0.0)))
-    nb = F.sqrt(sum((F.col(f"b.p_{t}") * F.col(f"b.p_{t}") for t in _ETYPES), F.lit(0.0)))
-    pairs = a.join(
-        b,
-        (F.col("a.block") == F.col("b.block"))
-        & (F.col("a.user_id") < F.col("b.user_id")),
+    w_glob = Window.partitionBy("vk").orderBy("user_id")
+    m11 = (
+        local.withColumn("_rn", F.row_number().over(w_glob))
+        .filter(F.col("_rn") <= 11)
+        .select("vk", "block", "user_id")
+    )
+
+    grid = v.groupBy("vk", "block").agg(F.count(F.lit(1)).alias("m"))
+
+    def _cos(pa, pb):
+        dot = sum(
+            (pa(t) * pb(t) for t in _ETYPES), F.lit(0.0)
+        )
+        na = F.sqrt(sum((pa(t) * pa(t) for t in _ETYPES), F.lit(0.0)))
+        nb = F.sqrt(sum((pb(t) * pb(t) for t in _ETYPES), F.lit(0.0)))
+        return F.round(dot / (na * nb), 6)
+
+    ga, gb = grid.alias("ga"), grid.alias("gb")
+    inter = ga.join(
+        gb,
+        (F.col("ga.block") == F.col("gb.block"))
+        & (F.col("ga.vk") < F.col("gb.vk")),
     ).select(
-        F.col("a.user_id").alias("user_a"),
-        F.col("b.user_id").alias("user_b"),
-        F.round(dot / (na * nb), 6).alias("cos_sim"),
+        F.col("ga.vk").alias("vka"),
+        F.col("gb.vk").alias("vkb"),
+        _cos(
+            lambda t: F.col("ga.vk").getField(f"p_{t}"),
+            lambda t: F.col("gb.vk").getField(f"p_{t}"),
+        ).alias("cos_sim"),
+        (F.col("ga.m") * F.col("gb.m")).cast("bigint").alias("npairs"),
     )
-    return pairs.orderBy(
-        F.col("cos_sim").desc(), "user_a", "user_b"
-    ).limit(10)
+    intra = grid.filter(F.col("m") >= 2).select(
+        F.col("vk").alias("vka"),
+        F.col("vk").alias("vkb"),
+        _cos(
+            lambda t: F.col("vk").getField(f"p_{t}"),
+            lambda t: F.col("vk").getField(f"p_{t}"),
+        ).alias("cos_sim"),
+        (F.col("m") * (F.col("m") - 1) / 2).cast("bigint").alias("npairs"),
+    )
+    vp = inter.unionAll(intra).localCheckpoint(eager=False)
+
+    # cosine threshold where cumulative candidate-pair count reaches
+    # k=10: a running sum over the tiny distinct-cos grid (aggregate-
+    # reduced, a few thousand rows at most).
+    cos_grid = vp.groupBy("cos_sim").agg(F.sum("npairs").alias("np"))
+    w_cum = Window.orderBy(F.col("cos_sim").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    thr = (
+        cos_grid.withColumn("cum", F.sum("np").over(w_cum))
+        .filter(F.col("cum") >= 10)
+        .agg(F.max("cos_sim").alias("thr"))
+    )
+    kept = vp.crossJoin(F.broadcast(thr)).filter(
+        (F.col("thr").isNull()) | (F.col("cos_sim") >= F.col("thr"))
+    )
+
+    ma, mb = m11.alias("ma"), m11.alias("mb")
+    exp_inter = (
+        kept.filter(F.col("vka") != F.col("vkb"))
+        .join(ma, F.col("ma.vk") == F.col("vka"))
+        .join(mb, F.col("mb.vk") == F.col("vkb"))
+        .select(
+            F.least(F.col("ma.user_id"), F.col("mb.user_id")).alias("user_a"),
+            F.greatest(F.col("ma.user_id"), F.col("mb.user_id")).alias(
+                "user_b"
+            ),
+            _cos(
+                lambda t: F.col("ma.vk").getField(f"p_{t}"),
+                lambda t: F.col("mb.vk").getField(f"p_{t}"),
+            ).alias("cos_sim"),
+        )
+    )
+    exp_intra = (
+        kept.filter(F.col("vka") == F.col("vkb"))
+        .join(ma, F.col("ma.vk") == F.col("vka"))
+        .join(
+            mb,
+            (F.col("mb.vk") == F.col("vkb"))
+            & (F.col("ma.user_id") < F.col("mb.user_id")),
+        )
+        .select(
+            F.col("ma.user_id").alias("user_a"),
+            F.col("mb.user_id").alias("user_b"),
+            _cos(
+                lambda t: F.col("ma.vk").getField(f"p_{t}"),
+                lambda t: F.col("mb.vk").getField(f"p_{t}"),
+            ).alias("cos_sim"),
+        )
+    )
+    return (
+        exp_inter.unionAll(exp_intra)
+        .orderBy(F.col("cos_sim").desc(), "user_a", "user_b")
+        .limit(10)
+    )
 
 
 @register(
