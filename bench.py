@@ -42,6 +42,29 @@ RUNS = 2
 LOAD_START = os.getloadavg()
 
 
+def _cpu_cal() -> float:
+    """Single-core CPU calibration marker (round 9).
+
+    A fixed pure-python loop timed before Spark starts. Guest loadavg
+    cannot see HOST contention on a VM: round 9 opened with every
+    headline query uniformly ~30% slower than round 8's idle reading
+    on an identical tree at loadavg 0.2 — unexplainable guest-side.
+    This marker gives each bench JSON an absolute single-core speed
+    reading so a uniform drift can be attributed to the machine (cal
+    moved with it) vs the plans (cal flat). Reference: 2.09 s on the
+    round-8/9 host at nominal 2.1 GHz.
+    """
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    assert s == 199999990000000
+    return round(time.perf_counter() - t0, 3)
+
+
+CPU_CAL = _cpu_cal()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -90,6 +113,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg_start_1m": round(LOAD_START[0], 2),
                 "loadavg_end_1m": round(load_end[0], 2),
+                "cpu_cal_sec": CPU_CAL,
                 "cpus": os.cpu_count(),
                 "method": "warm1_best_of_2",
             }
