@@ -7,16 +7,26 @@ round-over-round: the registry must be able to grow without the
 sweep total growing super-linearly, and no single query may drift
 past its documented ceiling unnoticed.
 
-Transient-failure policy (r8, VERDICT r07 item 4): marathon censuses
-occasionally hit py4j ``ConnectionRefused``-class socket flakes (4
-false alarms in the r7 405-query run, each clean standalone). A
-failed query is therefore retried up to ``_RETRIES`` times — on a
-FRESH SparkSession if the old one's JVM bridge died — and the output
-separates ``flaked-then-passed`` (retry succeeded; timed from the
-successful attempt; listed in a flake ledger) from genuine failures
-(all attempts failed; non-zero exit). A flake is an observation
-about the harness socket, not the query, so it does not fail the
-census.
+Transient-failure policy (r8, VERDICT r07 item 4; refined r9 per
+ADVICE): marathon censuses occasionally hit py4j
+``ConnectionRefused``-class socket flakes (4 false alarms in the r7
+405-query run, each clean standalone). A failed query is therefore
+retried up to ``_RETRIES`` times — on a FRESH SparkSession if the
+old one's JVM bridge died — with three distinct outcomes:
+
+- ``flaked-then-passed`` (live session, retry succeeded): a harness
+  socket observation, not the query; listed in the flake ledger,
+  does not fail the census.
+- ``jvm-died-then-passed`` (the session was found DEAD after the
+  failure and the query passed on a fresh JVM): exactly the
+  signature of a query that OOM-killed the JVM — the ×32 failure
+  class the census exists to hunt. Listed separately and FAILS the
+  census (exit 1) until re-adjudicated standalone; r8's coactivity
+  catch would otherwise have been laundered as a socket flake.
+- deterministic analysis errors (``AnalysisException`` family with
+  the session still alive): not retried at all — a broken query
+  fails the same way three times, and two wasted retries per broken
+  query triple the cost of a bad 428-query census.
 
 Usage: python tools/bench_sweep.py [sf_dir] [name_filter ...]
 Default: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, all queries.
@@ -77,6 +87,17 @@ def _fresh_spark():
     )
 
 
+def _deterministic(err: Exception) -> bool:
+    """True when the error class re-raises identically on retry (so
+    retrying a live session is pure wasted wall-clock): analysis /
+    parse / schema errors, not socket or executor-death classes."""
+    try:
+        from pyspark.errors import AnalysisException, ParseException
+    except ImportError:  # pragma: no cover - pyspark<3.4 layout
+        from pyspark.sql.utils import AnalysisException, ParseException
+    return isinstance(err, (AnalysisException, ParseException, TypeError, KeyError))
+
+
 def _session_alive(spark) -> bool:
     try:
         return spark.range(1).count() == 1
@@ -135,10 +156,12 @@ def main() -> None:
     ]
     times: dict[str, float] = {}
     flaked: dict[str, str] = {}  # name -> first-attempt error summary
+    jvm_died: dict[str, str] = {}  # passed only after a JVM restart
     failed: list[str] = []
     t_all = time.perf_counter()
     for name in todo:
         last_err = None
+        restarted = False  # did THIS query's failure kill the JVM?
         for attempt in range(1 + _RETRIES):
             t0 = time.perf_counter()
             try:
@@ -146,7 +169,14 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 times[name] = time.perf_counter() - t0
-                if attempt:
+                if attempt and restarted:
+                    jvm_died[name] = last_err
+                    print(
+                        f"JVM-DIED-THEN-PASSED {name} (attempt "
+                        f"{attempt + 1}): suspect OOM/JVM kill — first "
+                        f"error was {last_err}"
+                    )
+                elif attempt:
                     flaked[name] = last_err
                     print(
                         f"FLAKED-THEN-PASSED {name} (attempt "
@@ -159,9 +189,18 @@ def main() -> None:
                     f"FAIL {name} (attempt {attempt + 1}/{1 + _RETRIES}): "
                     f"{last_err}"
                 )
-                if not _session_alive(spark):
+                alive = _session_alive(spark)
+                if not alive:
                     print("  spark session dead — restarting JVM bridge")
                     spark = _restart_spark(spark)
+                    restarted = True
+                elif _deterministic(e):
+                    # live session + analysis-class error: the query is
+                    # broken the same way every time — retries only
+                    # triple the wasted wall-clock (ADVICE r9)
+                    print("  deterministic analysis error — not retrying")
+                    failed.append(name)
+                    break
         else:
             failed.append(name)
     total = time.perf_counter() - t_all
@@ -169,14 +208,24 @@ def main() -> None:
         print(f"{name:36s} {dt:7.3f}s")
     print(
         f"\nTOTAL {total:.1f}s for {len(times)}/{len(todo)} queries at "
-        f"{sf_dir} ({len(flaked)} flaked-then-passed, {len(failed)} failed)"
+        f"{sf_dir} ({len(flaked)} flaked-then-passed, "
+        f"{len(jvm_died)} jvm-died-then-passed, {len(failed)} failed)"
     )
     if flaked:
         print("flake ledger (retry succeeded — harness socket, not query):")
         for name, err in flaked.items():
             print(f"  {name}: {err}")
+    if jvm_died:
+        print(
+            "JVM-death ledger (query killed the JVM, then passed fresh — "
+            "suspect OOM; re-adjudicate each standalone before declaring "
+            "the census clean):"
+        )
+        for name, err in jvm_died.items():
+            print(f"  {name}: {err}")
     if failed:
         print("failed (all attempts):", ", ".join(failed))
+    if failed or jvm_died:
         sys.exit(1)
 
 
