@@ -122,11 +122,58 @@ def agg_sum_min_max_avg(spark, sf_dir):
     """,
 )
 def agg_std_median(spark, sf_dir):
-    """AggregationClient std/median (exact median — fine at test SF;
-    the 100-TB variant is `agg_percentile_approx` below)."""
-    return load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 6).alias("std_price"),
-        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+    """AggregationClient std/median. Restructured r9: the original
+    used Spark's exact `median` aggregate, whose ObjectHashAggregate
+    buffer holds every value of a group in ONE task — and the group
+    key is the 3-value l_returnflag, so the buffer grows with the
+    fact table: the exact shape that OOM-killed
+    `agg_percentile_exact_groups` at the r8 ×32 census, on the same
+    table (caught by the r9 buffering-aggregate audit,
+    tests/test_buffering_aggs.py). Median now rides the same VALUE
+    GRID as that query (hash-agg to the (flag, price) distinct-value
+    grid — map-side combined, price-domain-bounded — cumulative
+    counts over the grid, interpolated order statistics via
+    `_pct_grid_snippets`, bit-identical to quantile_cont); stddev
+    stays the native one-pass moments aggregate. The two 3-row
+    frames broadcast-join on the flag."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    std = li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("std_price")
+    )
+    g = (
+        li.select(
+            "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
+        )
+        .groupBy("l_returnflag", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_grp = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "v",
+        "cnt",
+        F.sum("cnt")
+        .over(w_grp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+        F.sum("cnt")
+        .over(
+            w_grp.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    med = c.groupBy("l_returnflag").agg(
+        F.expr(_pct_grid_snippets(1, 2, "n", "MAX(n)", "cum", "cnt", "v")).alias(
+            "med_price"
+        )
+    )
+    return std.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "std_price", "med_price"
     )
 
 
@@ -1524,7 +1571,17 @@ def events_kstest_arms(spark, sf_dir):
     )
 
 
-def _pct_grid_snippets(m: int, d: int, n: str, n_agg: str, cum: str, cnt: str, v: str, divop: str = "div"):
+def _pct_grid_snippets(
+    m: int,
+    d: int,
+    n: str,
+    n_agg: str,
+    cum: str,
+    cnt: str,
+    v: str,
+    divop: str = "div",
+    rounded: bool = True,
+):
     """Shared per-quantile grid-interpolation snippets (IDENTICAL
     text in the Spark expressions and the DuckDB oracle — bit-exact
     by construction): for q = m/d, the 0-based index into the sorted
@@ -1544,7 +1601,11 @@ def _pct_grid_snippets(m: int, d: int, n: str, n_agg: str, cum: str, cnt: str, v
     frac = f"(({m} * ({n_agg} - 1)) % {d}) / CAST({d} AS DOUBLE)"
     x_lo = f"MAX(CASE WHEN {cum} - {cnt} < {lo1} AND {lo1} <= {cum} THEN {v} END)"
     x_hi = f"MAX(CASE WHEN {cum} - {cnt} < {hi1} AND {hi1} <= {cum} THEN {v} END)"
-    return f"ROUND({x_lo} + ({x_hi} - {x_lo}) * ({frac}), 6)"
+    interp = f"{x_lo} + ({x_hi} - {x_lo}) * ({frac})"
+    # rounded=False callers consume the raw interpolated double (e.g.
+    # FLOOR for integer split keys); the interpolation itself stays
+    # the identical expression text either way.
+    return f"ROUND({interp}, 6)" if rounded else interp
 
 
 _PCTG_QS = ((1, 2, "p50"), (19, 20, "p95"), (99, 100, "p99"))

@@ -284,6 +284,49 @@ def sample_hash_deterministic(spark, sf_dir):
     ).select("o_orderkey", "o_totalprice")
 
 
+def _rowkey_octiles(spark, sf_dir):
+    """The 7 interior octile keys of the events rowkey distribution
+    as ONE row (columns q1..q7, raw interpolated doubles), computed
+    on the distinct-value grid (r9). The original form was Spark's
+    exact `percentile` over raw events — whose ObjectHashAggregate
+    buffers EVERY row's value in the single final task, the same
+    buffering-aggregate class that OOM-killed
+    agg_percentile_exact_groups at the r8 ×32 census (caught for
+    this site by tests/test_buffering_aggs.py). Grid restatement:
+    hash-agg events to the distinct user_id grid (map-side combine —
+    the shuffle carries |distinct keys|, not rows), distributed
+    prefix-sum of the counts over the key order (rank kernel;
+    grid-fed per the ranking.py feeding contract), then each octile
+    is the interpolated pair of straddling order statistics
+    (`_pct_grid_snippets` — bit-identical to quantile_cont, the r8
+    verification) read off in one grid-scale final aggregate. No
+    task ever materializes the row-scale value list."""
+    from .aggregates import _pct_grid_snippets
+    from .ranking import with_global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = (
+        ev.select(F.col("user_id").cast("double").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    g = with_global_prefix_sum(grid, ["v"], "cnt", "cum")
+    # derive n FROM the kernel output (max cum = total), never by
+    # re-aggregating the scan (the r7 double-compute lesson)
+    tot = g.agg(F.max("cum").cast("bigint").alias("n"))
+    gn = g.crossJoin(F.broadcast(tot))
+    return gn.agg(
+        *[
+            F.expr(
+                _pct_grid_snippets(
+                    i, 8, "n", "MAX(n)", "cum", "cnt", "v", rounded=False
+                )
+            ).alias(f"q{i}")
+            for i in range(1, 8)
+        ]
+    )
+
+
 @register(
     "layout_split_points",
     oracle=" UNION ALL ".join(
@@ -299,18 +342,17 @@ def layout_split_points(spark, sf_dir):
     table into 8 regions of equal row volume (what HBase admins do
     before a bulk load to avoid hotspotting one region server).
 
-    Exact interpolated percentiles (Spark `percentile` == DuckDB
-    `quantile_cont`) keep the output deterministic; at 100 TB swap in
-    `percentile_approx` — the GK sketch is mergeable, one pass,
-    bounded memory, and a split point only needs rank accuracy, not
-    exactness. Single global aggregate: partial agg per partition,
-    one 7-value array to the driver-side final agg, no wide shuffle."""
-    ev = load_table(spark, sf_dir, "events")
-    pts = [i / 8.0 for i in range(1, 8)]
-    agg = ev.agg(
-        F.percentile(F.col("user_id").cast("double"), F.array(*[F.lit(p) for p in pts])).alias("qs")
-    )
-    return agg.select(F.posexplode("qs").alias("idx", "q")).select(
+    Exact interpolated octiles on the distinct-value grid — see
+    `_rowkey_octiles` for the scale shape (restructured r9 away from
+    the row-buffering exact `percentile` aggregate). The oracle stays
+    the independent quantile_cont derivation: the grid interpolation
+    is bit-identical to it, so FLOOR agrees."""
+    one = _rowkey_octiles(spark, sf_dir)
+    return one.select(
+        F.posexplode(
+            F.array(*[F.col(f"q{i}") for i in range(1, 8)])
+        ).alias("idx", "q")
+    ).select(
         (F.col("idx") + 1).alias("split_idx"),
         F.floor("q").cast("long").alias("split_key"),
     )
@@ -1101,19 +1143,13 @@ def layout_meta_lookup(spark, sf_dir):
     a binary-searchable lookup with zero shuffle, exactly the
     client-side meta cache of a real deployment. The only exchange
     is the final 8-group rollup."""
-    ev = load_table(spark, sf_dir, "events")
-    pts = [i / 8.0 for i in range(1, 8)]
-    splits = (
-        ev.agg(
-            F.percentile(
-                F.col("user_id").cast("double"), F.array(*[F.lit(p) for p in pts])
-            ).alias("qs")
-        )
-        .select(
-            F.sort_array(
-                F.transform("qs", lambda q: F.floor(q).cast("long"))
-            ).alias("ks")
-        )
+    splits = _rowkey_octiles(spark, sf_dir).select(
+        F.sort_array(
+            F.transform(
+                F.array(*[F.col(f"q{i}") for i in range(1, 8)]),
+                lambda q: F.floor(q).cast("long"),
+            )
+        ).alias("ks")
     )
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("probe_key")
