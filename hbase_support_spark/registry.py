@@ -169,6 +169,36 @@ def register(name: str, oracle: str | None = None):
 #     fn_url, fn_business_days, fn_geo_quadkey, fn_inet_cidr
 # — with green r08+r09, every registered query has a driver verdict
 # by r09-close (arithmetic: 428 = 342 green + 50 r08 + 36 r09).
+#
+# Round-9 refresh + the POST-CLOSURE plan (VERDICT r08 items 1 and 7).
+# r08 graded 50/50 green (cumulative 392); re-verified this session by
+# instantiating queries(): the r09 window head (slots 1-36) is exactly
+# the 36 never-graded names listed above, and slots 37-50 self-fill
+# with green-tail re-grades (scan_full ... layout_split_points — NB
+# slot 50 layout_split_points was restructured this round onto the
+# value grid; parity re-verified both SFs before staging). Registry
+# HELD at 428 (op freeze, r8 saturation lesson: difflib-match
+# sorted(QUERIES) before any add).
+#
+# What r10+ rounds are FOR once every query has a verdict (r09-close):
+# the window self-fills with green-tail re-grades in registration
+# order, which is the correct default — re-grading the oldest greens
+# guards against silent regression. Builder rounds then shift from
+# coverage to depth, in priority order:
+#   1. Scale-ledger completion: ×128 rows for every census entry
+#      slower than 5 s at ×32 that lacks one (SCALE.md gap list);
+#      re-run the ×32 census each round — it is the only instrument
+#      that has ever caught the JVM-killer class.
+#   2. Adversarial determinism drills: regen_drill with adversarial
+#      shapes (ties at ROUND boundaries, -0.0 seeds, shuffled input
+#      file order) beyond the stock ×2.
+#   3. Plan-audit hardening: keep the three static sweeps (funnel /
+#      kernel-feeding / buffering-agg) canary-fresh against Spark
+#      upgrades; extend to new pathology classes as censuses find
+#      them.
+#   4. The 14 free r09 slots (and any post-closure slack) take
+#      genuinely-new §2-adjacent ops ONLY if a real gap surfaces;
+#      the freeze stays the default.
 GRADING_PRIORITY: list[str] = [
     # ---- round-3 window, slots 1-19: the 19 kind-cast fixes (r02 FAILs first)
     "sim_lsh_hyperplane",
