@@ -5403,7 +5403,7 @@ def events_lead_lag_xcorr(spark, sf_dir):
       FROM mins GROUP BY event_type
     )
     SELECT event_type, active_minutes, s1, s2, peak_per_minute,
-           CAST((1000000 * ((43200 * s2) - (s1 * s1))) // (43200 * s1)
+           CAST((1000000 * ((43200 * CAST(s2 AS HUGEINT)) - (CAST(s1 AS HUGEINT) * s1))) // (43200 * s1)
                 AS BIGINT) AS fano_micro
     FROM m
     """,
@@ -5437,9 +5437,17 @@ def events_burstiness_fano(spark, sf_dir):
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
         F.max("c").cast("bigint").alias("peak_per_minute"),
     )
+    # 128-bit intermediates (r9 ×128 census catch): at ×128 the
+    # micro-unit numerator 1e6·(43200·s2 − s1²) passes 9.2e18 and
+    # wraps BIGINT. Spark DECIMAL(38,0) and DuckDB HUGEINT are both
+    # exact integer arithmetic, so the spelling split carries no IEEE
+    # risk (same argument as the div/`//` split).
     return m.select(
         "event_type", "active_minutes", "s1", "s2", "peak_per_minute",
-        F.expr("(1000000 * ((43200 * s2) - (s1 * s1))) div (43200 * s1)")
+        F.expr(
+            "(1000000 * ((43200 * CAST(s2 AS DECIMAL(38,0))) - "
+            "(CAST(s1 AS DECIMAL(38,0)) * s1))) div (43200 * s1)"
+        )
         .cast("bigint")
         .alias("fano_micro"),
     )

@@ -1198,7 +1198,7 @@ def layout_meta_lookup(spark, sf_dir):
     ),
     weighted AS (
       SELECT stratum, n_h,
-             CAST(FLOOR(SQRT(CAST(n_h * s2 - s1 * s1 AS DOUBLE))) AS BIGINT)
+             CAST(FLOOR(SQRT(CAST(CAST(n_h AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))) AS BIGINT)
                AS w_int
       FROM strata
     ),
@@ -1225,11 +1225,13 @@ def sample_neyman_allocation(spark, sf_dir):
     largest-remainder rounding without re-deriving anything.
 
     Precision ledger: values are binned to hundreds-of-dollars
-    units before the moments, keeping n*s2 and s1^2 under 2^59 at
-    the graded scales AND the x32 stress replica (cent-level moments
-    overflow BIGINT at n_h ~ 3e5: s1^2 ~ (n*6e7)^2). Allocation
-    only needs the weight RATIO, which binning perturbs identically
-    in both engines. At true 100-TB cardinalities the same query
+    units before the moments (cent-level moments overflow BIGINT at
+    n_h ~ 3e5: s1^2 ~ (n*6e7)^2), and since r9 the radicand
+    n*s2 - s1^2 itself is held in 128-bit exact integers (Spark
+    DECIMAL(38,0) / DuckDB HUGEINT) — the r9 ×128 census caught the
+    binned BIGINT moments wrapping at n_h ~ 3.8e6. Allocation only
+    needs the weight RATIO, which binning perturbs identically in
+    both engines. At true 100-TB cardinalities the same query
     runs on the per-stratum (n, avg, var) floats Spark/DuckDB both
     compute natively — the integer twin is the oracle-exactness
     harness, the plan is unchanged.
@@ -1244,11 +1246,17 @@ def sample_neyman_allocation(spark, sf_dir):
         F.sum(units).cast("bigint").alias("s1"),
         F.sum(units * units).cast("bigint").alias("s2"),
     )
+    # 128-bit radicand (r9 ×128 census catch): n_h·s2 passes 9.2e18
+    # at ×128 even on the hundreds-of-dollars bins. The exact-integer
+    # radicand is held in Spark DECIMAL(38,0) / DuckDB HUGEINT, and
+    # BOTH convert the same exact integer to DOUBLE with IEEE
+    # round-to-nearest before the shared SQRT/FLOOR — bit-equal.
     weighted = strata.select(
         "stratum",
         "n_h",
-        F.floor(
-            F.sqrt((F.col("n_h") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+        F.expr(
+            "FLOOR(SQRT(CAST(CAST(n_h AS DECIMAL(38,0)) * s2 - "
+            "CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)))"
         )
         .cast("bigint")
         .alias("w_int"),
@@ -1284,9 +1292,9 @@ def sample_neyman_allocation(spark, sf_dir):
     ),
     tot AS (SELECT SUM(level_bytes) AS total_bytes FROM per_level)
     SELECT CAST(level AS INT) AS level, n_files, level_bytes,
-           CAST(level_bytes * 10000 // total_bytes AS BIGINT) AS share_bps,
+           CAST(CAST(level_bytes AS HUGEINT) * 10000 // total_bytes AS BIGINT) AS share_bps,
            CAST(level_bytes * (level - 4) AS BIGINT) AS rewrite_bytes,
-           CAST((SELECT SUM(level_bytes * (level - 4)) FROM per_level)
+           CAST(CAST((SELECT SUM(level_bytes * (level - 4)) FROM per_level) AS HUGEINT)
                 * 10000 // total_bytes AS BIGINT) AS total_wa_bps
     FROM per_level, tot
     """,
@@ -1325,15 +1333,21 @@ def layout_compaction_io_amplification(spark, sf_dir):
         F.sum("level_bytes").alias("total_bytes"),
         F.sum(F.col("level_bytes") * (F.col("level") - 4)).alias("rewrite_total"),
     )
+    # 128-bit bps intermediates (r9 ×128 census catch): bytes-scale
+    # sums × 10000 wrap BIGINT at ×128 magnitudes. Spark DECIMAL(38,0)
+    # / DuckDB HUGEINT are both exact integer arithmetic — the
+    # spelling split carries no IEEE risk.
     return per_level.crossJoin(F.broadcast(tot)).select(
         F.col("level").cast("int").alias("level"),
         "n_files",
         "level_bytes",
-        F.expr("level_bytes * 10000 div total_bytes").cast("bigint").alias("share_bps"),
+        F.expr("CAST(level_bytes AS DECIMAL(38,0)) * 10000 div total_bytes")
+        .cast("bigint")
+        .alias("share_bps"),
         (F.col("level_bytes") * (F.col("level") - 4))
         .cast("bigint")
         .alias("rewrite_bytes"),
-        F.expr("rewrite_total * 10000 div total_bytes")
+        F.expr("CAST(rewrite_total AS DECIMAL(38,0)) * 10000 div total_bytes")
         .cast("bigint")
         .alias("total_wa_bps"),
     )

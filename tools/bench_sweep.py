@@ -95,7 +95,11 @@ def _deterministic(err: Exception) -> bool:
         from pyspark.errors import AnalysisException, ParseException
     except ImportError:  # pragma: no cover - pyspark<3.4 layout
         from pyspark.sql.utils import AnalysisException, ParseException
-    return isinstance(err, (AnalysisException, ParseException, TypeError, KeyError))
+    if isinstance(err, (AnalysisException, ParseException, TypeError, KeyError)):
+        return True
+    # ANSI arithmetic overflow re-raises identically (the r9 ×128
+    # census class: BIGINT headroom, a data-magnitude property)
+    return "ARITHMETIC_OVERFLOW" in str(err)
 
 
 def _session_alive(spark) -> bool:
