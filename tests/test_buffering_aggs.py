@@ -78,24 +78,32 @@ _BUFFERING = re.compile(
 # asserts EXACT counts: a new buffering aggregate in a listed query
 # fails until its author extends the justification.
 BUFFERING_JUSTIFIED: dict[str, tuple[int, str]] = {
+    # The three events watch items share one structural safety
+    # argument, sharpened by the r9 ×512 probe: Spark's exact
+    # Percentile buffers a DISTINCT-VALUE count map per task, and
+    # events.value has a fixture-bounded domain (17.8k distinct at
+    # ×512's 51.2M rows — replication adds copies, not values), so
+    # the buffer is grid-scale by construction. The r8 OOM shape was
+    # near-unique lineitem prices (583k distinct / 600k rows), where
+    # the same map IS row-scale per task. All three cleared ×512 in
+    # the DEFAULT 8 g envelope (SCALE.md r9). They stay exemptions,
+    # not restructures, because on a real unbounded-double column the
+    # hazard returns — the docstrings point to percentile_approx.
     "agg_percentile_approx": (
         1,
         "the query's PURPOSE is the exact-vs-approx side-by-side (its "
-        "approx half IS the documented 100-TB path); events/event_type "
-        "is 10x smaller than lineitem and ×128-cleared (SCALE.md r8 "
-        "watch item)",
+        "approx half IS the documented 100-TB path); value domain "
+        "fixture-bounded -> grid-scale buffer, ×512-cleared at 8 g",
     ),
     "agg_winsorized_mean": (
         1,
         "winsorization clamps at the exact p5/p95 seam shared with "
-        "agg_percentile_approx; events-scale, ×128-cleared (SCALE.md "
-        "r8 watch item)",
+        "agg_percentile_approx; bounded value domain, ×512-cleared",
     ),
     "agg_mad_robust_outliers": (
         2,
         "median-of-absolute-deviations nests two exact medians (the "
-        "two flagged stages); events-scale, ×128-cleared (SCALE.md r8 "
-        "watch item)",
+        "two flagged stages); bounded value domain, ×512-cleared",
     ),
     "multimodal_modality_mix_report": (
         1,
