@@ -905,7 +905,7 @@ def agg_entropy_behavior(spark, sf_dir):
     )
     SELECT MAX(n) AS n_customers,
            ROUND(MAX(total) / 100.0, 2) AS total_spend,
-           ROUND(2.0 * SUM(i * cents) / (MAX(n) * CAST(MAX(total) AS DOUBLE))
+           ROUND(2.0 * SUM(CAST(i AS HUGEINT) * cents) / (MAX(n) * CAST(MAX(total) AS DOUBLE))
                  - (MAX(n) + 1.0) / MAX(n), 6) AS gini
     FROM ranked
     """,
@@ -935,7 +935,12 @@ def agg_gini_concentration(spark, sf_dir):
         n.alias("n_customers"),
         F.round(total / 100.0, 2).alias("total_spend"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("cents"))
+            # 128-bit rank-weighted sum (r9 ×512 probe catch):
+            # Σ(i·cents) passes 9.2e18 at ×512 spend magnitudes.
+            # Spark DECIMAL(38,0) / DuckDB HUGEINT are exact integer
+            # accumulators; both convert the same exact integer to
+            # double (IEEE nearest) for the single float division.
+            2.0 * F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).cast("double")
             / (n * total.cast("double"))
             - (n + 1.0) / n,
             6,
