@@ -437,24 +437,38 @@ def events_markov_transitions(spark, sf_dir):
     "events_cusum_changepoint",
     oracle="""
     WITH stats AS (
-      SELECT SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
-               / COUNT(*) AS mu
+      SELECT SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS t_cents,
+             COUNT(*) AS n_rows
       FROM events
     ),
     walk AS (
       SELECT user_id,
              SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * (SELECT n_rows FROM stats)
                - (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                 * (SELECT mu FROM stats) AS cusum
+                 * (SELECT t_cents FROM stats) AS a
       FROM events
+    ),
+    per_user AS (
+      SELECT user_id, MAX(a) AS a_max, MIN(a) AS a_min,
+             (SELECT n_rows FROM stats) AS n
+      FROM walk GROUP BY user_id
     )
     SELECT user_id,
-           ROUND(MAX(cusum), 4) AS max_cusum,
-           ROUND(MIN(cusum), 4) AS min_cusum,
-           (MAX(cusum) > 2000 OR MIN(cusum) < -2000) AS shifted
-    FROM walk GROUP BY user_id
+           (CASE WHEN a_max >= 0
+                 THEN  ((CAST(a_max AS HUGEINT) * 20000 + 100 * n)
+                        // (200 * n))
+                 ELSE -((CAST(-a_max AS HUGEINT) * 20000 + 100 * n)
+                        // (200 * n)) END) / 10000.0 AS max_cusum,
+           (CASE WHEN a_min >= 0
+                 THEN  ((CAST(a_min AS HUGEINT) * 20000 + 100 * n)
+                        // (200 * n))
+                 ELSE -((CAST(-a_min AS HUGEINT) * 20000 + 100 * n)
+                        // (200 * n)) END) / 10000.0 AS min_cusum,
+           (a_max > 200000 * n OR a_min < -200000 * n) AS shifted
+    FROM per_user
     """,
 )
 def events_cusum_changepoint(spark, sf_dir):
@@ -462,16 +476,29 @@ def events_cusum_changepoint(spark, sf_dir):
     deviations from the global mean drifts linearly once a user's
     level shifts — max/min excursion past a threshold flags the
     change (the classic control-chart test, and the batch twin of a
-    streaming applyInPandasWithState monitor). The cumulative sum
-    rides the cents contract (num.py): an exact integer running sum
-    minus rank x mean, so the excursion values are engine-identical
-    despite DuckDB's segment-tree window evaluation. One broadcast
-    1-row mean, one shuffle on user_id — sessionization's shape."""
+    streaming applyInPandasWithState monitor).
+
+    The walk is carried in EXACT integer units of 1/(100·N):
+    a = running_cents·N − rank·total_cents, so cusum = a/(100N).
+    MAX/MIN run over integers (exact, order-free), and only the two
+    extremal rationals round — half away from zero — through the
+    integer div path (the aggregates.py:5708 precedent). The first
+    draft rounded the double cusum with ROUND(x,4); with the driver
+    fixture N a power of ten, every cusum is an exact 7-decimal
+    rational, so the value lands exactly ON a 4-decimal midpoint
+    with probability ~1/1000 — where Spark's BigDecimal HALF_UP and
+    DuckDB's float-multiply round opposite ways (caught by the r9
+    boundary drill; the class is a latent per-regen coin flip on
+    real fixtures, not just adversarial data). BIGINT headroom: the
+    20000·a product rides DECIMAL(38,0)/HUGEINT per the r9 census
+    convention. One broadcast 1-row stats, one shuffle on user_id —
+    sessionization's shape."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    mu = ev.agg(
-        (F.sum(F.floor(F.col("value") * 100 + 0.5)) / 100.0 / F.count("*")).alias("mu")
+    stats = ev.agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("t_cents"),
+        F.count("*").alias("n_rows"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -479,17 +506,34 @@ def events_cusum_changepoint(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    walk = ev.crossJoin(F.broadcast(mu)).select(
+    walk = ev.crossJoin(F.broadcast(stats)).select(
         "user_id",
+        "n_rows",
         (
-            F.sum(F.floor(F.col("value") * 100 + 0.5)).over(w) / 100.0
-            - F.row_number().over(rn) * F.col("mu")
-        ).alias("cusum"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).over(w).cast("long")
+            * F.col("n_rows")
+            - F.row_number().over(rn) * F.col("t_cents")
+        ).alias("a"),
     )
-    return walk.groupBy("user_id").agg(
-        F.round(F.max("cusum"), 4).alias("max_cusum"),
-        F.round(F.min("cusum"), 4).alias("min_cusum"),
-        ((F.max("cusum") > 2000) | (F.min("cusum") < -2000)).alias("shifted"),
+    per_user = walk.groupBy("user_id").agg(
+        F.max("a").alias("a_max"),
+        F.min("a").alias("a_min"),
+        F.max("n_rows").alias("n"),
+    )
+    r4 = (
+        "CAST(CASE WHEN {c} >= 0"
+        " THEN  ((CAST({c} AS DECIMAL(38,0)) * 20000 + 100 * n) div (200 * n))"
+        " ELSE -((CAST(-{c} AS DECIMAL(38,0)) * 20000 + 100 * n) div (200 * n))"
+        " END AS BIGINT) / CAST(10000 AS DOUBLE)"
+    )
+    return per_user.select(
+        "user_id",
+        F.expr(r4.format(c="a_max")).alias("max_cusum"),
+        F.expr(r4.format(c="a_min")).alias("min_cusum"),
+        (
+            (F.col("a_max") > 200000 * F.col("n"))
+            | (F.col("a_min") < -200000 * F.col("n"))
+        ).alias("shifted"),
     )
 
 

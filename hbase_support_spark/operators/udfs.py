@@ -79,8 +79,10 @@ def udf_pandas_scalar(spark, sf_dir):
     )
     SELECT label,
            COUNT(*) AS dim,
-           ROUND(SQRT(SUM(dim_mean * dim_mean)), 6) AS centroid_norm,
-           ROUND(MAX(CASE WHEN i = 1 THEN dim_mean END), 6) AS dim1_mean
+           FLOOR(SQRT(SUM(dim_mean * dim_mean)) * 1000000 + 0.5) / 1000000.0
+             AS centroid_norm,
+           FLOOR(MAX(CASE WHEN i = 1 THEN dim_mean END) * 1000000 + 0.5)
+             / 1000000.0 AS dim1_mean
     FROM dims
     GROUP BY label
     """,
@@ -88,7 +90,19 @@ def udf_pandas_scalar(spark, sf_dir):
 def udaf_centroid_per_label(spark, sf_dir):
     """Custom UDAF via groupBy().applyInPandas: per-label centroid in
     numpy. Each label group arrives as one pandas DataFrame (Arrow);
-    output is one row per group — the idiomatic Spark UDAF shape."""
+    output is one row per group — the idiomatic Spark UDAF shape.
+
+    Rounding rides FLOOR(x*1e6 + 0.5) on BOTH sides — the same three
+    IEEE ops on the same double give the same bits regardless of
+    where the value sits. The first draft used Python round() vs
+    DuckDB ROUND: Python compares the binary value against the
+    decimal midpoint EXACTLY while DuckDB's float-multiply path
+    doesn't, so a mean landing on a 1e-6 midpoint (manufactured by
+    the r9 boundary drill's k/64 component grid) rounded apart by
+    one ulp. Same class as llm.py:637's banker's-rounding note; this
+    was the one UDF site that still used Python round()."""
+    import math
+
     import numpy as np
 
     out_schema = StructType(
@@ -107,8 +121,11 @@ def udaf_centroid_per_label(spark, sf_dir):
             {
                 "label": [int(pdf["label"].iloc[0])],
                 "dim": [m.shape[1]],
-                "centroid_norm": [round(float(np.sqrt((c**2).sum())), 6)],
-                "dim1_mean": [round(float(c[0]), 6)],
+                "centroid_norm": [
+                    math.floor(float(np.sqrt((c**2).sum())) * 1000000 + 0.5)
+                    / 1000000.0
+                ],
+                "dim1_mean": [math.floor(float(c[0]) * 1000000 + 0.5) / 1000000.0],
             }
         )
 
