@@ -42,6 +42,34 @@ def d_money_sum(expr: str) -> str:
     return f"SUM(CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT)) / 100.0"
 
 
+def round_ie(col: Column | str, n: int) -> Column:
+    """Cross-engine-identical n-decimal rounding of a double both
+    engines compute bit-identically: FLOOR(x·10^n + 0.5) / 10^n —
+    three IEEE ops, no decimal-string detour.
+
+    Spark's F.round routes doubles through BigDecimal's
+    shortest-repr HALF_UP while DuckDB multiply-rounds the binary
+    value; the two disagree when an exact rational lands ON an
+    (n+1)-digit decimal midpoint at a magnitude where the product's
+    representation error crosses half-ulp (the r9 cusum catch;
+    tools/round_tie_audit.py measures the class). The floor form
+    cannot disagree: identical input bits → identical output bits,
+    and the integer floor also kills -0.0 outputs (no round_z
+    needed). Use for RATIO-of-small-integers outputs (Jaccard,
+    token ratios, cents/count means) whose exact values can
+    terminate just beyond the rounding scale; pair with
+    :func:`d_round_ie`."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10**n)
+    return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def d_round_ie(expr: str, n: int) -> str:
+    """DuckDB/ANSI twin of :func:`round_ie` (also valid Spark SQL)."""
+    p = 10**n
+    return f"(FLOOR(({expr}) * {p}.0 + 0.5) / {p}.0)"
+
+
 def round_z(col: Column | str, n: int) -> Column:
     """ROUND with the IEEE sign-of-zero canonicalized away.
 

@@ -32,7 +32,7 @@ import re
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..num import round_z
+from ..num import d_round_ie, round_ie, round_z
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -213,7 +213,7 @@ def dedup_exact(spark, sf_dir):
     )
     SELECT s.source_a, s.source_b, s.shared_sh,
            na.n_sh AS n_a, nb.n_sh AS n_b,
-           ROUND(s.shared_sh * 1.0 / (na.n_sh + nb.n_sh - s.shared_sh), 6)
+           {d_round_ie("s.shared_sh * 1.0 / (na.n_sh + nb.n_sh - s.shared_sh)", 6)}
              AS vocab_jaccard
     FROM shared s
     JOIN n na ON na.source = s.source_a
@@ -259,7 +259,7 @@ def text_source_vocab_overlap(spark, sf_dir):
             "shared_sh",
             "n_a",
             "n_b",
-            F.round(
+            round_ie(
                 F.col("shared_sh")
                 * 1.0
                 / (F.col("n_a") + F.col("n_b") - F.col("shared_sh")),
@@ -288,9 +288,9 @@ _MINHASH_ORACLE = f"""
         AND a.n >= CEIL(0.7 * b.n) AND b.n >= CEIL(0.7 * a.n)
     )
     SELECT doc_a, doc_b,
-           ROUND(inter / (n_a + n_b - inter), 6) AS jaccard
+           {d_round_ie('inter / (n_a + n_b - inter)', 6)} AS jaccard
     FROM scored
-    WHERE ROUND(inter / (n_a + n_b - inter), 6) >= 0.7
+    WHERE {d_round_ie('inter / (n_a + n_b - inter)', 6)} >= 0.7
     """
 
 
@@ -373,7 +373,7 @@ def minhash_pairs(docs, member_cap: int = 256, shingle_cap: int = 1 << 20):
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", round_ie(jac, 6))
         .filter(F.col("jaccard") >= 0.7)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -551,12 +551,10 @@ def _assert_blocks_bounded(d, cap: int = NGRAM_EXACT_BLOCK_CAP) -> None:
       SELECT doc_id, lang, source, {D_SHINGLES} AS shingles FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
-                 LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) AS jaccard
+           {d_round_ie("LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles)))", 6)} AS jaccard
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
-                LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) >= 0.3
+    WHERE {d_round_ie("LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles)))", 6)} >= 0.3
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -587,7 +585,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         "n_sh", F.size("shingles")
     )
     a, b = sh.alias("a"), sh.alias("b")
-    jac = F.round(
+    jac = round_ie(
         F.size(F.array_intersect("a.shingles", "b.shingles"))
         / F.size(F.array_union("a.shingles", "b.shingles")).cast("double"),
         6,
@@ -620,12 +618,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
       SELECT doc_id, lang, source, {D_SHINGLES} AS shingles FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
-                 LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) AS jaccard
+           {d_round_ie("LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles)))", 6)} AS jaccard
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
-                LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6) >= 0.3
+    WHERE {d_round_ie("LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles)))", 6)} >= 0.3
     """,
 )
 def dedup_ngram_jaccard_fast(spark, sf_dir):
@@ -671,7 +667,7 @@ def dedup_ngram_jaccard_fast(spark, sf_dir):
     _assert_blocks_bounded(d)  # same enforced quarantine as the expression twin
     pairs = d.groupBy("lang", "source").applyInPandas(block_jaccard, out_schema)
     return (
-        pairs.withColumn("jaccard", F.round("raw_jaccard", 6))
+        pairs.withColumn("jaccard", round_ie("raw_jaccard", 6))
         .filter(F.col("jaccard") >= 0.3)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -1181,8 +1177,7 @@ _CLUSTER_ORACLE = f"""
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sz a JOIN sz b ON a.doc_id < b.doc_id
         AND a.n >= CEIL(0.7 * b.n) AND b.n >= CEIL(0.7 * a.n)
-      WHERE ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
-                  (a.n + b.n - LEN(LIST_INTERSECT(a.shingles, b.shingles))), 6) >= 0.7
+      WHERE {d_round_ie("LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE / (a.n + b.n - LEN(LIST_INTERSECT(a.shingles, b.shingles)))", 6)} >= 0.7
     ),
     edges AS (
       SELECT doc_a AS s, doc_b AS t FROM pairs
@@ -1933,12 +1928,11 @@ _STOPWORDS = "('a', 'the', 'of', 'and', 'to', 'in')"
     WITH t AS (SELECT doc_id, n_chars, {D_TOKENS} AS toks FROM documents)
     SELECT doc_id,
            LEN(toks) AS n_tokens,
-           ROUND(LEN(LIST_DISTINCT(toks))::DOUBLE / LEN(toks), 6) AS uniq_ratio,
-           ROUND(LEN(LIST_FILTER(toks, w -> w IN {_STOPWORDS}))::DOUBLE / LEN(toks), 6)
+           {d_round_ie("LEN(LIST_DISTINCT(toks))::DOUBLE / LEN(toks)", 6)} AS uniq_ratio,
+           {d_round_ie(f"LEN(LIST_FILTER(toks, w -> w IN {_STOPWORDS}))::DOUBLE / LEN(toks)", 6)}
              AS stopword_ratio,
-           ROUND(n_chars::DOUBLE / LEN(toks), 6) AS avg_token_len,
-           ROUND(0.5 * (LEN(LIST_DISTINCT(toks))::DOUBLE / LEN(toks))
-               + 0.5 * (1 - LEN(LIST_FILTER(toks, w -> w IN {_STOPWORDS}))::DOUBLE / LEN(toks)), 6)
+           {d_round_ie("n_chars::DOUBLE / LEN(toks)", 6)} AS avg_token_len,
+           {d_round_ie(f"0.5 * (LEN(LIST_DISTINCT(toks))::DOUBLE / LEN(toks)) + 0.5 * (1 - LEN(LIST_FILTER(toks, w -> w IN {_STOPWORDS}))::DOUBLE / LEN(toks))", 6)}
              AS quality
     FROM t
     """,
@@ -1954,10 +1948,10 @@ def text_quality_score(spark, sf_dir):
     return t.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
-        F.round(uniq, 6).alias("uniq_ratio"),
-        F.round(stop, 6).alias("stopword_ratio"),
-        F.round(F.col("n_chars").cast("double") / n, 6).alias("avg_token_len"),
-        F.round(0.5 * uniq + 0.5 * (1 - stop), 6).alias("quality"),
+        round_ie(uniq, 6).alias("uniq_ratio"),
+        round_ie(stop, 6).alias("stopword_ratio"),
+        round_ie(F.col("n_chars").cast("double") / n, 6).alias("avg_token_len"),
+        round_ie(0.5 * uniq + 0.5 * (1 - stop), 6).alias("quality"),
     )
 
 
@@ -2504,7 +2498,8 @@ def agg_count_min_sketch(spark, sf_dir):
     "multimodal_join",
     oracle=f"""
     WITH user_stats AS (
-      SELECT user_id, COUNT(*) AS ev_cnt, ROUND(AVG(value), 6) AS avg_value
+      SELECT user_id, COUNT(*) AS ev_cnt,
+             {d_round_ie("SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*)", 6)} AS avg_value
       FROM events GROUP BY user_id
     ),
     vec AS (
@@ -2529,7 +2524,10 @@ def multimodal_join(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     ev = load_table(spark, sf_dir, "events")
     user_stats = ev.groupBy("user_id").agg(
-        F.count("*").alias("ev_cnt"), F.round(F.avg("value"), 6).alias("avg_value")
+        F.count("*").alias("ev_cnt"),
+        round_ie(
+            F.sum(F.floor(F.col("value") * 100 + 0.5)) / 100.0 / F.count("*"), 6
+        ).alias("avg_value"),
     )
     self_sim = F.round(
         _dot(F.col("embedding"), F.col("embedding"))
@@ -3753,10 +3751,8 @@ def dedup_lsh_recall_report(spark, sf_dir):
       SELECT doc_id, lang, source, {D_SHINGLES} AS shingles FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
-                 LEN(a.shingles), 6) AS containment_a_in_b,
-           ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
-                 LEN(b.shingles), 6) AS containment_b_in_a
+           {d_round_ie("LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE / LEN(a.shingles)", 6)} AS containment_a_in_b,
+           {d_round_ie("LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE / LEN(b.shingles)", 6)} AS containment_b_in_a
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     WHERE LEN(a.shingles) > 0 AND LEN(b.shingles) > 0
@@ -3794,10 +3790,10 @@ def dedup_containment(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / F.size("a.shingles").cast("double"), 6).alias(
+            round_ie(inter / F.size("a.shingles").cast("double"), 6).alias(
                 "containment_a_in_b"
             ),
-            F.round(inter / F.size("b.shingles").cast("double"), 6).alias(
+            round_ie(inter / F.size("b.shingles").cast("double"), 6).alias(
                 "containment_b_in_a"
             ),
         )
@@ -5004,10 +5000,7 @@ def sim_users_behavioral(spark, sf_dir):
     oracle=f"""
     WITH q AS MATERIALIZED (
       SELECT doc_id, lang,
-             ROUND(0.5 * (len(list_distinct({D_TOKENS})) * 1.0 / len({D_TOKENS}))
-                   + 0.5 * (1 - len(list_filter({D_TOKENS},
-                         w -> w IN ('a', 'the', 'of', 'and', 'to', 'in')))
-                       * 1.0 / len({D_TOKENS})), 6) AS quality
+             {d_round_ie(f"0.5 * (len(list_distinct({D_TOKENS})) * 1.0 / len({D_TOKENS})) + 0.5 * (1 - len(list_filter({D_TOKENS}, w -> w IN ('a', 'the', 'of', 'and', 'to', 'in'))) * 1.0 / len({D_TOKENS}))", 6)} AS quality
       FROM documents),
     ranked AS (
       SELECT doc_id, lang, quality,
@@ -5018,7 +5011,7 @@ def sim_users_behavioral(spark, sf_dir):
     SELECT a.lang,
            b.doc_id AS chosen_doc_id,
            a.doc_id AS rejected_doc_id,
-           ROUND(b.quality - a.quality, 6) AS margin
+           {d_round_ie("b.quality - a.quality", 6)} AS margin
     FROM ranked a
     JOIN ranked b ON a.lang = b.lang AND b.r = a.n + 1 - a.r
     WHERE a.r <= a.n / 2
@@ -5056,7 +5049,7 @@ def pipeline_preference_pairs(spark, sf_dir):
     q = t.select(
         "doc_id",
         "lang",
-        F.round(0.5 * uniq + 0.5 * (1 - stop), 6).alias("quality"),
+        round_ie(0.5 * uniq + 0.5 * (1 - stop), 6).alias("quality"),
     )
     g = with_global_rank(q, ["lang", "quality", "doc_id"], "_grk")
     offs = g.groupBy("lang").agg(
@@ -5082,7 +5075,7 @@ def pipeline_preference_pairs(spark, sf_dir):
             F.col("a.lang").alias("lang"),
             F.col("b.doc_id").alias("chosen_doc_id"),
             F.col("a.doc_id").alias("rejected_doc_id"),
-            F.round(F.col("b.quality") - F.col("a.quality"), 6).alias("margin"),
+            round_ie(F.col("b.quality") - F.col("a.quality"), 6).alias("margin"),
         )
     )
 
@@ -7060,8 +7053,7 @@ def _1bit_recall_oracle() -> str:
             FROM sh WHERE len(shingles) > 0)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE /
-                 LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6)
+           {d_round_ie("LEN(LIST_INTERSECT(a.shingles, b.shingles))::DOUBLE / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles)))", 6)}
              AS j_exact,
            CAST(len(list_filter(range(1, 17), s -> a.sig[s] = b.sig[s]))
                 AS BIGINT) AS n_eq_sig,
@@ -7149,7 +7141,7 @@ def dedup_minhash_1bit_recall(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("j_exact"),
+            round_ie(jac, 6).alias("j_exact"),
             n_eq_sig.alias("n_eq_sig"),
             (n_eq_sig / 16.0).alias("j_minhash_est"),
             n_eq_bit.alias("n_eq_bit"),
