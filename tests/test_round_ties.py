@@ -78,6 +78,58 @@ def test_no_cross_engine_round_divergence(con, name):
     )
 
 
+def test_spark_emulation_matches_f_round(spark):
+    """The divergence probe's Spark-emulation macro (VARCHAR →
+    DECIMAL(38,18) HALF_UP inside DuckDB) must reproduce the real
+    F.round bit-for-bit — pinned on a grid that includes every
+    landing class: terminating midpoints at k = n+1 (the divergent
+    class), one-ulp near-ties, dyadic ties, cents ties, negatives,
+    and non-terminating values. Values flow through COLUMNS on both
+    engines, matching the audit's regime: DuckDB constant-folds
+    all-literal expressions in exact decimal, so literal probes show
+    a different (irrelevant) arithmetic — only the column path is
+    what oracles over parquet execute. If a Spark upgrade changes
+    F.round's BigDecimal path, this canary fails before the audit
+    lies."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    vals = [(float(f"176.{m:04d}5"), 4) for m in range(0, 4000, 97)]
+    vals += [(-float(f"0.{m:06d}5"), 6) for m in range(0, 400000, 9973)]
+    # one-ulp near-ties (float arithmetic lands beside a midpoint)
+    near = -0.015 + 0.0000005
+    vals += [(near, 6), (math.nextafter(near, 0), 6), (-near, 6)]
+    vals += [(2.5, 0), (3.5, 0), (-2.5, 0), (901.85, 1), (0.15, 1),
+             (0.0096875, 6), (1092.375, 2), (-176.08825, 4)]
+    vals += [(1 / 3, 6), (2 / 7, 4), (3.141592653589793, 6)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE MACRO SPARKR(x, n) AS "
+        "CAST(round(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)), n) AS DOUBLE)"
+    )
+    for n in sorted({n for _, n in vals}):
+        sub = [v for v, m in vals if m == n]
+        df = spark.createDataFrame([(v,) for v in sub], "x double")
+        got = {
+            r["x"]: r["r"]
+            for r in df.select("x", F.round("x", n).alias("r")).collect()
+        }
+        pdf = pd.DataFrame({"x": sub})
+        con.register("probe_vals", pdf)
+        for x, emu in con.execute(
+            f"SELECT x, SPARKR(x, {n}) FROM probe_vals"
+        ).fetchall():
+            assert emu == got[x] and str(emu) == str(got[x]), (
+                f"emulation drift at ({x!r}, {n}): "
+                f"spark={got[x]!r} emu={emu!r}"
+            )
+
+
 def test_struct_immune_ledger_is_current():
     """Every STRUCT_IMMUNE entry must name a registered query — a
     renamed or deleted query must not leave a stale waiver behind."""
