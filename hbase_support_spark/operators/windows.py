@@ -641,7 +641,8 @@ def win_time_weighted_avg(spark, sf_dir):
                 AS BIGINT) / 1000000.0 AS vwap
     FROM base
     WINDOW w AS (PARTITION BY l_partkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                          cents, l_quantity
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
@@ -655,17 +656,26 @@ def win_anchored_vwap(spark, sf_dir):
     integer-valued doubles, so both cumulative sums are exact and
     the VWAP itself is emitted in fixed-point micro-price (one
     FLOOR of an identical double expression — running ratios land
-    on true round-6 ties where engine ROUNDs diverge). Unique
-    total order (shipdate, orderkey, linenumber) pins every frame.
-    One hash partition by part, in-partition sort - no global
-    shuffle beyond the window's own."""
+    on true round-6 ties where engine ROUNDs diverge).
+
+    Frame order: (shipdate, orderkey, linenumber) is NOT a unique
+    key on the fixture — (orderkey, linenumber) repeats across
+    orders and today's data carries 8 duplicate (shipdate,
+    orderkey, linenumber) pairs, colliding inside one part
+    partition under the r9 hot-key skew drill (and under any
+    unlucky regen). The sort therefore ALSO carries the two
+    contributing measures (cents, quantity): any residual tie is
+    between rows identical in every column the window reads and
+    every column the query emits, so frame ambiguity cannot change
+    the output multiset. One hash partition by part, in-partition
+    sort - no global shuffle beyond the window's own."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     w = (
         Window.partitionBy("l_partkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", cents, "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     cum_cents = F.sum(cents).over(w)
     cum_qty = F.sum("l_quantity").over(w)
     return li.select(
@@ -698,7 +708,7 @@ def win_anchored_vwap(spark, sf_dir):
            MEDIAN(cents) OVER w / 100.0 AS rolling_median
     FROM base
     WINDOW w AS (PARTITION BY l_partkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, cents
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 )
@@ -710,15 +720,20 @@ def win_rolling_median_7(spark, sf_dir):
     materialized as a sorted array (collect_list over the 7-row
     frame — bounded, so the array is never wider than 7) and the
     median read off by position; even frames interpolate halves of
-    integer cents, which is exact in both engines. Partition-local:
-    one shuffle on part, in-partition sort, O(7 log 7) per row."""
+    integer cents, which is exact in both engines. The sort carries
+    cents as the final key: (shipdate, orderkey, linenumber) is not
+    unique on the fixture (r9 skew-drill finding, see
+    win_anchored_vwap), and with cents appended any residual tie is
+    between rows whose window contribution and output are
+    identical. Partition-local: one shuffle on part, in-partition
+    sort, O(7 log 7) per row."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 100)
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     w = (
         Window.partitionBy("l_partkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", cents)
         .rowsBetween(-6, Window.currentRow)
     )
-    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     arr = F.sort_array(F.collect_list(cents).over(w))
     n = F.size(arr)
     mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
@@ -749,7 +764,7 @@ def win_rolling_median_7(spark, sf_dir):
              CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
       FROM base
       WINDOW w AS (PARTITION BY l_partkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber, cents
                    ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
     )
     SELECT l_partkey, l_orderkey, l_linenumber, n,
@@ -768,14 +783,19 @@ def win_rolling_zscore(spark, sf_dir):
     realistic magnitude: 28 x (1e7)² < 2^63), the z closed form
     (n·x − s1)/√(n·s2 − s1²) is one identical IEEE expression, and
     the signed round goes through the +0.0 sign-of-zero guard.
-    Degenerate frames (zero variance) emit NULL identically."""
+    Degenerate frames (zero variance) emit NULL identically. The
+    sort carries cents as the final key: (shipdate, orderkey,
+    linenumber) is not unique on the fixture (r9 skew-drill
+    finding, see win_anchored_vwap), and with cents appended any
+    residual tie is between rows with identical contribution and
+    output."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 100)
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     w = (
         Window.partitionBy("l_partkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", cents)
         .rowsBetween(-27, Window.currentRow)
     )
-    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     st = li.select(
         "l_partkey",
         "l_orderkey",
