@@ -184,18 +184,28 @@ def register(name: str, oracle: str | None = None):
 # the window self-fills with green-tail re-grades in registration
 # order, which is the correct default — re-grading the oldest greens
 # guards against silent regression. Builder rounds then shift from
-# coverage to depth, in priority order:
-#   1. Scale-ledger completion: ×128 rows for every census entry
-#      slower than 5 s at ×32 that lacks one (SCALE.md gap list);
-#      re-run the ×32 census each round — it is the only instrument
-#      that has ever caught the JVM-killer class.
-#   2. Adversarial determinism drills: regen_drill with adversarial
-#      shapes (ties at ROUND boundaries, -0.0 seeds, shuffled input
-#      file order) beyond the stock ×2.
-#   3. Plan-audit hardening: keep the three static sweeps (funnel /
-#      kernel-feeding / buffering-agg) canary-fresh against Spark
-#      upgrades; extend to new pathology classes as censuses find
-#      them.
+# coverage to depth. STATUS AFTER THE LATE-r9 SESSION — items 1 and
+# 2 of the original plan are COMPLETE, do not redo them:
+#   1. Scale ledger: DONE two decades deep. Full ×128 census at
+#      HEAD is a repo artifact (CENSUS_x128_r9.txt, 408/408 clean);
+#      ×512 rows exist for every family that ever made a census
+#      top-10 (SCALE.md). Per-round maintenance = re-run the ×32
+#      census after plan-touching changes (the only instrument that
+#      has ever caught the JVM-killer class).
+#   2. Adversarial drills: DONE and green on every axis — regen
+#      (shape), shuffle (order), boundary (values/ROUND ties/-0.0),
+#      skew (hot keys), and the boundary×skew composite. Each drill
+#      caught real bugs at introduction (r9: cusum ROUND midpoint,
+#      Python-round UDAF, three lineitem window tie-spines); re-run
+#      the full set in pre-flight each round — cheap, and fixtures
+#      regenerate.
+#   3. Plan/parity-audit hardening (ONGOING): five static sweeps
+#      now — funnel, kernel-feeding, buffering-agg, round-tie
+#      (cross-engine ROUND divergence + structural terminating
+#      hazards, canaried emulation), fixture-contract (unique
+#      tie-break spines; lineitem documented non-unique). Keep
+#      canaries fresh against Spark upgrades; extend to new classes
+#      as drills/censuses find them.
 #   4. The 14 free r09 slots (and any post-closure slack) take
 #      genuinely-new §2-adjacent ops ONLY if a real gap surfaces;
 #      the freeze stays the default.
