@@ -853,8 +853,9 @@ def agg_benford_first_digit(spark, sf_dir):
     SELECT p.user_id,
            t.total AS n_events,
            COUNT(*) AS n_types,
-           ROUND(-SUM((p.n / CAST(t.total AS DOUBLE)) *
-                      LN(p.n / CAST(t.total AS DOUBLE))), 6) AS behavior_entropy
+           (ROUND(-SUM((p.n / CAST(t.total AS DOUBLE)) *
+                       LN(p.n / CAST(t.total AS DOUBLE))), 6) + 0.0)
+             AS behavior_entropy
     FROM per p JOIN tot t ON p.user_id = t.user_id
     GROUP BY p.user_id, t.total
     """,
@@ -867,7 +868,12 @@ def agg_entropy_behavior(spark, sf_dir):
     cascaded hash aggs on keys that only narrow ((user, type) →
     user); the -Σ p ln p runs over ≤|event_types| terms per user, so
     the ln arithmetic is far below the round-6 boundary-risk class
-    (num.py)."""
+    (num.py). The entropy rounds through round_z: a SINGLE-TYPE user
+    has p=1 so the sum is exactly 0 and the leading negation emits
+    IEEE -0.0 in DuckDB but +0.0 through Spark's BigDecimal — the
+    r3 sign-of-zero class, dormant for nine rounds because every
+    sf0.01 user happened to have ≥2 event types; the r9 2%-thin
+    drill created one-event users and flipped it."""
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
     tot = per.groupBy("user_id").agg(F.sum("n").alias("total"))
@@ -877,7 +883,7 @@ def agg_entropy_behavior(spark, sf_dir):
         .groupBy("user_id", "total")
         .agg(
             F.count("*").alias("n_types"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("behavior_entropy"),
+            round_z(-F.sum(p * F.log(p)), 6).alias("behavior_entropy"),
         )
         .select(
             "user_id",
@@ -1804,16 +1810,21 @@ def table_expectations_report(spark, sf_dir):
                AS conv_a
       FROM per_user)
     SELECT n_a, n_b,
-           ROUND(conv_a * 1.0 / n_a, 6) AS base_rate,
+           ROUND(conv_a * 1.0 / NULLIF(n_a, 0), 6) AS base_rate,
            ROUND((1.959964 + 0.841621) *
-                 SQRT(2.0 * (conv_a * 1.0 / n_a) * (1 - conv_a * 1.0 / n_a)
-                      / LEAST(n_a, n_b)), 6) AS mde_abs,
+                 SQRT(2.0 * (conv_a * 1.0 / NULLIF(n_a, 0))
+                      * (1 - conv_a * 1.0 / NULLIF(n_a, 0))
+                      / NULLIF(LEAST(n_a, n_b), 0)), 6) AS mde_abs,
            ROUND((1.959964 + 0.841621) *
-                 SQRT(2.0 * (conv_a * 1.0 / n_a) * (1 - conv_a * 1.0 / n_a)
-                      / LEAST(n_a, n_b)) / (conv_a * 1.0 / n_a), 6) AS mde_rel,
+                 SQRT(2.0 * (conv_a * 1.0 / NULLIF(n_a, 0))
+                      * (1 - conv_a * 1.0 / NULLIF(n_a, 0))
+                      / NULLIF(LEAST(n_a, n_b), 0))
+                 / NULLIF(conv_a * 1.0 / NULLIF(n_a, 0), 0), 6) AS mde_rel,
            CAST(CEIL(POWER(1.959964 + 0.841621, 2) * 2.0
-                     * (conv_a * 1.0 / n_a) * (1 - conv_a * 1.0 / n_a)
-                     / POWER(0.1 * conv_a * 1.0 / n_a, 2)) AS BIGINT)
+                     * (conv_a * 1.0 / NULLIF(n_a, 0))
+                     * (1 - conv_a * 1.0 / NULLIF(n_a, 0))
+                     / NULLIF(POWER(0.1 * conv_a * 1.0 / NULLIF(n_a, 0), 2), 0))
+                AS BIGINT)
              AS n_required_10pct
     FROM arms
     """,
@@ -1847,18 +1858,25 @@ def events_power_analysis_mde(spark, sf_dir):
         .cast("bigint")
         .alias("conv_a"),
     )
+    # every denominator rides NULLIF: DuckDB maps x/0 to NULL while
+    # Spark's ANSI mode throws DIVIDE_BY_ZERO — on a thin fixture
+    # with zero conversions (or an empty arm) the query must emit
+    # the oracle's NULLs, not crash (r9 2%-thin drill)
     z = 1.959964 + 0.841621
-    p = F.col("conv_a") * 1.0 / F.col("n_a")
-    mde_abs = z * F.sqrt(2.0 * p * (1 - p) / F.least("n_a", "n_b"))
+    p = F.col("conv_a") * 1.0 / F.nullif(F.col("n_a"), F.lit(0))
+    mde_abs = z * F.sqrt(
+        2.0 * p * (1 - p) / F.nullif(F.least("n_a", "n_b"), F.lit(0))
+    )
     n_req = F.ceil(
-        F.lit(z) * z * 2.0 * p * (1 - p) / F.pow(0.1 * p, F.lit(2))
+        F.lit(z) * z * 2.0 * p * (1 - p)
+        / F.nullif(F.pow(0.1 * p, F.lit(2)), F.lit(0.0))
     ).cast("bigint")
     return arms.select(
         "n_a",
         "n_b",
         F.round(p, 6).alias("base_rate"),
         F.round(mde_abs, 6).alias("mde_abs"),
-        F.round(mde_abs / p, 6).alias("mde_rel"),
+        F.round(mde_abs / F.nullif(p, F.lit(0.0)), 6).alias("mde_rel"),
         n_req.alias("n_required_10pct"),
     )
 
@@ -4438,9 +4456,12 @@ def agg_theta_sketch_users(spark, sf_dir):
     ),
     wilson AS (
       SELECT campaign, impressions, clicks,
-             (p + (1.96 * 1.96) / (2.0 * n)
-                - 1.96 * SQRT((p * (1.0 - p) + (1.96 * 1.96) / (4.0 * n)) / n))
-             / (1.0 + (1.96 * 1.96) / n) AS wilson_lb
+             (p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * n)
+                - 1.96 * SQRT((p * (1.0 - p)
+                    + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                      / (4.0 * n)) / n))
+             / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n)
+               AS wilson_lb
       FROM scored
     )
     SELECT campaign, impressions, clicks, wilson_lb,

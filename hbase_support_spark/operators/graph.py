@@ -262,7 +262,7 @@ def basket_copurchase_lift(spark, sf_dir):
     ),
     ecnt AS (SELECT COUNT(*) AS n_edges FROM und)
     SELECT stats.n_vertices, ecnt.n_edges, tri.n_triangles,
-           ROUND(3.0 * tri.n_triangles / stats.n_wedges, 6)
+           ROUND(3.0 * tri.n_triangles / NULLIF(stats.n_wedges, 0), 6)
              AS clustering_coeff
     FROM stats, ecnt, tri
     """,
@@ -346,7 +346,11 @@ def graph_triangle_count(spark, sf_dir):
             "n_vertices",
             "n_edges",
             "n_triangles",
-            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            # NULLIF: a wedge-free graph (possible on a thin fixture)
+            # must emit the oracle's NULL, not an ANSI div-zero crash
+            F.round(
+                3.0 * F.col("n_triangles") / F.nullif(F.col("n_wedges"), F.lit(0)), 6
+            ).alias(
                 "clustering_coeff"
             ),
         )

@@ -738,10 +738,13 @@ def dedup_embedding_cosine(spark, sf_dir):
         # carry the survivors' RAW vectors out for the exact fold
         return pd.DataFrame(
             {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "_ea": [raw_embs[i] for i in ia[keep]],
-                "_eb": [raw_embs[i] for i in ib[keep]],
+                "vec_a": pd.Series(ids[ia[keep]], dtype="int64"),
+                "vec_b": pd.Series(ids[ib[keep]], dtype="int64"),
+                # explicit object dtype: an EMPTY comprehension would
+                # otherwise become a float64 column Arrow cannot cast
+                # to list<float> (r9 thin-data drill, 1-vector blocks)
+                "_ea": pd.Series([raw_embs[i] for i in ia[keep]], dtype="object"),
+                "_eb": pd.Series([raw_embs[i] for i in ib[keep]], dtype="object"),
             }
         )
 
@@ -898,10 +901,11 @@ def dedup_semdedup_keep(spark, sf_dir):
         keepi = g[ia, ib] >= 0.2999  # generous raw pre-filter only
         return pd.DataFrame(
             {
-                "u": ids[ia[keepi]],
-                "v": ids[ib[keepi]],
-                "_ea": [raw_embs[i] for i in ia[keepi]],
-                "_eb": [raw_embs[i] for i in ib[keepi]],
+                "u": pd.Series(ids[ia[keepi]], dtype="int64"),
+                "v": pd.Series(ids[ib[keepi]], dtype="int64"),
+                # object dtype: empty block -> float64 Arrow cast crash
+                "_ea": pd.Series([raw_embs[i] for i in ia[keepi]], dtype="object"),
+                "_eb": pd.Series([raw_embs[i] for i in ib[keepi]], dtype="object"),
             }
         )
 
@@ -1604,7 +1608,19 @@ def sim_knn_ivf_persisted(spark, sf_dir):
         "ivf_label_index",
     )
     ivf_build(spark, e, idx, assign_col=F.col("label"))
-    qv = [float(x) for x in e.filter(F.col("vec_id") == 7).head().embedding]
+    anchor = e.filter(F.col("vec_id") == 7).head()
+    if anchor is None:
+        # anchor vector absent (a thinned/filtered corpus): the
+        # serving contract has no query, and the oracle's
+        # vec_id = 7 subquery is empty — emit the same empty result
+        # instead of crashing on None (r9 2%-thin drill)
+        # unit placeholder, NOT zeros: the probe divides by the query
+        # norm and a zero vector trips ANSI DIVIDE_BY_ZERO
+        probe = ivf_probe(
+            spark, idx, [1.0] + [0.0] * 63, k=5, nprobe=2, exclude_id=7
+        )
+        return probe.filter(F.lit(False))
+    qv = [float(x) for x in anchor.embedding]
     return ivf_probe(spark, idx, qv, k=5, nprobe=2, exclude_id=7)
 
 
@@ -1773,11 +1789,14 @@ def sim_pairs_threshold_blas(spark, sf_dir):
         keep = g[ia, ib] >= 0.2499
         return pd.DataFrame(
             {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "label": int(pdf["label"].iloc[0]),
-                "_ea": [raw_embs[i] for i in ia[keep]],
-                "_eb": [raw_embs[i] for i in ib[keep]],
+                "vec_a": pd.Series(ids[ia[keep]], dtype="int64"),
+                "vec_b": pd.Series(ids[ib[keep]], dtype="int64"),
+                "label": pd.Series(
+                    [int(pdf["label"].iloc[0])] * int(keep.sum()), dtype="int32"
+                ),
+                # object dtype: empty block -> float64 Arrow cast crash
+                "_ea": pd.Series([raw_embs[i] for i in ia[keep]], dtype="object"),
+                "_eb": pd.Series([raw_embs[i] for i in ib[keep]], dtype="object"),
             }
         )
 
@@ -3201,16 +3220,24 @@ def sim_knn_self_join_blas(spark, sf_dir):
             # so anything below thr-2e-6 rounds strictly below the 3rd
             # place and cannot re-enter even via tie-break)
             thr = -np.partition(-g, 2, axis=1)[:, 2]
-        ii, jj = np.nonzero(g >= (thr[:, None] - 2e-6))
+        cand_mask = g >= (thr[:, None] - 2e-6)
+        # the diagonal is -inf; with the small-block thr = -inf it
+        # satisfies -inf >= -inf and self-pairs leak in (r9 thin-data
+        # drill: +n spurious rows) - mask it explicitly
+        np.fill_diagonal(cand_mask, False)
+        ii, jj = np.nonzero(cand_mask)
         return pd.DataFrame(
             {
-                "src": ids[ii],
-                "nbr": ids[jj],
-                "label": int(pdf["label"].iloc[0]),
-                "_ea": [raw_embs[i] for i in ii],
-                "_eb": [raw_embs[j] for j in jj],
+                "src": pd.Series(ids[ii], dtype="int64"),
+                "nbr": pd.Series(ids[jj], dtype="int64"),
+                "label": pd.Series(
+                    [int(pdf["label"].iloc[0])] * len(ii), dtype="int32"
+                ),
+                # object dtype: empty block -> float64 Arrow cast crash
+                "_ea": pd.Series([raw_embs[i] for i in ii], dtype="object"),
+                "_eb": pd.Series([raw_embs[j] for j in jj], dtype="object"),
             }
-        ).astype({"src": "int64", "nbr": "int64", "label": "int32"})
+        )
 
     e = load_table(spark, sf_dir, "embeddings")
     cand = e.groupBy("label").applyInPandas(block_knn, out_schema)
@@ -3732,7 +3759,10 @@ def dedup_lsh_recall_report(spark, sf_dir):
                 F.lit(bands).alias("bands"),
                 F.lit(r).alias("rows_per_band"),
                 F.count("*").alias("n_true"),
-                F.sum(matched.cast("long")).alias("n_found"),
+                # coalesce: SUM over an empty truth set is NULL but the
+                # oracle's COUNT(*) FILTER is 0 (r9 2%-thin drill);
+                # recall stays NULL-on-empty in both engines (0/0)
+                F.coalesce(F.sum(matched.cast("long")), F.lit(0)).alias("n_found"),
                 F.round(
                     F.sum(matched.cast("long")) / F.count("*").cast("double"), 6
                 ).alias("recall"),
