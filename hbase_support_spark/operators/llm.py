@@ -585,9 +585,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
         "n_sh", F.size("shingles")
     )
     a, b = sh.alias("a"), sh.alias("b")
+    # NULLIF: two shingle-free docs (sub-3-token text, r9 text drill)
+    # give a 0-size union; the oracle's /0 is NULL in DuckDB and the
+    # NULL fails the threshold — match it instead of ANSI-crashing
     jac = round_ie(
         F.size(F.array_intersect("a.shingles", "b.shingles"))
-        / F.size(F.array_union("a.shingles", "b.shingles")).cast("double"),
+        / F.nullif(
+            F.size(F.array_union("a.shingles", "b.shingles")).cast("double"),
+            F.lit(0.0),
+        ),
         6,
     )
     size_ok = (
@@ -1947,11 +1953,11 @@ _STOPWORDS = "('a', 'the', 'of', 'and', 'to', 'in')"
     WITH t AS (SELECT doc_id, n_chars, {D_TOKENS} AS toks FROM documents)
     SELECT doc_id,
            LEN(toks) AS n_tokens,
-           {d_round_ie("LEN(LIST_DISTINCT(toks))::DOUBLE / LEN(toks)", 6)} AS uniq_ratio,
-           {d_round_ie(f"LEN(LIST_FILTER(toks, w -> w IN {_STOPWORDS}))::DOUBLE / LEN(toks)", 6)}
+           {d_round_ie("LEN(LIST_DISTINCT(toks))::DOUBLE / NULLIF(LEN(toks), 0)", 6)} AS uniq_ratio,
+           {d_round_ie(f"LEN(LIST_FILTER(toks, w -> w IN {_STOPWORDS}))::DOUBLE / NULLIF(LEN(toks), 0)", 6)}
              AS stopword_ratio,
-           {d_round_ie("n_chars::DOUBLE / LEN(toks)", 6)} AS avg_token_len,
-           {d_round_ie(f"0.5 * (LEN(LIST_DISTINCT(toks))::DOUBLE / LEN(toks)) + 0.5 * (1 - LEN(LIST_FILTER(toks, w -> w IN {_STOPWORDS}))::DOUBLE / LEN(toks))", 6)}
+           {d_round_ie("n_chars::DOUBLE / NULLIF(LEN(toks), 0)", 6)} AS avg_token_len,
+           {d_round_ie(f"0.5 * (LEN(LIST_DISTINCT(toks))::DOUBLE / NULLIF(LEN(toks), 0)) + 0.5 * (1 - LEN(LIST_FILTER(toks, w -> w IN {_STOPWORDS}))::DOUBLE / NULLIF(LEN(toks), 0))", 6)}
              AS quality
     FROM t
     """,
@@ -1961,7 +1967,9 @@ def text_quality_score(spark, sf_dir):
     ratios) — the C4-style pre-filter, one map-only pass."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "n_chars", F.expr(TOKENS).alias("toks"))
-    n = F.size("toks").cast("double")
+    # NULLIF: a token-free doc (empty/whitespace text, r9 text drill)
+    # must emit the oracle's NULL ratios, not ANSI-crash on /0
+    n = F.nullif(F.size("toks").cast("double"), F.lit(0.0))
     uniq = F.size(F.array_distinct("toks")).cast("double") / n
     stop = F.size(F.expr(f"filter(toks, w -> w IN {_STOPWORDS})")).cast("double") / n
     return t.select(
@@ -2080,9 +2088,14 @@ def text_fingerprint(spark, sf_dir):
     (an order-free locality fingerprint à la shingle sketching)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.expr(DISTINCT_TOKENS)
+    # NULL, not md5(''), for a vocab-free doc: DuckDB's slice of an
+    # empty list is NULL and the digest NULL-propagates (r9 text
+    # drill); Spark's '' would digest to d41d8cd9...
     return d.select(
         "doc_id",
-        F.md5(F.array_join(F.slice(F.array_sort(toks), 1, 8), " ")).alias("fingerprint"),
+        F.when(F.size(toks) == 0, F.lit(None).cast("string"))
+        .otherwise(F.md5(F.array_join(F.slice(F.array_sort(toks), 1, 8), " ")))
+        .alias("fingerprint"),
         F.size(toks).alias("vocab_size"),
     )
 
@@ -4613,7 +4626,12 @@ def pipeline_chunk_sliding(spark, sf_dir):
             "chunk_idx",
             "tok_start",
             F.expr(f"size({seg})").cast("int").alias("n_tok"),
-            F.expr(_h60(f"array_join({seg}, ' ')")).alias("chunk_digest"),
+            # empty chunk (token-free doc): DuckDB's list_slice is
+            # NULL there and the digest NULL-propagates (r9 text
+            # drill) - mirror it instead of digesting ''
+            F.when(
+                F.expr(f"size({seg})") == 0, F.lit(None).cast("long")
+            ).otherwise(F.expr(_h60(f"array_join({seg}, ' ')"))).alias("chunk_digest"),
         )
     )
 
@@ -5031,7 +5049,7 @@ def sim_users_behavioral(spark, sf_dir):
     WITH q AS MATERIALIZED (
       SELECT doc_id, lang,
              {d_round_ie(f"0.5 * (len(list_distinct({D_TOKENS})) * 1.0 / len({D_TOKENS})) + 0.5 * (1 - len(list_filter({D_TOKENS}, w -> w IN ('a', 'the', 'of', 'and', 'to', 'in'))) * 1.0 / len({D_TOKENS}))", 6)} AS quality
-      FROM documents),
+      FROM documents WHERE len({D_TOKENS}) > 0),
     ranked AS (
       SELECT doc_id, lang, quality,
              ROW_NUMBER() OVER (PARTITION BY lang
@@ -5070,7 +5088,13 @@ def pipeline_preference_pairs(spark, sf_dir):
     from .ranking import with_global_rank
 
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", "lang", F.expr(TOKENS).alias("toks"))
+    # token-free docs are EXCLUDED, not NULL-scored: a NULL quality
+    # would rank under Spark's NULLS FIRST but DuckDB's NULLS LAST,
+    # and a degenerate doc has no business in a preference pair
+    # (r9 text drill)
+    t = d.select("doc_id", "lang", F.expr(TOKENS).alias("toks")).filter(
+        F.size("toks") > 0
+    )
     n_t = F.size("toks").cast("double")
     uniq = F.size(F.array_distinct("toks")).cast("double") / n_t
     stop = (

@@ -849,6 +849,7 @@ def layout_region_balance_plan(spark, sf_dir):
            CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS payload_bytes,
            {d_h60("text")} AS payload_digest
     FROM documents
+    WHERE OCTET_LENGTH(ENCODE(text)) > 0
     """,
 )
 def source_binaryfile_multimodal(spark, sf_dir):
@@ -870,7 +871,15 @@ def source_binaryfile_multimodal(spark, sf_dir):
     write, file-per-task read); binaryFile caps per-file size via
     spark.sql.sources.binaryFile.maxLength. Listing cost is the real
     100-TB concern — production groups payloads into a manifest
-    (pipeline_shard_manifest) rather than one flat dir."""
+    (pipeline_shard_manifest) rather than one flat dir.
+
+    Source semantic (r9 text drill): a ZERO-BYTE payload does not
+    round-trip — Spark's file sources generate input splits from
+    file length, and a 0-length file yields no split, so empty
+    assets silently vanish from a binaryFile read. The oracle
+    mirrors that (payload_bytes > 0), and a real ingest should
+    guard empties upstream or route them through the manifest
+    path."""
     import shutil
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
