@@ -58,7 +58,20 @@ def round_ie(col: Column | str, n: int) -> Column:
     needed). Use for RATIO-of-small-integers outputs (Jaccard,
     token ratios, cents/count means) whose exact values can
     terminate just beyond the rounding scale; pair with
-    :func:`d_round_ie`."""
+    :func:`d_round_ie`.
+
+    Signed-tie semantics (ADVICE r9 item 4): FLOOR(x·10^n + 0.5)
+    rounds exact midpoints half-toward-+INF for ALL signs — a
+    negative exact midpoint like -0.0000005 rounds to -0.0... i.e.
+    UP to 0.0, not away-from-zero to -0.000001 as SQL ROUND would.
+    Cross-engine parity is unaffected (both sides share the
+    formula), but call sites feeding SIGNED values (e.g.
+    pipeline_preference_pairs' margin) get half-up, not
+    ROUND-compatible half-away-from-zero, on negative ties. If a
+    future site needs sign-symmetric ties, use the CASE-on-sign
+    integer-div spelling (aggregates.py:5708 precedent /
+    events_cusum_changepoint) instead of assuming this helper
+    matches ROUND."""
     c = F.col(col) if isinstance(col, str) else col
     p = float(10**n)
     return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)

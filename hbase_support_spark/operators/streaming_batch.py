@@ -489,9 +489,15 @@ def events_cusum_changepoint(spark, sf_dir):
     with probability ~1/1000 — where Spark's BigDecimal HALF_UP and
     DuckDB's float-multiply round opposite ways (caught by the r9
     boundary drill; the class is a latent per-regen coin flip on
-    real fixtures, not just adversarial data). BIGINT headroom: the
-    20000·a product rides DECIMAL(38,0)/HUGEINT per the r9 census
-    convention. One broadcast 1-row stats, one shuffle on user_id —
+    real fixtures, not just adversarial data). Headroom: |a| scales
+    ~M·N·avg_cents (M = a hot user's row count), which blows past
+    2^63 under the repo's own 30%-skew scenario at large event
+    counts — and with ANSI off int64 wraps SILENTLY while DuckDB's
+    SUM(BIGINT) promotes to HUGEINT, so the walk itself (not just
+    the later ×20000 product) must ride DECIMAL(38,0): the windowed
+    cents sum and the rank·t_cents term are both cast before the
+    multiply, keeping a exact end-to-end (ADVICE r9 item 2). One
+    broadcast 1-row stats, one shuffle on user_id —
     sessionization's shape."""
     from pyspark.sql import Window
 
@@ -510,9 +516,11 @@ def events_cusum_changepoint(spark, sf_dir):
         "user_id",
         "n_rows",
         (
-            F.sum(F.floor(F.col("value") * 100 + 0.5)).over(w).cast("long")
+            F.sum(F.floor(F.col("value") * 100 + 0.5))
+            .over(w)
+            .cast("decimal(38,0)")
             * F.col("n_rows")
-            - F.row_number().over(rn) * F.col("t_cents")
+            - F.row_number().over(rn).cast("decimal(38,0)") * F.col("t_cents")
         ).alias("a"),
     )
     per_user = walk.groupBy("user_id").agg(

@@ -99,8 +99,10 @@ def udaf_centroid_per_label(spark, sf_dir):
     decimal midpoint EXACTLY while DuckDB's float-multiply path
     doesn't, so a mean landing on a 1e-6 midpoint (manufactured by
     the r9 boundary drill's k/64 component grid) rounded apart by
-    one ulp. Same class as llm.py:637's banker's-rounding note; this
-    was the one UDF site that still used Python round()."""
+    one ulp. Same class as llm.py:637's banker's-rounding note;
+    multimodal_feature_extract below had the same defect (Python
+    round() on k/2^32 values that land exactly on 1e-7 midpoints)
+    and was respelled the same way in r10."""
     import math
 
     import numpy as np
@@ -518,9 +520,10 @@ _FEAT_SCHEMA = StructType(
 
 
 _FEAT_DIM_SQL = ",\n           ".join(
-    "ROUND(CAST(CAST('0x' || substring("
+    "FLOOR(CAST(CAST('0x' || substring("
     f"md5(text || '|{i}'), 1, 8)"
-    f" AS BIGINT) AS DOUBLE) / 4294967296.0, 6) AS f{i}"
+    " AS BIGINT) AS DOUBLE) / 4294967296.0"
+    f" * 1000000 + 0.5) / 1000000.0 AS f{i}"
     for i in range(_FEAT_DIM)
 )
 
@@ -549,11 +552,17 @@ def multimodal_feature_extract(spark, sf_dir):
     natural contract, and scalar cells are what row-hash graders can
     canonicalize (list cells are unsortable in pandas; VERDICT r05
     item 1). The oracle restates the identical hash-to-unit-interval
-    arithmetic per dim. Map-only; the Arrow batch bounds worker
-    memory; at scale this is the GPU-batcher seam (batch size =
-    Arrow batch size).
+    arithmetic per dim, including the FLOOR(x*1e6+0.5) rounding:
+    Python round() is ties-to-even while DuckDB ROUND is HALF_UP,
+    and k/2^32 values equal to odd-j/128 terminate exactly ON the
+    7-digit midpoint (e.g. 0.0078125 → 0.007812 vs 0.007813), so
+    the naive pairing diverges per fixture regen (ADVICE r9 item 1;
+    same class as udaf_centroid_per_label). Map-only; the Arrow
+    batch bounds worker memory; at scale this is the GPU-batcher
+    seam (batch size = Arrow batch size).
     """
     import hashlib
+    import math
 
     dim = _FEAT_DIM
 
@@ -563,7 +572,8 @@ def multimodal_feature_extract(spark, sf_dir):
             out = []
             for i in range(dim):
                 h = hashlib.md5(f"{text}|{i}".encode("utf-8")).hexdigest()
-                out.append(round(int(h[:8], 16) / 4294967296.0, 6))
+                x = int(h[:8], 16) / 4294967296.0
+                out.append(math.floor(x * 1000000 + 0.5) / 1000000.0)
             return out
 
         for pdf in batches:

@@ -38,6 +38,26 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
+    # Oracle-semantics pin (ADVICE r9 item 3): several r9 oracles rely
+    # on x/0 -> NULL (the NULLIF guards and 0/0-recall-stays-NULL
+    # fixes). DuckDB >= 1.1 flips the default to IEEE semantics
+    # (0.0/0.0 -> NaN, x/0.0 -> inf) via ieee_floating_point_ops, which
+    # would silently corrupt those oracles on a dependency bump. Pin
+    # the pre-1.1 behavior where the knob exists; where it doesn't
+    # (<= 1.0), assert the division semantics directly so an upgrade
+    # with changed behavior fails LOUDLY here instead of flipping
+    # grades.
+    try:
+        con.execute("SET ieee_floating_point_ops=false")
+    except duckdb.Error:
+        pass  # knob absent (duckdb <= 1.0): NULL semantics are the default
+    probe = con.execute("SELECT 1.0/0.0, 0.0/0.0").fetchone()
+    if probe != (None, None):
+        raise RuntimeError(
+            "DuckDB division semantics changed (x/0 no longer NULL: "
+            f"{probe!r}); oracles with NULLIF/div-zero guards assume "
+            "NULL — pin ieee_floating_point_ops=false or re-audit."
+        )
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # driver fixtures are single files; engine-written variants
