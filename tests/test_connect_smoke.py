@@ -1,0 +1,115 @@
+"""Spark Connect smoke (VERDICT r9 item 8, optional).
+
+The one execution mode the suite doesn't otherwise exercise: a client
+session with NO ``sparkContext`` (``io.load_table`` guards that path at
+io.py — the analyzed-relation memo must degrade gracefully, not crash).
+A deploy-time user on Databricks/Connect hits exactly this surface.
+
+The smoke runs in a SUBPROCESS because a classic local SparkContext is
+already live in this pytest process (the session fixture) and a Connect
+client must not share it. It starts a local Connect server via
+``SparkSession.builder.remote("local[4]")`` (PySpark auto-launches the
+server when the URL is ``local``), then drives four graded queries —
+one per major shape: scan, shuffle agg, broadcast join, window — and
+checks each against its DuckDB oracle with the same parity harness the
+driver mirrors.
+
+Skips (never fails) when grpcio or the Connect server deps are absent —
+this sandbox has no grpcio, so CI records the skip; the test is the
+deploy-environment canary.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _has_connect() -> bool:
+    try:
+        import grpc  # noqa: F401
+        import google.protobuf  # noqa: F401
+    except Exception:
+        return False
+    return True
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_SMOKE = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+
+def _no_ctx(s):
+    try:
+        s.sparkContext
+        return False
+    except Exception:
+        return True
+
+
+spark = SparkSession.builder.remote("local[4]").getOrCreate()
+assert not hasattr(spark, "sparkContext") or _no_ctx(spark)
+
+from hbase_support_spark import load_all, QUERIES, ORACLES
+from hbase_support_spark.parity import compare, duckdb_connect
+
+load_all()
+con = duckdb_connect({sf!r})
+names = ["scan_range", "agg_sum_min_max_avg", "join_broadcast",
+         "win_row_number_topk"]
+for name in names:
+    df = QUERIES[name](spark, {sf!r})
+    ok, detail = compare(df, ORACLES[name], con)
+    print(("PASS" if ok else "FAIL"), name, detail, flush=True)
+    assert ok, f"{{name}}: {{detail}}"
+spark.stop()
+print("CONNECT_SMOKE_OK")
+"""
+
+
+@pytest.mark.skipif(not _has_connect(), reason="grpcio/Connect deps absent")
+def test_connect_smoke():
+    script = _SMOKE.format(repo=REPO, sf=SF_DIR)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/tmp",
+    )
+    assert "CONNECT_SMOKE_OK" in proc.stdout, (
+        f"connect smoke failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
+
+
+def test_load_table_survives_missing_spark_context(spark, sf_dir):
+    """The Connect-guard seam itself, testable without Connect: a
+    session object whose sparkContext raises must still load tables
+    (memo skipped, not crashed)."""
+    from hbase_support_spark.io import load_table
+
+    class NoCtx:
+        """Proxy that mimics a Connect session: sparkContext raises."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        @property
+        def sparkContext(self):
+            raise Exception("sparkContext is not supported in Spark Connect")
+
+        def __getattr__(self, item):
+            return getattr(self._inner, item)
+
+    df = load_table(NoCtx(spark), sf_dir, "nation")
+    assert df.count() == 25
+    # and a second call doesn't blow up on the (skipped) memo either
+    assert load_table(NoCtx(spark), sf_dir, "nation").count() == 25
