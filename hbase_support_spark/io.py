@@ -37,6 +37,44 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
 
+def scratch_root() -> str:
+    """Per-PROCESS scratch directory for the sink/write-path queries
+    (``<repo>/.scratch/s_<pid>``, root overridable via
+    ``$SPARK_GRAFT_SCRATCH``).
+
+    Why per-process: every sink query writes a fixed name
+    (``merge_cust``, ``copy_table_orders``, …) and reads it back in
+    the same call. With ONE shared ``.scratch`` that read races any
+    concurrent engine process (pytest + parity sweep + a drill all
+    exercise the same queries): process A lists parquet parts, B
+    overwrites the directory, A's scan then 404s mid-read — observed
+    r10 as a FileNotFoundException in ``merge_into_upsert``. The pid
+    suffix gives each process its own namespace while keeping
+    write-then-read reuse within a process (IVF index, bucketed
+    joins) intact. Dead processes' leftovers are reaped best-effort
+    on first use, so the directory doesn't grow across runs. At
+    cluster scale the env override points this at a per-job
+    object-store prefix — same isolation rule, different filesystem.
+    """
+    import os
+    import re
+    import shutil
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    mine = os.path.join(root, f"s_{os.getpid()}")
+    if os.path.isdir(root) and os.path.isdir("/proc"):
+        for entry in os.listdir(root):
+            m = re.fullmatch(r"s_(\d+)", entry)
+            if m and int(m.group(1)) != os.getpid() and not os.path.exists(
+                f"/proc/{m.group(1)}"
+            ):
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    os.makedirs(mine, exist_ok=True)
+    return mine
+
+
 def ensure_confs(spark: SparkSession) -> None:
     """Apply runtime-settable confs the engine depends on (idempotent)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

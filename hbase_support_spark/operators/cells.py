@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from ..io import load_table
+from ..io import load_table, scratch_root
 from ..registry import register
 
 
@@ -341,9 +341,7 @@ def merge_into_upsert(spark, sf_dir):
 
     from ..merge import merge_into_parquet
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-    )
+    scratch = scratch_root()
     target = os.path.join(scratch, "merge_cust")
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
@@ -387,9 +385,7 @@ def bulk_delete_predicate(spark, sf_dir):
 
     from ..merge import bulk_delete
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-    )
+    scratch = scratch_root()
     target = os.path.join(scratch, "bulkdel_orders")
     load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
         "o_orderstatus"
@@ -663,9 +659,7 @@ def merge_into_txlog(spark, sf_dir):
     from ..num import money_sum
     from ..sources.txlog import txlog_init, txlog_merge, txlog_read
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-    )
+    scratch = scratch_root()
     target = os.path.join(scratch, "txlog_orders")
     shutil.rmtree(target, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -748,9 +742,7 @@ def txlog_changes_feed(spark, sf_dir):
         txlog_merge,
     )
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-    )
+    scratch = scratch_root()
     target = os.path.join(scratch, "txlog_cdc_orders")
     shutil.rmtree(target, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -820,9 +812,7 @@ def matview_incremental_refresh(spark, sf_dir):
         txlog_read,
     )
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-    )
+    scratch = scratch_root()
     target = os.path.join(scratch, "txlog_mv_orders")
     shutil.rmtree(target, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -949,9 +939,7 @@ def scd2_build_from_history(spark, sf_dir):
     from ..sources.txlog import txlog_delete, txlog_init, txlog_merge, txlog_read
     from pyspark.sql import Window
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-    )
+    scratch = scratch_root()
     target = os.path.join(scratch, "txlog_scd2_orders")
     shutil.rmtree(target, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")

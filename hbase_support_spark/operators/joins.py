@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
-from ..io import load_table
+from ..io import load_table, scratch_root
 from ..num import money_sum
 from ..registry import register
 
@@ -572,10 +572,7 @@ def join_bucketed_colocated(spark, sf_dir):
     revenue rides the cents contract end-to-end (num.py)."""
     import os
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
+    scratch = scratch_root()
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     li = (
         load_table(spark, sf_dir, "lineitem")

@@ -31,7 +31,7 @@ import re
 
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, scratch_root
 from ..num import d_round_ie, round_ie, round_z
 from ..registry import register
 
@@ -1608,11 +1608,7 @@ def sim_knn_ivf_persisted(spark, sf_dir):
     from ..sources.ann_index import ivf_build, ivf_probe
 
     e = load_table(spark, sf_dir, "embeddings")
-    idx = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".scratch",
-        "ivf_label_index",
-    )
+    idx = _os.path.join(scratch_root(), "ivf_label_index")
     ivf_build(spark, e, idx, assign_col=F.col("label"))
     anchor = e.filter(F.col("vec_id") == 7).head()
     if anchor is None:

@@ -30,11 +30,11 @@ from pyspark.sql.types import (
 )
 
 from ..hashutil import d_h60, h60
-from ..io import load_table, write_parquet, write_csv, read_csv
+from ..io import load_table, write_parquet, write_csv, read_csv, scratch_root
 from ..num import money_sum
 from ..registry import register
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+_SCRATCH = scratch_root()
 
 
 @register(

@@ -178,3 +178,27 @@ def test_round_ie_negative_midpoint_half_toward_plus_inf():
     from hbase_support_spark.num import round_ie
 
     assert "half-toward-+INF" in round_ie.__doc__ or "+inf" in round_ie.__doc__.lower()
+
+
+# ---------------------------------------------------------- 5. scratch isolation
+
+
+def test_scratch_root_is_per_process_and_reaps_dead(tmp_path, monkeypatch):
+    """Concurrent engine processes must not share sink paths (r10: a
+    parity sweep overwrote .scratch/merge_cust mid-read of a pytest
+    process -> FileNotFoundException). scratch_root keys by pid and
+    reaps directories left by dead processes, but never a live one."""
+    import os
+
+    from hbase_support_spark.io import scratch_root
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    dead = tmp_path / "s_999999999"  # pid far above pid_max
+    live = tmp_path / "s_1"  # init: always alive
+    dead.mkdir()
+    live.mkdir()
+    mine = scratch_root()
+    assert mine == str(tmp_path / f"s_{os.getpid()}")
+    assert os.path.isdir(mine)
+    assert not dead.exists(), "dead process scratch must be reaped"
+    assert live.exists(), "live process scratch must survive"
