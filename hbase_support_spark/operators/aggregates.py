@@ -1179,9 +1179,12 @@ def events_abtest_ztest(spark, sf_dir):
       SELECT COUNT(*) AS n,
              CAST(SUM(x_cents) AS BIGINT) AS sx,
              CAST(SUM(y_events) AS BIGINT) AS sy,
-             CAST(SUM(x_cents * x_cents) AS BIGINT) AS sxx,
-             CAST(SUM(y_events * y_events) AS BIGINT) AS syy,
-             CAST(SUM(x_cents * y_events) AS BIGINT) AS sxy
+             -- second moments stay HUGEINT: the engine carries them
+             -- in DECIMAL(38,0) (r10 headroom audit) and a BIGINT
+             -- cast here would overflow at whale-revenue magnitudes
+             SUM(x_cents * x_cents) AS sxx,
+             SUM(y_events * y_events) AS syy,
+             SUM(x_cents * y_events) AS sxy
       FROM per_user
     )
     SELECT n,
@@ -1235,9 +1238,9 @@ def events_ratio_metric_delta_ci(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("x_cents").cast("bigint").alias("sx"),
         F.sum("y_events").cast("bigint").alias("sy"),
-        F.sum(F.col("x_cents") * F.col("x_cents")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y_events") * F.col("y_events")).cast("bigint").alias("syy"),
-        F.sum(F.col("x_cents") * F.col("y_events")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x_cents").cast("decimal(19,0)") * F.col("x_cents")).alias("sxx"),
+        F.sum(F.col("y_events").cast("decimal(19,0)") * F.col("y_events")).alias("syy"),
+        F.sum(F.col("x_cents").cast("decimal(19,0)") * F.col("y_events")).alias("sxy"),
     ).filter((F.col("n") >= 2) & (F.col("sy") > 0))
     xd = F.col("sx") / 100.0
     r = xd / F.col("sy")
@@ -1280,9 +1283,9 @@ def events_ratio_metric_delta_ci(spark, sf_dir):
       SELECT COUNT(*) AS n,
              CAST(SUM(pre) AS BIGINT) AS sp,
              CAST(SUM(post) AS BIGINT) AS sq,
-             CAST(SUM(pre * pre) AS BIGINT) AS spp,
-             CAST(SUM(post * post) AS BIGINT) AS sqq,
-             CAST(SUM(pre * post) AS BIGINT) AS spq
+             SUM(pre * pre) AS spp,
+             SUM(post * post) AS sqq,
+             SUM(pre * post) AS spq
       FROM per_user
     )
     SELECT n,
@@ -1328,13 +1331,13 @@ def events_cuped_adjustment(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("pre").cast("bigint").alias("sp"),
         F.sum("post").cast("bigint").alias("sq"),
-        F.sum(F.col("pre") * F.col("pre")).cast("bigint").alias("spp"),
-        F.sum(F.col("post") * F.col("post")).cast("bigint").alias("sqq"),
-        F.sum(F.col("pre") * F.col("post")).cast("bigint").alias("spq"),
+        F.sum(F.col("pre").cast("decimal(19,0)") * F.col("pre")).alias("spp"),
+        F.sum(F.col("post").cast("decimal(19,0)") * F.col("post")).alias("sqq"),
+        F.sum(F.col("pre").cast("decimal(19,0)") * F.col("post")).alias("spq"),
     ).filter(
         (F.col("n") >= 2)
-        & (F.col("spp") * F.col("n") > F.col("sp") * F.col("sp"))
-        & (F.col("sqq") * F.col("n") > F.col("sq") * F.col("sq"))
+        & (F.col("spp") * F.col("n") > F.col("sp").cast("decimal(19,0)") * F.col("sp"))
+        & (F.col("sqq") * F.col("n") > F.col("sq").cast("decimal(19,0)") * F.col("sq"))
     )
     nd = F.col("n")
     var_pre = (F.col("spp") - F.col("sp").cast("double") * F.col("sp") / nd) / (
@@ -1562,13 +1565,17 @@ def events_kstest_arms(spark, sf_dir):
     d = (
         cum.crossJoin(F.broadcast(tot))
         .select(
-            F.abs(F.col("pa") * F.col("n_b") - F.col("pb") * F.col("n_a")).alias("diff")
+            F.abs(
+                F.col("pa").cast("decimal(19,0)") * F.col("n_b")
+                - F.col("pb").cast("decimal(19,0)") * F.col("n_a")
+            ).alias("diff")
         )
         .agg(F.max("diff").cast("bigint").alias("d_num"))
     )
-    d_stat = F.col("d_num") * 1.0 / (F.col("n_a") * F.col("n_b"))
+    d_stat = F.col("d_num") / (F.col("n_a").cast("double") * F.col("n_b"))
     crit = 1.358 * F.sqrt(
-        (F.col("n_a") + F.col("n_b")) * 1.0 / (F.col("n_a") * F.col("n_b"))
+        (F.col("n_a") + F.col("n_b"))
+        / (F.col("n_a").cast("double") * F.col("n_b"))
     )
     return (
         tot.crossJoin(d)
@@ -2007,9 +2014,8 @@ def agg_bootstrap_ci_mean(spark, sf_dir):
       SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
       FROM counts),
     acc AS (
-      SELECT CAST(SUM(ca * (2 * below + (ca + cb) + 1)) AS BIGINT) AS r2_a,
-             CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
-               AS tie_sum
+      SELECT SUM(ca * (2 * below + (ca + cb) + 1)) AS r2_a,
+             SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS tie_sum
       FROM pre)
     SELECT tot.n_a, tot.n_b,
            CAST(acc.r2_a - tot.n_a * (tot.n_a + 1) AS BIGINT) AS u2_a,
@@ -2066,20 +2072,20 @@ def events_mannwhitney_arms(spark, sf_dir):
         "below", F.col("cum") - F.col("t")
     )
     acc = pre.agg(
-        F.sum(F.col("ca") * (2 * F.col("below") + F.col("t") + 1))
-        .cast("bigint")
+        F.sum(F.col("ca").cast("decimal(19,0)") * (2 * F.col("below") + F.col("t") + 1))
         .alias("r2_a"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-        .cast("bigint")
+        F.sum(F.col("t").cast("decimal(19,0)") * F.col("t") * F.col("t") - F.col("t"))
         .alias("tie_sum"),
         F.sum("ca").cast("bigint").alias("n_a"),
         F.sum("cb").cast("bigint").alias("n_b"),
     )
     na, nb = F.col("n_a"), F.col("n_b")
     n = na + nb
-    u2 = F.col("r2_a") - na * (na + 1)
-    var = na * nb / 12.0 * ((n + 1) - F.col("tie_sum") * 1.0 / (n * (n - 1.0)))
-    z = (u2 - na * nb) / (2 * F.sqrt(var))
+    u2 = F.col("r2_a") - na.cast("decimal(19,0)") * (na + 1)
+    var = na.cast("double") * nb / 12.0 * (
+        (n + 1) - F.col("tie_sum").cast("double") / (n * (n - 1.0))
+    )
+    z = (u2 - na.cast("decimal(19,0)") * nb).cast("double") / (2 * F.sqrt(var))
     return acc.select(
         "n_a",
         "n_b",
@@ -2140,7 +2146,7 @@ def agg_chisq_independence(spark, sf_dir):
         F.sum("o").over(Window.partitionBy("event_type")).alias("col_tot"),
         F.sum("o").over(Window.partitionBy()).alias("n"),
     )
-    e = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
     chi2 = F.sum(F.pow(F.col("o") - e, F.lit(2)) / e)
     return m.agg(
         F.count("*").cast("bigint").alias("n_cells"),
@@ -3790,17 +3796,20 @@ def privacy_t_closeness(spark, sf_dir):
         .na.fill({"n_cs": 0})
         .crossJoin(F.broadcast(tot))
     )
-    dev = F.abs(F.col("n_cs") * F.col("n") - F.col("n_s") * F.col("n_c"))
+    dev = F.abs(
+        F.col("n_cs").cast("decimal(19,0)") * F.col("n") - F.col("n_s").cast("decimal(19,0)") * F.col("n_c")
+    )
     return grid.groupBy("c_nationkey", "c_mktsegment").agg(
         F.max("n_c").alias("k_size"),
-        F.sum(dev).alias("tvd_num"),
+        F.sum(dev).cast("long").alias("tvd_num"),
         (
-            F.sum(dev)
-            / (F.lit(2) * F.max("n_c") * F.max("n")).cast("double")
+            F.sum(dev).cast("double")
+            / (F.lit(2.0) * F.max("n_c") * F.max("n"))
         ).alias("t_value"),
-        (F.lit(5) * F.sum(dev) <= F.lit(2) * F.max("n_c") * F.max("n")).alias(
-            "t_close"
-        ),
+        (
+            F.lit(5) * F.sum(dev)
+            <= F.lit(2) * F.max("n_c").cast("decimal(19,0)") * F.max("n")
+        ).alias("t_close"),
     )
 
 
@@ -3815,7 +3824,9 @@ def privacy_t_closeness(spark, sf_dir):
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_g,
              CAST(SUM(v) AS BIGINT) AS s_g,
-             CAST(SUM(v * v) AS BIGINT) AS q_g
+             -- stays HUGEINT to mirror the engine's DECIMAL(38,0)
+             -- accumulation (r10 headroom audit)
+             SUM(v * v) AS q_g
       FROM cents GROUP BY event_type
     ),
     terms AS (
@@ -3830,7 +3841,7 @@ def privacy_t_closeness(spark, sf_dir):
       SELECT CAST(COUNT(*) AS BIGINT) AS k,
              CAST(SUM(n_g) AS BIGINT) AS n,
              CAST(SUM(s_g) AS BIGINT) AS s,
-             CAST(SUM(q_g) AS BIGINT) AS q,
+             SUM(q_g) AS q,
              MAX(cum_term) AS between_raw
       FROM terms
     )
@@ -3856,9 +3867,17 @@ def events_anova_f_oneway(spark, sf_dir):
     rows (the repo's running-aggregate contract), and every term is
     positive so the final value is the MAX of the cumulative column.
     s_g is cast to double BEFORE squaring (s_g^2 would pass int64 at
-    sf0.01 but not at 100 TB). F itself is one closed-form
-    expression, rounded at 6. Plan: one map-combined 5-key agg, a
-    5-row window, a 1-row reduce — scan-bound at any scale."""
+    sf0.01 but not at 100 TB), and q_g = Σv² accumulates in
+    DECIMAL(38,0) for the same reason: v² ≤ 1e8 per event, so the
+    per-arm sum crosses int64's 9.2e18 at ~1e11 events — exactly
+    the 100-TB row count (r10 headroom audit). F itself is one closed-form
+    expression, rounded at 6, with NULLIF guards on every divisor:
+    a degenerate input (zero within-arm variance, or n == k) must
+    yield NULL exactly as the oracle's x/0 does — without the guard
+    an ANSI-mode session (the Spark 4 default) raises DIVIDE_BY_ZERO
+    instead (caught by the r10 whale-value stress fixture). Plan:
+    one map-combined 5-key agg, a 5-row window, a 1-row reduce —
+    scan-bound at any scale."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -3869,7 +3888,7 @@ def events_anova_f_oneway(spark, sf_dir):
     moments = cents.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_g"),
         F.sum("v").alias("s_g"),
-        F.sum(F.col("v") * F.col("v")).alias("q_g"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("q_g"),
     )
     w = Window.orderBy("event_type").rowsBetween(Window.unboundedPreceding, 0)
     terms = moments.select(
@@ -3895,7 +3914,14 @@ def events_anova_f_oneway(spark, sf_dir):
         F.round(ssb, 6).alias("ssb_c2"),
         F.round(ssw, 6).alias("ssw_c2"),
         F.round(
-            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+            (ssb / F.nullif((F.col("k") - 1).cast("double"), F.lit(0.0)))
+            / F.nullif(
+                ssw / F.nullif(
+                    (F.col("n") - F.col("k")).cast("double"), F.lit(0.0)
+                ),
+                F.lit(0.0),
+            ),
+            6,
         ).alias("f_stat"),
     )
 
@@ -4921,8 +4947,8 @@ def orders_abc_xyz_matrix(spark, sf_dir):
         / F.col("s1").cast("double")
     )
     cls = c.crossJoin(F.broadcast(tot)).select(
-        F.when(F.col("cum_rev") * 100 <= F.col("t") * 70, "A")
-        .when(F.col("cum_rev") * 100 <= F.col("t") * 90, "B")
+        F.when(F.col("cum_rev").cast("decimal(19,0)") * 100 <= F.col("t").cast("decimal(19,0)") * 70, "A")
+        .when(F.col("cum_rev").cast("decimal(19,0)") * 100 <= F.col("t").cast("decimal(19,0)") * 90, "B")
         .otherwise("C")
         .alias("abc"),
         F.when((F.col("n") < 2) | (F.col("s1") == 0), "Z")
@@ -4953,9 +4979,9 @@ def orders_abc_xyz_matrix(spark, sf_dir):
     m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy
+             SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx,
+             SUM(y * y) AS syy
       FROM pairs WHERE y IS NOT NULL
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
@@ -4996,9 +5022,9 @@ def events_autocorr_lag1(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"),
     )
     n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
     return m.crossJoin(F.broadcast(n_days)).select(
@@ -5007,10 +5033,16 @@ def events_autocorr_lag1(spark, sf_dir):
         "sx",
         "sy",
         F.floor(
-            (F.lit(1000000.0) * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double"))
+            (F.lit(1000000.0) * (
+                F.col("n") * F.col("sxy") - F.col("sx").cast("decimal(19,0)") * F.col("sy")
+            ).cast("double"))
             / (
-                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+                F.sqrt((
+                    F.col("n") * F.col("sxx") - F.col("sx").cast("decimal(19,0)") * F.col("sx")
+                ).cast("double"))
+                * F.sqrt((
+                    F.col("n") * F.col("syy") - F.col("sy").cast("decimal(19,0)") * F.col("sy")
+                ).cast("double"))
             )
         )
         .cast("bigint")

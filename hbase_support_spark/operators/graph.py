@@ -217,7 +217,7 @@ def basket_copurchase_lift(spark, sf_dir):
             F.round(
                 F.col("support")
                 * F.col("n").cast("double")
-                / (F.col("cnt_a") * F.col("cnt_b")),
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
                 6,
             ).alias("lift"),
         )
@@ -666,9 +666,9 @@ def graph_degree_assortativity(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).cast("long").alias("sy2"),
     )
     r = """
         ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))

@@ -8130,8 +8130,12 @@ def text_heaps_law_fit(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sx2"),
     )
     beta = """
         ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))

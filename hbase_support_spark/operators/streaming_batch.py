@@ -834,7 +834,7 @@ def stream_late_events_audit(spark, sf_dir):
       SELECT user_id,
              COUNT(gap_s) AS n_gaps,
              CAST(SUM(gap_s) AS BIGINT) AS sum_s,
-             CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_s2
+             SUM(gap_s * gap_s) AS sum_s2
       FROM gaps
       GROUP BY user_id
       HAVING COUNT(gap_s) >= 5 AND SUM(gap_s) > 0
@@ -858,8 +858,12 @@ def events_bot_cadence_score(spark, sf_dir):
     engines), then CV from EXACT integer moments (n, Σx, Σx²) so the
     sample-stddev is one deterministic closed-form expression rather
     than an accumulation-order-dependent streaming variance — the
-    num.py discipline applied to second moments (Σx² of second-scale
-    gaps stays far inside int64). Users with <5 gaps or all-zero
+    num.py discipline applied to second moments. Σx² rides
+    DECIMAL(38,0): a multi-month gap is ~3e6 s (x² ~ 1e13), so a
+    hot user under the repo's 30%-skew scenario overflows int64's
+    9.2e18 at ~1e6 gaps — reachable at large event counts (the r10
+    headroom audit, same class as events_cusum_changepoint).
+    Users with <5 gaps or all-zero
     gaps are excluded (no 0/0). One shuffle on user_id shared by the
     LAG window and the moment agg — sessionization's shape."""
     ev = load_table(spark, sf_dir, "events")
@@ -876,7 +880,7 @@ def events_bot_cadence_score(spark, sf_dir):
         .agg(
             F.count("gap_s").alias("n_gaps"),
             F.sum("gap_s").cast("bigint").alias("sum_s"),
-            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("sum_s2"),
+            F.sum(F.col("gap_s").cast("decimal(19,0)") * F.col("gap_s")).alias("sum_s2"),
         )
         .filter((F.col("n_gaps") >= 5) & (F.col("sum_s") > 0))
     )

@@ -621,7 +621,10 @@ def win_time_weighted_avg(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_segments"),
         F.sum("dur_s").cast("bigint").alias("total_s"),
         F.round(
-            F.sum(F.col("cents") * F.col("dur_s")) * 1.0 / F.sum("dur_s") / 100.0, 6
+            F.sum(F.col("cents").cast("decimal(19,0)") * F.col("dur_s")).cast("double")
+            / F.sum("dur_s")
+            / 100.0,
+            6,
         ).alias("twap"),
     )
 
@@ -1461,11 +1464,14 @@ def win_ulcer_index(spark, sf_dir):
     )
     return dd.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
-        F.sum(F.col("dd_bps") * F.col("dd_bps")).cast("bigint").alias("sum_dd2"),
+        F.sum((F.col("dd_bps") * F.col("dd_bps")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_dd2"),
         F.max("dd_bps").cast("bigint").alias("max_dd_bps"),
-        F.expr(
-            "SQRT(CAST(SUM(dd_bps * dd_bps) AS DOUBLE)"
-            " / CAST(COUNT(*) AS DOUBLE))"
+        F.sqrt(
+            F.sum((F.col("dd_bps") * F.col("dd_bps")).cast("decimal(38,0)"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
         ).alias("ulcer_bps"),
     )
 
