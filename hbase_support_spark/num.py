@@ -32,7 +32,18 @@ from pyspark.sql import Column, functions as F
 
 
 def money_sum(col: Column | str) -> Column:
-    """Exact 2-decimal sum of a price-scale double expression."""
+    """Exact 2-decimal sum of a price-scale double expression.
+
+    Magnitude envelope (r10 headroom audit): the long cents SUM holds
+    to 9.2e18 cents — a $9e16 total, ~40× the full-100-TB TPC-H
+    revenue sum (6e11 rows × ~4e6 cents ≈ 2.3e18), so the
+    accumulation never wraps in-envelope. The division back to
+    double is cent-EXACT only below 2^53 (~$9e13); above that both
+    engines round the identical integer with IEEE round-to-nearest
+    (Spark long→double and DuckDB HUGEINT→double agree bit-for-bit),
+    so cross-engine parity holds at any magnitude — only absolute
+    cent-exactness of the printed total degrades, at ~1e-15
+    relative."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(F.floor(c * 100 + 0.5)) / 100.0
 
