@@ -209,6 +209,29 @@ def register(name: str, oracle: str | None = None):
 #   4. The 14 free r09 slots (and any post-closure slack) take
 #      genuinely-new §2-adjacent ops ONLY if a real gap surfaces;
 #      the freeze stays the default.
+#
+# R10 STATUS (first pure-maintenance round; registry HELD at 428):
+#   - Ritual executed in full: pre-edit sf0.01 parity 428/428, all
+#     NINE drills green at HEAD (the text drill joined the axis list
+#     in r9; kind+zero-sign re-run post-edit), pytest 3,054/0,
+#     post-edit sf0.01 parity 428/428, ×32 census 408/408 with zero
+#     JVM deaths (CENSUS_x32_r10.txt), PLANS.md regen = ZERO diff,
+#     bench 0.87× baseline with the identical-tree drift control
+#     (BENCH.md r10).
+#   - Closed all four r9 ADVICE items and generalized the cusum
+#     class into the registry-wide int64-headroom audit (15 queries
+#     → DECIMAL(38,0) moments; SCALE.md r10; whale-fixture stress +
+#     source pins in tests/test_headroom_audit.py). New static
+#     sweep: tests/test_python_round_sweep.py (AST ban on
+#     ties-to-even rounding in kernels — the audit-blind-spot
+#     ADVICE named). Sink scratch is now per-process
+#     (io.scratch_root; the r9 concurrent-sweep race is fixed, not
+#     just documented). Spark Connect smoke added, skip-guarded
+#     (tests/test_connect_smoke.py) with the no-sparkContext seam
+#     pinned.
+#   - sessionize_30m_full floor ADJUDICATED (BENCH.md r10): one
+#     exchange, zero SinglePartition, cost = per-user session
+#     sort/merge; scales out on user_id. Profiling item retired.
 GRADING_PRIORITY: list[str] = [
     # ---- round-3 window, slots 1-19: the 19 kind-cast fixes (r02 FAILs first)
     "sim_lsh_hyperplane",
