@@ -619,7 +619,12 @@ def events_retention_daily(spark, sf_dir):
     cohort_size = cohort.agg(F.count("*").alias("cohort_size"))
     return (
         active.filter(F.col("day").between("2024-01-01", "2024-01-14"))
-        .join(F.broadcast(cohort), "user_id")
+        # cohort = one day's active USERS — user-scale, not a dim;
+        # no broadcast hint (r10 broadcast-hint audit): at 1e8+ DAU a
+        # forced broadcast is a driver OOM, while the unhinted join
+        # co-partitions with the distinct that built the cohort and
+        # AQE still broadcasts it when the runtime size is small.
+        .join(cohort, "user_id")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("retained"))
         .crossJoin(F.broadcast(cohort_size))

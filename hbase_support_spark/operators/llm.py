@@ -1850,8 +1850,13 @@ def text_tokenize_counts(spark, sf_dir):
     """,
 )
 def text_tfidf_topterms(spark, sf_dir):
-    """TF-IDF top-3 terms per doc. df is tiny (vocabulary-sized) →
-    broadcast back onto the token stream; no row-level collect."""
+    """TF-IDF top-3 terms per doc. df is vocabulary-KEYED — small on
+    the fixtures but Heaps-law UNBOUNDED on a real corpus (1e8+
+    surface forms at 100 TB), so the join back onto the token stream
+    carries no broadcast hint (r10 broadcast-hint audit): unhinted it
+    co-partitions with the groupBy("w") that built df (the exchange
+    is reused), and AQE demotes to broadcast whenever the runtime
+    size is actually small. No row-level collect either way."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -1860,7 +1865,7 @@ def text_tfidf_topterms(spark, sf_dir):
     df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "w")
+        tf.join(df, "w")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -3297,7 +3302,10 @@ def text_ngram_lm_perplexity(spark, sf_dir):
     total = freq.agg(F.sum("n_w").alias("n"))
     neg_logp = -F.log(F.col("n_w") / F.col("n"))
     return (
-        toks.join(F.broadcast(freq), "w")
+        # freq is vocab-keyed -> unbounded at corpus scale; unhinted
+        # join co-partitions with freq's own groupBy("w") (r10
+        # broadcast-hint audit), AQE re-broadcasts when small
+        toks.join(freq, "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -3531,7 +3539,9 @@ def text_boilerplate_density(spark, sf_dir):
         .select("shingle", F.lit(1).alias("is_bp"))
     )
     per_doc = (
-        s.join(F.broadcast(bp), "shingle", "left")
+        # bp is shingle-keyed -> unbounded at corpus scale; same
+        # unhinted co-partitioned join as the vocab-keyed fixes above
+        s.join(bp, "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -5372,7 +5382,10 @@ def dedup_winnow_pairs(spark, sf_dir):
     picks = d.mapInPandas(emit_picks, schema).localCheckpoint(eager=False)
     buckets = picks.groupBy("fp").agg(F.count("*").alias("sz"))
     ok_fps = buckets.filter((F.col("sz") >= 2) & (F.col("sz") <= 16)).select("fp")
-    p = picks.join(F.broadcast(ok_fps), "fp")
+    # ok_fps is fingerprint-keyed -> grows with the corpus; unhinted
+    # join co-partitions with the buckets groupBy("fp") (r10
+    # broadcast-hint audit)
+    p = picks.join(ok_fps, "fp")
     a, bb = p.alias("a"), p.alias("b")
     pairs = (
         a.join(
