@@ -1,0 +1,64 @@
+"""r10 broadcast-hint audit — pinned regressions.
+
+`F.broadcast()` is a FORCE hint: it overrides the autoBroadcast
+threshold and AQE's size logic, so hinting a frame that GROWS with
+the data (degree tables, vocab document frequencies, shingle sets,
+fingerprint buckets, daily-active cohorts) is a guaranteed driver
+OOM at some scale while passing at every test SF. Seven such sites
+were unhinted in r10; each join co-partitions with the aggregation
+that built the frame, and AQE still broadcasts when the runtime size
+is small (verified at x128: executed plan keeps BroadcastHashJoin,
+timings flat — SCALE.md r10 broadcast-hint audit).
+
+These pins assert the unbounded frames stay unhinted. Bounded frames
+(1-row totals, top-K vocab, centroids, lexicons, nation dims) keep
+their hints on purpose and are not swept here — a full-allowlist
+sweep over all ~190 hint sites would pin mostly-safe noise.
+"""
+
+from __future__ import annotations
+
+import inspect
+
+import pytest
+
+from hbase_support_spark import QUERIES
+
+# query -> source fragments that must (not) appear
+_UNHINTED = {
+    "graph_degree_assortativity": ["edges.join(ds,", ".join(dc,"],
+    "basket_copurchase_lift": ["pair_cnt.join(ca,", ".join(cb,"],
+    "text_tfidf_topterms": ['tf.join(df, "w")'],
+    "text_ngram_lm_perplexity": ['toks.join(freq, "w")'],
+    "text_boilerplate_density": ['s.join(bp, "shingle", "left")'],
+    "dedup_winnow_pairs": ['picks.join(ok_fps, "fp")'],
+    "events_retention_daily": ['.join(cohort, "user_id")'],
+}
+
+_FORBIDDEN = {
+    "graph_degree_assortativity": ["F.broadcast(ds)", "F.broadcast(dc)"],
+    "basket_copurchase_lift": ["F.broadcast(ca)", "F.broadcast(cb)"],
+    "text_tfidf_topterms": ["F.broadcast(df)"],
+    "text_ngram_lm_perplexity": ["F.broadcast(freq)"],
+    "text_boilerplate_density": ["F.broadcast(bp)"],
+    "dedup_winnow_pairs": ["F.broadcast(ok_fps)"],
+    "events_retention_daily": ["F.broadcast(cohort)"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(_UNHINTED))
+def test_unbounded_frame_stays_unhinted(name):
+    src = inspect.getsource(QUERIES[name])
+    for frag in _UNHINTED[name]:
+        assert frag in src, (
+            f"{name}: expected unhinted join fragment {frag!r} — if the "
+            "join was restructured, update this pin AND re-verify the "
+            "frame is not force-broadcast (SCALE.md r10 broadcast-hint "
+            "audit)"
+        )
+    for frag in _FORBIDDEN[name]:
+        assert frag not in src, (
+            f"{name}: {frag!r} force-broadcasts a frame that grows with "
+            "the data — driver OOM at scale; see SCALE.md r10 "
+            "broadcast-hint audit"
+        )
