@@ -22,7 +22,9 @@ import inspect
 
 import pytest
 
-from hbase_support_spark import QUERIES
+from hbase_support_spark import QUERIES, load_all
+
+load_all()  # no spark-fixture test in this module triggers it otherwise
 
 # query -> source fragments that must (not) appear
 _UNHINTED = {
