@@ -608,9 +608,11 @@ def agg_pivot(spark, sf_dir):
 )
 def events_retention_daily(spark, sf_dir):
     """Cohort retention: of users active on day 0, how many return
-    each subsequent day — the activation dashboard staple. Cohort is
-    a tiny distinct set → broadcast semi-style join against the
-    daily activity fact."""
+    each subsequent day — the activation dashboard staple. The
+    cohort is USER-scale (one day's DAU — 1e8+ at real scale), so
+    the join against the daily activity fact carries no broadcast
+    hint (r10 broadcast-hint audit): AQE broadcasts it when small,
+    shuffle-joins co-partitioned with the distinct otherwise."""
     ev = load_table(spark, sf_dir, "events")
     active = ev.select(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
