@@ -178,7 +178,9 @@ def basket_copurchase_lift(spark, sf_dir):
     expansion is a self-equi-join on the ORDER key, so the blowup is
     per-basket (|basket| choose 2 with baskets ~7 lines in this
     schema), LINEAR in orders — never an item-item cross product;
-    per-item counts and the order total attach by broadcast.
+    per-item counts attach by unhinted join (part-scale — AQE
+    broadcasts while small; r10 broadcast-hint audit), the 1-row
+    order total by broadcast.
     Everything derives from integer counts, so the confidence/lift
     doubles are single deterministic divisions. At 100 TB a hot
     basket (one order with thousands of items) is the skew hazard —

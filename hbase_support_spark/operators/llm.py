@@ -3292,8 +3292,10 @@ def text_ngram_lm_perplexity(spark, sf_dir):
     dataflow, the freq table just comes from elsewhere).
 
     Scale shape: token explode → vocab count (one hash agg,
-    |vocab| rows) → broadcast the vocab back onto the token stream
-    (vocab is always tiny relative to the corpus) → per-doc avg.
+    |vocab| rows) → join the vocab back onto the token stream
+    UNHINTED (vocab is Heaps-law unbounded at corpus scale, so no
+    forced broadcast — AQE broadcasts it while small, co-partitioned
+    shuffle join past that; r10 broadcast-hint audit) → per-doc avg.
     Two shuffles total (vocab agg, per-doc agg); the token stream is
     never shuffled on the raw text, only on doc_id partial sums."""
     d = load_table(spark, sf_dir, "documents")
@@ -3524,8 +3526,10 @@ def text_boilerplate_density(spark, sf_dir):
     shingles that are corpus-global boilerplate, and flag documents
     past a density threshold — C4 drops such lines, CCNet whole
     documents. Two passes over the shingle stream: the detection agg
-    produces the boilerplate set (|boilerplate| rows — broadcast
-    back), then a map-side broadcast left-join + per-doc agg. The
+    produces the boilerplate set (|boilerplate| rows — unhinted join
+    back: shingle types are corpus-unbounded, so AQE broadcasts it
+    while small and falls back to the co-partitioned shuffle join
+    past that; r10 broadcast-hint audit), then the per-doc agg. The
     corpus is never shuffled on text; at 100 TB only shingle partial
     counts and doc_id partials move."""
     d = load_table(spark, sf_dir, "documents")
