@@ -27,8 +27,10 @@ import shutil
 import duckdb
 import pytest
 
-from hbase_support_spark import QUERIES, ORACLES
+from hbase_support_spark import QUERIES, ORACLES, load_all
 from hbase_support_spark.parity import compare, duckdb_connect
+
+load_all()  # the source-pin tests don't touch the spark fixture
 
 
 def _mk_sf(tmp_path_factory, name: str, events_sql: str) -> str:
