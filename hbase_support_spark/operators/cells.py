@@ -146,7 +146,10 @@ def tombstone_merge(spark, sf_dir):
     )
     puts = ev.filter(F.col("event_type") != "error")
     return (
-        puts.join(F.broadcast(dels), "user_id", "left")
+        # dels is rowkey-scale (one row per user with a tombstone) —
+        # unhinted (r10 broadcast-hint audit): AQE broadcasts while
+        # small, co-partitioned shuffle join at scale
+        puts.join(dels, "user_id", "left")
         .filter(F.col("del_ts").isNull() | (F.col("ts") > F.col("del_ts")))
         .select("event_id", "user_id", "event_type", "ts")
     )
@@ -609,7 +612,8 @@ def cells_major_compaction_view(spark, sf_dir):
         .agg(F.max("ts").alias("del_ts"))
     )
     after_tomb = (
-        live.join(F.broadcast(dels), "user_id", "left")
+        # dels unhinted: rowkey-scale, same rationale as tombstone_merge
+        live.join(dels, "user_id", "left")
         .filter(F.col("del_ts").isNull() | (F.col("ts") > F.col("del_ts")))
         .drop("del_ts")
     )
@@ -1917,10 +1921,13 @@ def scan_raw_with_tombstones(spark, sf_dir):
     operator's output — the cross-check a compaction debugging
     session actually runs.
 
-    Scale shape: the marker table is one hash agg at rowkey
-    cardinality, broadcast back onto the scan — a map-only annotate
-    at any scale; nothing is filtered, so the scan streams straight
-    through with two codegen booleans appended."""
+    Scale shape: the marker table is one hash agg at ROWKEY
+    cardinality — entity-scale, so the join back onto the scan is
+    UNHINTED (r10 broadcast-hint audit): AQE broadcasts it while
+    small (map-only annotate at every test SF), and falls back to a
+    co-partitioned shuffle join at 1e9+ marked rowkeys instead of
+    OOMing the driver. Nothing is filtered, so the scan streams
+    straight through with two codegen booleans appended."""
     ev = load_table(spark, sf_dir, "events")
     markers = (
         ev.filter(F.col("event_type") == "error")
@@ -1928,7 +1935,7 @@ def scan_raw_with_tombstones(spark, sf_dir):
         .agg(F.max("ts").alias("del_ts"))
     )
     return (
-        ev.join(F.broadcast(markers), "user_id", "left")
+        ev.join(markers, "user_id", "left")
         .select(
             "event_id",
             "user_id",

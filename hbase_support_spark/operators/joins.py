@@ -176,7 +176,11 @@ def join_anti(spark, sf_dir):
 def join_broadcast(spark, sf_dir):
     """Small dim × huge fact — the classic HBase-dim pattern. The
     explicit broadcast hint guarantees a map-side hash join: zero
-    shuffle of the fact table."""
+    shuffle of the fact table. PRECONDITION (this §2 row demonstrates
+    the broadcast VERB, so the hint is the point): the dim, after
+    pushdown filters, must fit the broadcast budget — for SF-scale
+    dims use join_inner_equi and let AQE pick the strategy (r10
+    broadcast-hint audit)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     return (
@@ -285,8 +289,12 @@ def join_shipping_priority_topk(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
+    # customer is SF-scale even after the segment filter — no FORCE
+    # hint (r10 broadcast-hint audit): AQE broadcasts it at every
+    # test SF (executed plan unchanged), shuffle-joins past the
+    # threshold instead of OOMing the driver.
     return (
-        F.broadcast(c)
+        c
         .join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

@@ -2082,8 +2082,11 @@ def layout_block_index_lookup(spark, sf_dir):
         .select(F.col("user_id").alias("probe"))
         .distinct()
     )
+    # idx is block-count-scale (table_bytes/4096 entries) — unhinted
+    # (r10 broadcast-hint audit): the region equality component gives
+    # the shuffle join its key at scale; AQE broadcasts while small.
     hits = probes.join(
-        F.broadcast(idx),
+        idx,
         (idx.region == F.expr("probe div 16")) & (idx.first_key <= F.col("probe")),
     )
     wp = Window.partitionBy("probe")

@@ -35,6 +35,10 @@ _UNHINTED = {
     "text_boilerplate_density": ['s.join(bp, "shingle", "left")'],
     "dedup_winnow_pairs": ['picks.join(ok_fps, "fp")'],
     "events_retention_daily": ['.join(cohort, "user_id")'],
+    "tombstone_merge": ["puts.join(dels,"],
+    "cells_major_compaction_view": ["live.join(dels,"],
+    "scan_raw_with_tombstones": ["ev.join(markers,"],
+    "layout_block_index_lookup": ["probes.join(\n        idx,"],
 }
 
 _FORBIDDEN = {
@@ -45,13 +49,18 @@ _FORBIDDEN = {
     "text_boilerplate_density": ["F.broadcast(bp)"],
     "dedup_winnow_pairs": ["F.broadcast(ok_fps)"],
     "events_retention_daily": ["F.broadcast(cohort)"],
+    "tombstone_merge": ["F.broadcast(dels)"],
+    "cells_major_compaction_view": ["F.broadcast(dels)"],
+    "scan_raw_with_tombstones": ["F.broadcast(markers)"],
+    "layout_block_index_lookup": ["F.broadcast(idx)"],
+    "join_shipping_priority_topk": ["F.broadcast(c)"],
 }
 
 
-@pytest.mark.parametrize("name", sorted(_UNHINTED))
+@pytest.mark.parametrize("name", sorted(set(_UNHINTED) | set(_FORBIDDEN)))
 def test_unbounded_frame_stays_unhinted(name):
     src = inspect.getsource(QUERIES[name])
-    for frag in _UNHINTED[name]:
+    for frag in _UNHINTED.get(name, ()):
         assert frag in src, (
             f"{name}: expected unhinted join fragment {frag!r} — if the "
             "join was restructured, update this pin AND re-verify the "
