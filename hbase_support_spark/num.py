@@ -80,9 +80,9 @@ def round_ie(col: Column | str, n: int) -> Column:
     pipeline_preference_pairs' margin) get half-up, not
     ROUND-compatible half-away-from-zero, on negative ties. If a
     future site needs sign-symmetric ties, use the CASE-on-sign
-    integer-div spelling (aggregates.py:5708 precedent /
-    events_cusum_changepoint) instead of assuming this helper
-    matches ROUND."""
+    integer-div spelling (see the ``orders_price_volume_mix_bridge``
+    and ``events_cusum_changepoint`` kernels) instead of assuming
+    this helper matches ROUND."""
     c = F.col(col) if isinstance(col, str) else col
     p = float(10**n)
     return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)

@@ -34,7 +34,17 @@ from ..io import load_table, write_parquet, write_csv, read_csv, scratch_root
 from ..num import money_sum
 from ..registry import register
 
-_SCRATCH = scratch_root()
+def _scratch() -> str:
+    """Resolve the per-process scratch dir at CALL time, not import.
+
+    ADVICE r10 item 1: a module-scope ``scratch_root()`` freezes the
+    pid at import — a worker that forks after import (pytest-xdist,
+    multiprocessing parity sweeps) inherits the parent's namespace and
+    partially reintroduces the concurrent-overwrite race the pid
+    suffix exists to prevent. Calling per-query matches the pattern
+    already used in cells.py/joins.py/llm.py; the reap inside
+    scratch_root() is idempotent and cheap (one listdir)."""
+    return scratch_root()
 
 
 @register(
@@ -144,7 +154,7 @@ def copy_table(spark, sf_dir):
     verifies the copy's fidelity, not just that the write ran.
     """
     orders = load_table(spark, sf_dir, "orders")
-    dst = os.path.join(_SCRATCH, "copy_table_orders")
+    dst = os.path.join(_scratch(), "copy_table_orders")
     write_parquet(orders, dst)
     back = spark.read.parquet(dst)
     return back.agg(
@@ -161,7 +171,7 @@ def source_csv_roundtrip(spark, sf_dir):
     """ImportTsv/Export analog: write region to CSV, read back with an
     explicit schema (schema-on-read, as HBase clients type raw bytes)."""
     region = load_table(spark, sf_dir, "region")
-    dst = os.path.join(_SCRATCH, "region_csv")
+    dst = os.path.join(_scratch(), "region_csv")
     write_csv(region, dst)
     schema = StructType(
         [
@@ -181,7 +191,7 @@ def source_csv_roundtrip(spark, sf_dir):
 def source_json_roundtrip(spark, sf_dir):
     """JSON interchange: write nation to JSON lines, read back typed."""
     nation = load_table(spark, sf_dir, "nation")
-    dst = os.path.join(_SCRATCH, "nation_json")
+    dst = os.path.join(_scratch(), "nation_json")
     nation.write.mode("overwrite").json(dst)
     schema = StructType(
         [
@@ -206,7 +216,7 @@ def sink_partitioned_parquet(spark, sf_dir):
     orders partitioned by status, re-read, aggregate per partition.
     Partition column round-trips through directory names."""
     orders = load_table(spark, sf_dir, "orders")
-    dst = os.path.join(_SCRATCH, "orders_by_status")
+    dst = os.path.join(_scratch(), "orders_by_status")
     write_parquet(orders, dst, partition_by=["o_orderstatus"])
     back = spark.read.parquet(dst)
     return back.groupBy("o_orderstatus").agg(
@@ -228,7 +238,7 @@ def source_orc_roundtrip(spark, sf_dir):
     predicate-pushdown/column-pruning story as parquet — Spark's ORC
     reader exposes PushedFilters identically."""
     supplier = load_table(spark, sf_dir, "supplier")
-    dst = os.path.join(_SCRATCH, "supplier_orc")
+    dst = os.path.join(_scratch(), "supplier_orc")
     supplier.write.mode("overwrite").orc(dst)
     back = spark.read.orc(dst)
     return back.select(
@@ -253,7 +263,7 @@ def source_text_corpus(spark, sf_dir):
     must survive the round trip exactly (fixture docs are
     newline-free; a production ingest escapes or length-prefixes)."""
     d = load_table(spark, sf_dir, "documents")
-    dst = os.path.join(_SCRATCH, "corpus_text")
+    dst = os.path.join(_scratch(), "corpus_text")
     d.select("text").write.mode("overwrite").text(dst)
     back = spark.read.text(dst)
     return back.agg(
@@ -374,9 +384,9 @@ def snapshot_point_in_time(spark, sf_dir):
     from ..sources.snapshots import snapshot_create, snapshot_read
 
     orders = load_table(spark, sf_dir, "orders")
-    live = os.path.join(_SCRATCH, "snap_live_orders")
+    live = os.path.join(_scratch(), "snap_live_orders")
     write_parquet(orders, live)
-    manifest = snapshot_create(live, os.path.join(_SCRATCH, "snaps"), "orders_v1")
+    manifest = snapshot_create(live, os.path.join(_scratch(), "snaps"), "orders_v1")
     # simulate a later destructive write to the live table: the files
     # referenced by the manifest are immutable; overwrite() writes NEW
     # files and deletes the old ones from the live dir only after —
@@ -407,7 +417,7 @@ def index_point_lookup(spark, sf_dir):
     from ..sources.indexes import index_build, index_lookup
 
     c = load_table(spark, sf_dir, "customer")
-    idx_dir = os.path.join(_SCRATCH, "idx_customer_segment")
+    idx_dir = os.path.join(_scratch(), "idx_customer_segment")
     index_build(c, idx_dir, "c_mktsegment", "c_custkey")
     return index_lookup(
         spark, c, idx_dir, "c_mktsegment", "c_custkey", "BUILDING"
@@ -446,7 +456,7 @@ def index_incremental_lookup(spark, sf_dir):
     )
 
     c = load_table(spark, sf_dir, "customer")
-    idx_dir = os.path.join(_SCRATCH, "idx_customer_segment_incr")
+    idx_dir = os.path.join(_scratch(), "idx_customer_segment_incr")
     index_build(c, idx_dir, "c_mktsegment", "c_custkey")
     delta = c.filter(F.col("c_custkey") % 97 == 0).select(
         F.lit("BUILDING").alias("c_mktsegment"), "c_custkey"
@@ -545,7 +555,7 @@ def scan_salted_table_roundtrip(spark, sf_dir):
     physical-layout change. At 100 TB the salt count trades write
     parallelism against read fan-out; 8-16 is the common choice."""
     ev = load_table(spark, sf_dir, "events")
-    salted_dir = os.path.join(_SCRATCH, "events_salted")
+    salted_dir = os.path.join(_scratch(), "events_salted")
     salted = ev.withColumn("salt", F.expr(f"{h60('cast(user_id AS string)')} % 8"))
     salted.write.mode("overwrite").partitionBy("salt").parquet(salted_dir)
     # explicit schema: an empty input writes a partitioned dir with no
@@ -587,7 +597,7 @@ def layout_zorder_scan(spark, sf_dir):
         "minute_idx",
         ((F.col("ts").cast("long") - F.lit(1704067200)) / 60).cast("long"),
     )
-    zdir = os.path.join(_SCRATCH, "events_zorder")
+    zdir = os.path.join(_scratch(), "events_zorder")
     write_zordered(ev, zdir, "user_id", "minute_idx")
     back = spark.read.parquet(zdir)
     return back.filter(
@@ -706,7 +716,7 @@ def layout_bloom_point_lookup(spark, sf_dir):
     point lookup benefits.
     """
     ev = load_table(spark, sf_dir, "events")
-    bloom_dir = os.path.join(_SCRATCH, "events_bloom")
+    bloom_dir = os.path.join(_scratch(), "events_bloom")
     (
         ev.write.mode("overwrite")
         .option("parquet.bloom.filter.enabled#user_id", "true")
@@ -883,7 +893,7 @@ def source_binaryfile_multimodal(spark, sf_dir):
     import shutil
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dst = os.path.join(_SCRATCH, "binfiles")
+    dst = os.path.join(_scratch(), "binfiles")
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst, exist_ok=True)
 
@@ -965,7 +975,7 @@ def source_csv_malformed_audit(spark, sf_dir):
         )
         .alias("value")
     )
-    dst = os.path.join(_SCRATCH, "orders_dirty_csv")
+    dst = os.path.join(_scratch(), "orders_dirty_csv")
     lines.write.mode("overwrite").text(dst)
 
     schema = StructType(
@@ -1789,7 +1799,7 @@ def source_parquet_schema_merge(spark, sf_dir):
     scan itself stays columnar with pushdown. The partition column
     (batch) prunes exactly like any other directory key."""
     docs = load_table(spark, sf_dir, "documents")
-    dst = os.path.join(_SCRATCH, "docs_schema_evo")
+    dst = os.path.join(_scratch(), "docs_schema_evo")
     a = docs.filter(F.col("doc_id") < 250).select("doc_id", "n_chars")
     b = docs.filter(F.col("doc_id") >= 250).select("doc_id", "lang", "source")
     a.write.mode("overwrite").parquet(os.path.join(dst, "batch=1"))
@@ -1973,7 +1983,7 @@ def sink_partition_pruning_audit(spark, sf_dir):
     oracle restates the expectation from the raw table: files == days
     in range, rows == rows in range."""
     ev = load_table(spark, sf_dir, "events")
-    dst = os.path.join(_SCRATCH, "events_by_day")
+    dst = os.path.join(_scratch(), "events_by_day")
     (
         ev.withColumn("day", F.to_date("ts"))
         .repartition("day")
@@ -2223,7 +2233,7 @@ def scan_salted_rowkey(spark, sf_dir):
         "o_custkey",
         "o_totalprice",
     )
-    dst = os.path.join(_SCRATCH, "orders_salted_key")
+    dst = os.path.join(_scratch(), "orders_salted_key")
     (
         salted.repartitionByRange(8, "salted_key")
         .sortWithinPartitions("salted_key")

@@ -494,16 +494,19 @@ def events_cusum_changepoint(spark, sf_dir):
     2^63 under the repo's own 30%-skew scenario at large event
     counts — and with ANSI off int64 wraps SILENTLY while DuckDB's
     SUM(BIGINT) promotes to HUGEINT, so the walk itself (not just
-    the later ×20000 product) must ride DECIMAL(38,0): the windowed
-    cents sum and the rank·t_cents term are both cast before the
-    multiply, keeping a exact end-to-end (ADVICE r9 item 2). One
+    the later ×20000 product) must ride DECIMAL(38,0): the per-row
+    cents are cast to DECIMAL(38,0) BEFORE both the windowed sum and
+    the corpus total, so the accumulation itself rides decimal — a
+    user whose cumulative cents exceed 2^63 no longer wraps inside
+    the LONG window sum (ADVICE r9 item 2 + r10 item 2). One
     broadcast 1-row stats, one shuffle on user_id —
     sessionization's shape."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)")
     stats = ev.agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("t_cents"),
+        F.sum(cents).alias("t_cents"),
         F.count("*").alias("n_rows"),
     )
     w = (
@@ -516,9 +519,7 @@ def events_cusum_changepoint(spark, sf_dir):
         "user_id",
         "n_rows",
         (
-            F.sum(F.floor(F.col("value") * 100 + 0.5))
-            .over(w)
-            .cast("decimal(38,0)")
+            F.sum(cents).over(w)
             * F.col("n_rows")
             - F.row_number().over(rn).cast("decimal(38,0)") * F.col("t_cents")
         ).alias("a"),

@@ -22,6 +22,7 @@ Two test layers:
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import duckdb
@@ -33,14 +34,18 @@ from hbase_support_spark.parity import compare, duckdb_connect
 load_all()  # the source-pin tests don't touch the spark fixture
 
 
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
 def _mk_sf(tmp_path_factory, name: str, events_sql: str) -> str:
-    """A fixture dir = sf0.001 tables with events replaced by the
+    """A fixture dir = BASE_SF_DIR tables with events replaced by the
     given SELECT (columns: event_id, ts, user_id, event_type, value,
-    props)."""
+    props). Base dir honors SPARK_GRAFT_TEST_SF_DIR like the rest of
+    the suite (ADVICE r10 item 4)."""
     d = tmp_path_factory.mktemp(name)
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "documents", "embeddings"):
-        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+        shutil.copy(os.path.join(BASE_SF_DIR, f"{t}.parquet"), d / f"{t}.parquet")
     con = duckdb.connect()
     con.execute(f"COPY ({events_sql}) TO '{d}/events.parquet' (FORMAT PARQUET)")
     con.close()
