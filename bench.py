@@ -37,8 +37,30 @@ HEADLINE = {
 
 RUNS = 2
 
-# sampled at import, before Spark starts its own threads — the
-# closest thing to "the machine's load when the bench began"
+# Host-idleness gate (VERDICT r10 item 2): BENCH_r10 vs a same-day
+# same-code re-measure disagreed by 21% with loadavg 2.2+ at start —
+# round-over-round deltas were unattributable without a manual
+# identical-tree control. The bench now WAITS for the 1-min loadavg
+# to drop under the gate (up to IDLE_WAIT seconds, polling) and then
+# labels the run host_idle true/false, so the recorded JSON itself
+# says whether the number is comparable. It labels rather than
+# refuses: the driver must always get its one JSON line.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.5"))
+IDLE_WAIT = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "90"))
+
+
+def _wait_for_idle() -> tuple[float, float, bool]:
+    """(loadavg_at_entry, wait_spent, is_idle_now)."""
+    entry = os.getloadavg()[0]
+    waited, load = 0.0, entry
+    while load > LOAD_GATE and waited < IDLE_WAIT:
+        time.sleep(5.0)
+        waited += 5.0
+        load = os.getloadavg()[0]
+    return entry, waited, load <= LOAD_GATE
+
+
+LOAD_ENTRY, IDLE_WAITED, HOST_IDLE = _wait_for_idle()
 LOAD_START = os.getloadavg()
 
 
@@ -62,7 +84,13 @@ def _cpu_cal() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-CPU_CAL = _cpu_cal()
+# The "idle triple" control (VERDICT r10 item 2): three consecutive
+# calibration readings taken automatically so the judge can separate
+# code from host without a manual re-run. A tight triple (spread
+# under ~10%) means the single-core speed was stable while the bench
+# ran; min is the comparable number (least-contended sample).
+CPU_CAL_TRIPLE = [_cpu_cal() for _ in range(3)]
+CPU_CAL = min(CPU_CAL_TRIPLE)
 
 
 def main() -> None:
@@ -111,9 +139,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_entry_1m": round(LOAD_ENTRY, 2),
                 "loadavg_start_1m": round(LOAD_START[0], 2),
                 "loadavg_end_1m": round(load_end[0], 2),
+                # entry-state only: the bench's own 32-thread work
+                # legitimately inflates the END loadavg
+                "host_idle": HOST_IDLE,
+                "idle_gate": LOAD_GATE,
+                "idle_wait_sec": IDLE_WAITED,
                 "cpu_cal_sec": CPU_CAL,
+                "cpu_cal_triple": CPU_CAL_TRIPLE,
                 "cpus": os.cpu_count(),
                 "method": "warm1_best_of_2",
             }
