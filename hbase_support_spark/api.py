@@ -62,7 +62,7 @@ class Table:
         semi-join: the probe list never shuffles the table."""
         spark = self.df.sparkSession
         probe = spark.createDataFrame([(k,) for k in rowkeys], [self.key])
-        return self.df.join(F.broadcast(probe), self.key, "left_semi")
+        return self.df.join(F.broadcast(probe), self.key, "left_semi")  # bcast: keys
 
     def scan(
         self,

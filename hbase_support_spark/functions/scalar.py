@@ -303,7 +303,7 @@ def fn_hash_spark(spark, sf_dir):
         F.countDistinct("mur").alias("n_mur"),
         F.countDistinct("crc").alias("n_crc"),
     )
-    return natives.crossJoin(F.broadcast(stats)).select(
+    return natives.crossJoin(F.broadcast(stats)).select(  # bcast: scalar
         "doc_id",
         "text_md5",
         "text_sha256",

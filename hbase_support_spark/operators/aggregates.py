@@ -172,7 +172,7 @@ def agg_std_median(spark, sf_dir):
             "med_price"
         )
     )
-    return std.join(F.broadcast(med), "l_returnflag").select(
+    return std.join(F.broadcast(med), "l_returnflag").select(  # bcast: enum
         "l_returnflag", "std_price", "med_price"
     )
 
@@ -319,7 +319,7 @@ def agg_percentile_approx(spark, sf_dir):
     # group. The per-group aggregate has |event_types| rows — tiny at
     # any scale — so the join back onto the cell stream broadcasts.
     ranked = (
-        ev.join(F.broadcast(agg), "event_type")
+        ev.join(F.broadcast(agg), "event_type")  # bcast: enum
         .groupBy("event_type", "p50", "p95", "p99", "a50", "a95", "a99")
         .agg(
             F.count("*").alias("n"),
@@ -554,7 +554,7 @@ def agg_hll_sketch_mergeable(spark, sf_dir):
         F.sum("cnt").alias("total_events"),
     )
     exact = ev.agg(F.countDistinct("user_id").alias("exact_total_users"))
-    return merged.crossJoin(F.broadcast(exact)).select(
+    return merged.crossJoin(F.broadcast(exact)).select(  # bcast: scalar
         "exact_total_users",
         "total_events",
         (
@@ -629,7 +629,7 @@ def events_retention_daily(spark, sf_dir):
         .join(cohort, "user_id")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("retained"))
-        .crossJoin(F.broadcast(cohort_size))
+        .crossJoin(F.broadcast(cohort_size))  # bcast: scalar
         .select("day", "retained", "cohort_size")
     )
 
@@ -1049,7 +1049,7 @@ def agg_winsorized_mean(spark, sf_dir):
     )
     w = F.least(F.greatest(F.col("value"), F.col("p5")), F.col("p95"))
     return (
-        ev.join(F.broadcast(bounds), "event_type")
+        ev.join(F.broadcast(bounds), "event_type")  # bcast: enum
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
@@ -1479,12 +1479,12 @@ def agg_quantile_exact_global(spark, sf_dir):
     pcts = spark.range(1).select(
         F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("pct")
     )
-    targets = pcts.crossJoin(F.broadcast(tot)).select(
+    targets = pcts.crossJoin(F.broadcast(tot)).select(  # bcast: scalar
         "pct", "n", F.ceil(F.col("pct") * F.col("n")).alias("rank_at")
     )
     return (
         g.join(
-            F.broadcast(targets),
+            F.broadcast(targets),  # bcast: grid
             (F.col("cum") - F.col("cnt") < F.col("rank_at"))
             & (F.col("rank_at") <= F.col("cum")),
         )
@@ -1570,7 +1570,7 @@ def events_kstest_arms(spark, sf_dir):
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
     )
     d = (
-        cum.crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))  # bcast: scalar
         .select(
             F.abs(
                 F.col("pa").cast("decimal(19,0)") * F.col("n_b")
@@ -1989,7 +1989,7 @@ def agg_bootstrap_ci_mean(spark, sf_dir):
             F.when(F.col("r") == F.ceil(0.975 * F.col("nb")).cast("int"), F.col("m"))
         ).alias("hi"),
     )
-    return sel.crossJoin(F.broadcast(pt)).select(
+    return sel.crossJoin(F.broadcast(pt)).select(  # bcast: scalar
         F.lit(_BOOT_B).alias("b_resamples"),
         F.round(F.col("point_mean") / 100.0, 6).alias("point_mean"),
         F.round(F.col("lo") / 100.0, 6).alias("ci_lo"),
@@ -2218,7 +2218,7 @@ def _survival_daily(spark, sf_dir):
     study = ev.agg(F.max("t").alias("t_end"))
     subj = (
         origins.join(firstp, "user_id", "left")
-        .crossJoin(F.broadcast(study))
+        .crossJoin(F.broadcast(study))  # bcast: scalar
         .select(
             (F.expr(_ABH) % 2).alias("arm"),
             F.col("te").isNotNull().cast("int").alias("observed"),
@@ -2461,8 +2461,8 @@ def events_logrank_test(spark, sf_dir):
     t0 = totals.filter(F.col("arm") == 0).select(F.col("n_tot").alias("n_a"))
     t1 = totals.filter(F.col("arm") == 1).select(F.col("n_tot").alias("n_b"))
     return (
-        stats.crossJoin(F.broadcast(t0))
-        .crossJoin(F.broadcast(t1))
+        stats.crossJoin(F.broadcast(t0))  # bcast: scalar
+        .crossJoin(F.broadcast(t1))  # bcast: scalar
         .select(
             "n_a",
             "n_b",
@@ -2519,7 +2519,7 @@ def agg_mad_robust_outliers(spark, sf_dir):
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(v, 0.5)").alias("med")
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(  # bcast: enum
         "adev", F.abs(F.col("v") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(
@@ -2532,7 +2532,7 @@ def agg_mad_robust_outliers(spark, sf_dir):
     return (
         dev.select("event_type", "v")
         .join(
-            F.broadcast(
+            F.broadcast(  # bcast: enum
                 mad.select(
                     "event_type", F.col("med").alias("m_med"), "mad"
                 )
@@ -2612,7 +2612,7 @@ def privacy_k_anonymity_lattice(spark, sf_dir):
         )
 
     withreg = c.join(
-        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"), "n_regionkey")),
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"), "n_regionkey")),  # bcast: dim
         "c_nationkey",
     )
     lv = (
@@ -2623,7 +2623,7 @@ def privacy_k_anonymity_lattice(spark, sf_dir):
     best = lv.filter(F.col("rows_at_risk") == 0).agg(
         F.min("gen_level").alias("best_level")
     )
-    return lv.crossJoin(F.broadcast(best)).select(
+    return lv.crossJoin(F.broadcast(best)).select(  # bcast: scalar
         "gen_level",
         "n_groups",
         "min_group",
@@ -2772,7 +2772,7 @@ def agg_pareto_abc(spark, sf_dir):
         out_col="cum",
     )
     tot = rev.agg(F.sum("cents").cast("long").alias("t"))
-    cls = c.crossJoin(F.broadcast(tot)).withColumn(
+    cls = c.crossJoin(F.broadcast(tot)).withColumn(  # bcast: scalar
         "abc_class",
         F.when(F.col("cum") * 100 <= F.col("t") * 80, F.lit("A"))
         .when(F.col("cum") * 100 <= F.col("t") * 95, F.lit("B"))
@@ -2840,7 +2840,7 @@ def events_diff_in_diff(spark, sf_dir):
     bounds = ev.agg(
         F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("mid")
     )
-    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(  # bcast: scalar
         (F.expr(_h_abh("concat('did1|', cast(user_id AS string))")) % 2).alias("arm"),
         F.when(F.unix_micros("ts") < F.col("mid"), 1).otherwise(0).alias("is_pre"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
@@ -2873,7 +2873,7 @@ def events_diff_in_diff(spark, sf_dir):
             6,
         ).alias("did_estimate")
     )
-    return uplifts.crossJoin(F.broadcast(did))
+    return uplifts.crossJoin(F.broadcast(did))  # bcast: scalar
 
 
 @register(
@@ -2936,7 +2936,7 @@ def agg_heavy_hitters_exact(spark, sf_dir):
     tot = li.agg(F.count(F.lit(1)).alias("n"))
     cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
     return (
-        cnt.crossJoin(F.broadcast(tot))
+        cnt.crossJoin(F.broadcast(tot))  # bcast: scalar
         .filter(F.col("hits") * 2500 > F.col("n"))
         .select(
             "l_partkey",
@@ -3109,7 +3109,7 @@ def orders_backlog_aging(spark, sf_dir):
     )
     return (
         o.filter(F.col("o_orderstatus") != "F")
-        .crossJoin(F.broadcast(now_ref))
+        .crossJoin(F.broadcast(now_ref))  # bcast: scalar
         .groupBy("o_orderstatus", "o_orderpriority", bucket.alias("age_bucket"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
@@ -3160,7 +3160,7 @@ def agg_decay_weighted_ltv(spark, sf_dir):
     )
     decayed = F.floor(cents * F.pow(F.lit(2.0), -weeks.cast("double"))).cast("long")
     return (
-        ev.crossJoin(F.broadcast(now_ref))
+        ev.crossJoin(F.broadcast(now_ref))  # bcast: scalar
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -3540,14 +3540,14 @@ def events_activity_deciles(spark, sf_dir):
     ranked = with_global_rank(per_user, [F.col("n_events").asc(), "user_id"], "rk")
     n_users = per_user.agg(F.count(F.lit(1)).alias("n_users"))
     tot = per_user.agg(F.sum("n_events").alias("t"))
-    deciled = ranked.crossJoin(F.broadcast(n_users)).select(
+    deciled = ranked.crossJoin(F.broadcast(n_users)).select(  # bcast: scalar
         (F.floor((F.col("rk") - 1) * 10 / F.col("n_users")) + 1)
         .cast("bigint")
         .alias("decile"),
         "n_events",
     )
     return (
-        deciled.crossJoin(F.broadcast(tot))
+        deciled.crossJoin(F.broadcast(tot))  # bcast: scalar
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -3798,10 +3798,10 @@ def privacy_t_closeness(spark, sf_dir):
         F.count(F.lit(1)).alias("n_cs")
     )
     grid = (
-        cls.crossJoin(F.broadcast(glob))
-        .join(F.broadcast(cb), ["c_nationkey", "c_mktsegment", "band"], "left")
+        cls.crossJoin(F.broadcast(glob))  # bcast: enum
+        .join(F.broadcast(cb), ["c_nationkey", "c_mktsegment", "band"], "left")  # bcast: grid
         .na.fill({"n_cs": 0})
-        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot))  # bcast: scalar
     )
     dev = F.abs(
         F.col("n_cs").cast("decimal(19,0)") * F.col("n") - F.col("n_s").cast("decimal(19,0)") * F.col("n_c")
@@ -4280,7 +4280,7 @@ def orders_littles_law_audit(spark, sf_dir):
     w = per_order.agg(
         F.min("start_day").alias("wlo"), F.max("start_day").alias("whi")
     )
-    clipped = per_order.crossJoin(F.broadcast(w)).select(
+    clipped = per_order.crossJoin(F.broadcast(w)).select(  # bcast: scalar
         "cycle_days",
         F.least(
             F.col("cycle_days").cast("bigint"),
@@ -4717,7 +4717,7 @@ def events_kendall_tau_campaigns(spark, sf_dir):
         .alias("ties"),
     )
     return (
-        agg.crossJoin(F.broadcast(n_camps))
+        agg.crossJoin(F.broadcast(n_camps))  # bcast: scalar
         .select(
             F.col("n_camps").cast("bigint").alias("n_camps"),
             "n_pairs",
@@ -4857,7 +4857,7 @@ def agg_simpson_diversity(spark, sf_dir):
         F.sum(F.col("n_i") * (F.col("n_i") - 1)).cast("bigint").alias("num"),
     ).filter(F.col("n_orders") >= 2)
     return pernation.join(
-        F.broadcast(n.select(F.col("n_nationkey").alias("nationkey"), "n_name")),
+        F.broadcast(n.select(F.col("n_nationkey").alias("nationkey"), "n_name")),  # bcast: dim
         "nationkey",
     ).select(
         "nationkey",
@@ -4953,7 +4953,7 @@ def orders_abc_xyz_matrix(spark, sf_dir):
         (F.lit(1000000.0) * F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")))
         / F.col("s1").cast("double")
     )
-    cls = c.crossJoin(F.broadcast(tot)).select(
+    cls = c.crossJoin(F.broadcast(tot)).select(  # bcast: scalar
         F.when(F.col("cum_rev").cast("decimal(19,0)") * 100 <= F.col("t").cast("decimal(19,0)") * 70, "A")
         .when(F.col("cum_rev").cast("decimal(19,0)") * 100 <= F.col("t").cast("decimal(19,0)") * 90, "B")
         .otherwise("C")
@@ -5034,7 +5034,7 @@ def events_autocorr_lag1(spark, sf_dir):
         F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"),
     )
     n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
-    return m.crossJoin(F.broadcast(n_days)).select(
+    return m.crossJoin(F.broadcast(n_days)).select(  # bcast: scalar
         "n_days",
         F.col("n").alias("n_pairs"),
         "sx",
@@ -5133,8 +5133,8 @@ def events_mann_kendall_trend(spark, sf_dir):
     var18 = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
     cc = F.when(F.col("s_stat") > 0, 1).when(F.col("s_stat") < 0, -1).otherwise(0)
     return (
-        s.crossJoin(F.broadcast(nn))
-        .crossJoin(F.broadcast(ties))
+        s.crossJoin(F.broadcast(nn))  # bcast: scalar
+        .crossJoin(F.broadcast(ties))  # bcast: scalar
         .select(
             F.col("n").alias("n_days"),
             "s_stat",
@@ -5220,7 +5220,7 @@ def events_attribution_time_decay(spark, sf_dir):
         F.sum("w_micro").cast("bigint").alias("credit_micro"),
     )
     tot = agg.agg(F.sum("credit_micro").alias("total"))
-    return agg.crossJoin(F.broadcast(tot)).select(
+    return agg.crossJoin(F.broadcast(tot)).select(  # bcast: scalar
         "event_type",
         "n_credits",
         "credit_micro",
@@ -5424,7 +5424,7 @@ def events_lead_lag_xcorr(spark, sf_dir):
     a = daily.select(F.col("day").alias("yday"), "y")
     b = daily.select(F.col("day").alias("xday"), "x")
     pairs = (
-        a.crossJoin(F.broadcast(lags))
+        a.crossJoin(F.broadcast(lags))  # bcast: grid
         .join(b, F.expr("date_sub(yday, lag)") == F.col("xday"))
         .select("lag", "x", "y")
     )
@@ -5612,7 +5612,7 @@ def orders_discount_elasticity_ols(spark, sf_dir):
     brand groups — scan-dominated at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    pts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    pts = li.join(p, li.l_partkey == p.p_partkey).select(
         "p_brand",
         F.floor(F.col("l_discount") * 10000 + 0.5).cast("long").alias("x"),
         F.floor(F.col("l_quantity") + 0.5).cast("long").alias("y"),
@@ -5786,7 +5786,7 @@ def orders_price_volume_mix_bridge(spark, sf_dir):
     q = F.floor(F.col("l_quantity") + 0.5).cast("long")
     rev = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     per = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .select("p_brand", isa.alias("is_a"), q.alias("q"), rev.alias("rev_c"))
         .groupBy("p_brand")
         .agg(
@@ -6036,7 +6036,7 @@ def agg_weighted_median(spark, sf_dir):
         F.sum("ws").alias("totw"),
         (F.max("gcum") - F.sum("ws")).alias("goff"),
     )
-    c = g.join(F.broadcast(offs), "l_returnflag").select(
+    c = g.join(F.broadcast(offs), "l_returnflag").select(  # bcast: enum
         "l_returnflag",
         "cents",
         "totw",
@@ -6054,7 +6054,7 @@ def agg_weighted_median(spark, sf_dir):
         )
     )
     block = pts.join(
-        F.broadcast(med),
+        F.broadcast(med),  # bcast: enum
         (pts["l_returnflag"] == med["l_returnflag"])
         & (pts["cents"] == med["med_cents"]),
     ).select(
@@ -6083,7 +6083,7 @@ def agg_weighted_median(spark, sf_dir):
         F.sum("w").alias("blkw"),
         (F.max("bcum") - F.sum("w")).alias("boff"),
     )
-    runs = b.join(F.broadcast(boffs), "l_returnflag").select(
+    runs = b.join(F.broadcast(boffs), "l_returnflag").select(  # bcast: enum
         "l_returnflag",
         "med_cents",
         "totw",
@@ -6345,7 +6345,7 @@ def events_seasonal_decompose(spark, sf_dir):
     seas = det.groupBy("event_type", "dow").agg(
         F.expr("SUM(detr_c) div COUNT(*)").cast("bigint").alias("seasonal_c")
     )
-    return det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+    return det.join(F.broadcast(seas), ["event_type", "dow"]).select(  # bcast: grid
         "event_type", "day", "x", "trend_c", "seasonal_c",
         (F.col("detr_c") - F.col("seasonal_c")).cast("bigint").alias("resid_c"),
     )

@@ -1661,7 +1661,7 @@ def wal_replication_lag_report(spark, sf_dir):
     (map-only), then a single hash aggregate per server — the same
     two-job readout at any data size."""
     ev = load_table(spark, sf_dir, "events")
-    now_t = F.broadcast(ev.agg(F.max("ts").alias("now_ts")))
+    now_t = F.broadcast(ev.agg(F.max("ts").alias("now_ts")))  # bcast: scalar
     tagged = ev.crossJoin(now_t).select(
         (F.col("user_id") % 4).alias("server_id"),
         "ts",

@@ -110,7 +110,7 @@ def graph_pagerank_bipartite(spark, sf_dir):
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("outdeg")
     )
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(  # bcast: scalar
         "id", F.floor(float(_SCALE) / F.col("n")).cast("bigint").alias("r")
     )
     for _ in range(3):
@@ -124,7 +124,7 @@ def graph_pagerank_bipartite(spark, sf_dir):
                 .alias("contrib")
             )
         )
-        ranks = contrib.crossJoin(F.broadcast(nn)).select(
+        ranks = contrib.crossJoin(F.broadcast(nn)).select(  # bcast: scalar
             "id",
             (
                 F.floor(0.15 * float(_SCALE) / F.col("n")).cast("bigint")
@@ -211,7 +211,7 @@ def basket_copurchase_lift(spark, sf_dir):
     return (
         pair_cnt.join(ca, "part_a")
         .join(cb, "part_b")
-        .crossJoin(F.broadcast(n_orders))
+        .crossJoin(F.broadcast(n_orders))  # bcast: scalar
         .select(
             "part_a",
             "part_b",
@@ -414,7 +414,7 @@ def graph_bfs_hops(spark, sf_dir):
     ).localCheckpoint(eager=False)
     d0 = li.agg(F.min("l_partkey").alias("id"))
     f1 = (
-        edges.join(F.broadcast(d0), edges.a == d0.id).select(F.col("b").alias("id")).distinct()
+        edges.join(F.broadcast(d0), edges.a == d0.id).select(F.col("b").alias("id")).distinct()  # bcast: scalar
     )
     f2 = edges.join(f1, edges.a == f1.id).select(F.col("b").alias("id")).distinct()
     f3 = edges.join(f2, edges.a == f2.id).select(F.col("b").alias("id")).distinct()
@@ -495,8 +495,8 @@ def graph_jaccard_nation_trade(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = F.broadcast(sizes.withColumnRenamed("nationkey", "n1").withColumnRenamed("n_parts", "a_parts"))
-    sb = F.broadcast(sizes.withColumnRenamed("nationkey", "n2").withColumnRenamed("n_parts", "b_parts"))
+    sa = F.broadcast(sizes.withColumnRenamed("nationkey", "n1").withColumnRenamed("n_parts", "a_parts"))  # bcast: dim
+    sb = F.broadcast(sizes.withColumnRenamed("nationkey", "n2").withColumnRenamed("n_parts", "b_parts"))  # bcast: dim
     return (
         inter.join(sa, "n1")
         .join(sb, "n2")
@@ -787,7 +787,7 @@ def graph_hits_bipartite(spark, sf_dir):
         # step or every broadcast-max subtree replays all prior
         # supersteps (each iteration's plan nests the last one's)
         a = (
-            araw.crossJoin(F.broadcast(am))
+            araw.crossJoin(F.broadcast(am))  # bcast: scalar
             .select(
                 "p", F.expr("(a * 1048576) div amax").cast("bigint").alias("a")
             )
@@ -800,7 +800,7 @@ def graph_hits_bipartite(spark, sf_dir):
         )
         hm = hraw.agg(F.max("h").alias("hmax"))
         h = (
-            hraw.crossJoin(F.broadcast(hm))
+            hraw.crossJoin(F.broadcast(hm))  # bcast: scalar
             .select(
                 "s", F.expr("(h * 1048576) div hmax").cast("bigint").alias("h")
             )

@@ -184,7 +184,7 @@ def join_broadcast(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)  # bcast: verb
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("line_cnt"),
@@ -225,7 +225,7 @@ def join_range_theta(spark, sf_dir):
         bands_schema,
     )
     return (
-        ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))
+        ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))  # bcast: lexicon
         .groupBy("band")
         .agg(
             F.count("*").alias("event_cnt"),
@@ -348,8 +348,8 @@ def join_multiway_star(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)  # bcast: dim
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)  # bcast: dim
         .groupBy("n_name")
         .agg(
             money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(

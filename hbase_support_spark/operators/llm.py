@@ -251,8 +251,8 @@ def text_source_vocab_overlap(spark, sf_dir):
     na = n.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
     nb = n.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
     return (
-        shared.join(F.broadcast(na), "source_a")
-        .join(F.broadcast(nb), "source_b")
+        shared.join(F.broadcast(na), "source_a")  # bcast: enum
+        .join(F.broadcast(nb), "source_b")  # bcast: enum
         .select(
             "source_a",
             "source_b",
@@ -847,7 +847,7 @@ def dedup_semdedup_keep(spark, sf_dir):
         )
     )
     ctr = (
-        e.join(F.broadcast(cent), "label")
+        e.join(F.broadcast(cent), "label")  # bcast: centroids
         .select(
             "vec_id",
             "label",
@@ -1005,7 +1005,7 @@ def sim_rerank_rrf(spark, sf_dir):
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     dense = (
         e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qv))
+        .crossJoin(F.broadcast(qv))  # bcast: scalar
         .select(
             F.col("vec_id").alias("id"),
             F.round(
@@ -1023,7 +1023,7 @@ def sim_rerank_rrf(spark, sf_dir):
     )
     lex = (
         d.filter(F.col("doc_id") != 0)
-        .crossJoin(F.broadcast(qt))
+        .crossJoin(F.broadcast(qt))  # bcast: scalar
         .select(
             F.col("doc_id").alias("id"),
             F.size(
@@ -1283,7 +1283,7 @@ def sim_knn_query(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cand = e.filter(F.col("vec_id") != 0)
-    scored = cand.crossJoin(F.broadcast(q)).select(
+    scored = cand.crossJoin(F.broadcast(q)).select(  # bcast: scalar
         "vec_id",
         F.round(
             _dot(F.col("embedding"), F.col("qv"))
@@ -1408,7 +1408,7 @@ def sim_knn_int8_recall(spark, sf_dir):
     )
     itop = (
         coded.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qc))
+        .crossJoin(F.broadcast(qc))  # bcast: scalar
         .select("vec_id", s_int.alias("s_int"))
         .orderBy(F.col("s_int").desc(), "vec_id")
         .limit(10)
@@ -1424,7 +1424,7 @@ def sim_knn_int8_recall(spark, sf_dir):
     qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     ftop = (
         e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qf))
+        .crossJoin(F.broadcast(qf))  # bcast: scalar
         .select(
             F.col("vec_id").alias("f_vec"),
             F.round(
@@ -1472,7 +1472,7 @@ def sim_knn_ivf(spark, sf_dir):
     )
     scored = (
         e.filter(F.col("vec_id") != 7)
-        .join(F.broadcast(q), F.col("label") == F.col("qlabel"))
+        .join(F.broadcast(q), F.col("label") == F.col("qlabel"))  # bcast: scalar
         .select(
             "vec_id",
             F.round(
@@ -1537,7 +1537,7 @@ def sim_knn_ivf_multiprobe(spark, sf_dir):
             F.col("c0") * F.col("c0"))
     )
     probe = (
-        cent.crossJoin(F.broadcast(q))
+        cent.crossJoin(F.broadcast(q))  # bcast: scalar
         .select(
             "label",
             F.round(cdot / (cnorm * _norm(F.col("qv"))), 6).alias("score"),
@@ -1547,8 +1547,8 @@ def sim_knn_ivf_multiprobe(spark, sf_dir):
         .select("label")
     )
     scored = (
-        cand.join(F.broadcast(probe), "label")
-        .crossJoin(F.broadcast(q))
+        cand.join(F.broadcast(probe), "label")  # bcast: topk
+        .crossJoin(F.broadcast(q))  # bcast: scalar
         .select(
             "vec_id",
             F.round(
@@ -1626,6 +1626,76 @@ def sim_knn_ivf_persisted(spark, sf_dir):
     return ivf_probe(spark, idx, qv, k=5, nprobe=2, exclude_id=7)
 
 
+_ANN_APPEND_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    unn AS (
+      SELECT label, vec_id, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS v
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    cent AS (
+      SELECT label, i,
+             COALESCE(
+               AVG(CASE WHEN vec_id % 2 = 0 THEN v END),
+               AVG(CASE WHEN vec_id % 4 = 1 THEN v END),
+               AVG(CASE WHEN vec_id % 4 = 3 THEN v END)) AS c
+      FROM unn GROUP BY label, i
+    ),
+    cscore AS (
+      SELECT c.label,
+             SUM(c.c * CAST(q.qv[c.i] AS DOUBLE)) /
+               (SQRT(SUM(c.c * c.c)) *
+                SQRT(SUM(CAST(q.qv[c.i] AS DOUBLE) * CAST(q.qv[c.i] AS DOUBLE))))
+               AS score
+      FROM cent c, q GROUP BY c.label
+    ),
+    probe AS (SELECT label FROM cscore ORDER BY score DESC, label LIMIT 2),
+    scored AS (
+      SELECT e.vec_id, ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e JOIN probe p ON e.label = p.label, q, range(1, 65) r(i)
+      WHERE e.vec_id <> 7
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """
+
+
+@register("ann_index_append", oracle=_ANN_APPEND_ORACLE)
+def ann_index_append(spark, sf_dir):
+    """Incremental IVF maintenance (VERDICT r10 item 4): build the
+    persisted index from HALF the corpus (even vec_ids), then
+    ``ivf_append`` the two odd quarters as successive daily batches —
+    the production append path: quantizer frozen, assignments
+    ``mode("append")``-ed so only touched ``cell_id=`` directories
+    gain files (untouched cells asserted byte-identical in
+    tests/test_ann_index.py), centroid table updated as an nlist-row
+    metadata rewrite. The probe then sees the FULL corpus. Oracle
+    restates the frozen quantizer exactly: per-label centroids are
+    means over the BASE half, falling back to the first batch that
+    created a label's cell when the base never saw it (COALESCE
+    chain — the same first-writer-defines-the-centroid rule as
+    ivf_append's new-cell path, reachable on thinned fixtures);
+    candidate scoring runs over all vectors in the 2 probed cells."""
+    import os as _os
+
+    from ..sources.ann_index import ivf_append, ivf_build, ivf_probe
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = _os.path.join(scratch_root(), "ivf_label_index_incr")
+    ivf_build(spark, e.filter(F.col("vec_id") % 2 == 0), idx,
+              assign_col=F.col("label"))
+    ivf_append(spark, e.filter(F.col("vec_id") % 4 == 1), idx,
+               assign_col=F.col("label"))
+    ivf_append(spark, e.filter(F.col("vec_id") % 4 == 3), idx,
+               assign_col=F.col("label"))
+    anchor = e.filter(F.col("vec_id") == 7).head()
+    if anchor is None:
+        probe = ivf_probe(
+            spark, idx, [1.0] + [0.0] * 63, k=5, nprobe=2, exclude_id=7
+        )
+        return probe.filter(F.lit(False))
+    qv = [float(x) for x in anchor.embedding]
+    return ivf_probe(spark, idx, qv, k=5, nprobe=2, exclude_id=7)
+
 
 @register(
     "sim_knn_batch",
@@ -1657,7 +1727,7 @@ def sim_knn_batch(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        e.crossJoin(F.broadcast(q))  # bcast: keys
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -1866,7 +1936,7 @@ def text_tfidf_topterms(spark, sf_dir):
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df, "w")
-        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(n))  # bcast: scalar
         .select(
             "doc_id",
             F.col("w").alias("term"),
@@ -1913,7 +1983,7 @@ def text_sentiment_lexicon(spark, sf_dir):
     toks = d.select("doc_id", F.explode(F.expr(TOKENS)).alias("w"))
     lex = spark.createDataFrame(_LEXICON, ["word", "polarity"])
     return (
-        toks.join(F.broadcast(lex), toks.w == lex.word)
+        toks.join(F.broadcast(lex), toks.w == lex.word)  # bcast: lexicon
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("matched_tokens"),
@@ -2364,7 +2434,7 @@ def sim_lsh_hyperplane(spark, sf_dir):
         "   CAST(x AS DOUBLE) * w),"
         " 0D, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END)"
     )
-    bucketed = e.crossJoin(F.broadcast(planes_df)).select(
+    bucketed = e.crossJoin(F.broadcast(planes_df)).select(  # bcast: centroids
         "vec_id", sig.alias("sig")
     ).select(
         "vec_id",
@@ -2410,7 +2480,7 @@ def pipeline_decontaminate(spark, sf_dir):
     bench = sh.filter(F.col("source") == "src0").select("shingle").distinct()
     return (
         sh.filter(F.col("source") != "src0")
-        .join(F.broadcast(bench), "shingle")
+        .join(F.broadcast(bench), "shingle")  # bcast: lexicon
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= 5)
@@ -2440,7 +2510,7 @@ def events_anomaly_zscore(spark, sf_dir):
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
-        ev.join(F.broadcast(stats), "event_type")
+        ev.join(F.broadcast(stats), "event_type")  # bcast: enum
         .filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
     )
@@ -2500,7 +2570,7 @@ def agg_count_min_sketch(spark, sf_dir):
         "user_id", F.explode(F.expr("sequence(0, 3)")).alias("j")
     ).select("user_id", "j", F.expr(f"{hash_expr} % 1024").alias("slot"))
     est = (
-        probe_slots.join(F.broadcast(sketch), ["j", "slot"], "left")
+        probe_slots.join(F.broadcast(sketch), ["j", "slot"], "left")  # bcast: grid
         .groupBy("user_id")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("estimate"))
     )
@@ -2512,7 +2582,7 @@ def agg_count_min_sketch(spark, sf_dir):
     total = ev.agg(F.count("*").alias("total"))
     return (
         est.join(exact, "user_id", "left")
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(total))  # bcast: scalar
         .select(
             "user_id",
             "estimate",
@@ -2734,7 +2804,7 @@ def embedding_norm_outliers(spark, sf_dir):
     )
     z = (F.col("l2") - F.col("mu")) / F.col("sigma")
     return (
-        norms.join(F.broadcast(stats), "label")
+        norms.join(F.broadcast(stats), "label")  # bcast: enum
         .filter(F.abs(z) > 2.0)
         .select(
             "vec_id",
@@ -3308,7 +3378,7 @@ def text_ngram_lm_perplexity(spark, sf_dir):
         # join co-partitions with freq's own groupBy("w") (r10
         # broadcast-hint audit), AQE re-broadcasts when small
         toks.join(freq, "w")
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(total))  # bcast: scalar
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_toks"),
@@ -3365,7 +3435,7 @@ def sample_importance_weighted(spark, sf_dir):
     key = "concat('iw|', cast(doc_id AS string))"
     slot = F.expr(f"{h60(key)} % 1000000")
     return (
-        d.join(F.broadcast(probs), "lang")
+        d.join(F.broadcast(probs), "lang")  # bcast: enum
         .filter(slot < F.floor(F.col("p_keep") * 1000000).cast("long"))
         .select("doc_id", "lang")
     )
@@ -3486,7 +3556,7 @@ def pipeline_train_ready(spark, sf_dir):
     )
     iw_key = "concat('iw|', cast(doc_id AS string))"
     slot = F.expr(f"{h60(iw_key)} % 1000000")
-    sampled = kept_q.join(F.broadcast(probs), "lang").filter(
+    sampled = kept_q.join(F.broadcast(probs), "lang").filter(  # bcast: enum
         slot < F.floor(F.col("p_keep") * 1000000).cast("long")
     )
     digest = F.expr(f"{h60('cast(doc_id AS string)')} % 1048576")
@@ -3882,7 +3952,7 @@ def sim_range_search(spark, sf_dir):
     )
     return (
         e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(q))  # bcast: scalar
         .select(
             "vec_id",
             "label",
@@ -3954,7 +4024,7 @@ def embedding_truncation_recall(spark, sf_dir):
     q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    base = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    base = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))  # bcast: keys
 
     def ranked(vec_expr, q_expr):
         cos = F.round(
@@ -4251,7 +4321,7 @@ def pipeline_token_budget_plan(spark, sf_dir):
     offs = g.groupBy("lang").agg(
         (F.max("pcum") - F.sum("n_toks")).alias("_goff")
     )
-    walk = g.join(F.broadcast(offs), "lang").withColumn(
+    walk = g.join(F.broadcast(offs), "lang").withColumn(  # bcast: enum
         "before", F.col("pcum") - F.col("n_toks") - F.col("_goff")
     )
     kept = walk.filter(F.col("before") < 4000)
@@ -4697,7 +4767,7 @@ def sim_maxsim_multivector(spark, sf_dir):
         " a + cast(element_at(embedding, j*8 + t) AS double) *"
         " cast(element_at(qv, i*8 + t) AS double))))), 6)"
     )
-    scored = cand.crossJoin(F.broadcast(q)).select(
+    scored = cand.crossJoin(F.broadcast(q)).select(  # bcast: scalar
         "vec_id", maxsim.alias("maxsim")
     )
     return scored.orderBy(F.col("maxsim").desc(), "vec_id").limit(10)
@@ -4831,7 +4901,7 @@ def sim_ivf_recall_report(spark, sf_dir):
     q = e.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
     exact = (
         e.filter(F.col("vec_id") != 7)
-        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(q))  # bcast: scalar
         .select(
             "vec_id",
             F.round(
@@ -4846,10 +4916,10 @@ def sim_ivf_recall_report(spark, sf_dir):
     )
     p1 = sim_knn_ivf(spark, sf_dir).select("vec_id")
     p2 = sim_knn_ivf_multiprobe(spark, sf_dir).select("vec_id")
-    h1 = exact.join(F.broadcast(p1), "vec_id", "left_semi").agg(
+    h1 = exact.join(F.broadcast(p1), "vec_id", "left_semi").agg(  # bcast: topk
         F.count("*").alias("hits_nprobe1")
     )
-    h2 = exact.join(F.broadcast(p2), "vec_id", "left_semi").agg(
+    h2 = exact.join(F.broadcast(p2), "vec_id", "left_semi").agg(  # bcast: topk
         F.count("*").alias("hits_nprobe2")
     )
     return (
@@ -5009,7 +5079,7 @@ def sim_users_behavioral(spark, sf_dir):
         .filter(F.col("cum") >= 10)
         .agg(F.max("cos_sim").alias("thr"))
     )
-    kept = vp.crossJoin(F.broadcast(thr)).filter(
+    kept = vp.crossJoin(F.broadcast(thr)).filter(  # bcast: scalar
         (F.col("thr").isNull()) | (F.col("cos_sim") >= F.col("thr"))
     )
 
@@ -5119,7 +5189,7 @@ def pipeline_preference_pairs(spark, sf_dir):
     offs = g.groupBy("lang").agg(
         (F.min("_grk") - 1).alias("_off"), F.count("*").alias("_n")
     )
-    ranked = g.join(F.broadcast(offs), "lang").select(
+    ranked = g.join(F.broadcast(offs), "lang").select(  # bcast: enum
         "doc_id",
         "lang",
         "quality",
@@ -5675,7 +5745,7 @@ def sim_centroid_classify(spark, sf_dir):
         )
         .select(F.col("label").alias("cand_label"), "cvec")
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(
+    scored = e.crossJoin(F.broadcast(cent)).select(  # bcast: centroids
         "vec_id",
         F.col("label").alias("true_label"),
         "cand_label",
@@ -5882,7 +5952,7 @@ def embedding_centroid_drift(spark, sf_dir):
             6,
         ).alias("l2_shift"),
     )
-    return drift.join(F.broadcast(sizes), "label").select(
+    return drift.join(F.broadcast(sizes), "label").select(  # bcast: enum
         "label", "n_old", "n_new", "centroid_cos", "l2_shift"
     )
 
@@ -5966,7 +6036,7 @@ def text_vocab_coverage_oov(spark, sf_dir):
         .filter(F.col("rk") <= 1000)
         .select("w", F.lit(1).alias("_in_vocab"))
     )
-    j = toks.join(F.broadcast(vocab), "w", "left")
+    j = toks.join(F.broadcast(vocab), "w", "left")  # bcast: topk
     oov = F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
     return j.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
@@ -6230,7 +6300,7 @@ def pipeline_filter_funnel_report(spark, sf_dir):
     tot = d.agg(F.count(F.lit(1)).alias("total"))
     wcum = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        counts.crossJoin(F.broadcast(tot))
+        counts.crossJoin(F.broadcast(tot))  # bcast: scalar
         .withColumn(
             "n_remaining",
             (F.col("total") - F.sum("n_rejected").over(wcum)).cast("bigint"),
@@ -6794,7 +6864,7 @@ def embedding_binary_quantize_recall(spark, sf_dir):
     )
     itop = (
         bits.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(q))  # bcast: scalar
         .select("vec_id", n_match.alias("n_match_bits"))
         .orderBy(F.col("n_match_bits").desc(), "vec_id")
         .limit(10)
@@ -6808,7 +6878,7 @@ def embedding_binary_quantize_recall(spark, sf_dir):
     qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     ftop = (
         e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qf))
+        .crossJoin(F.broadcast(qf))  # bcast: scalar
         .select(
             F.col("vec_id").alias("f_vec"),
             F.round(
@@ -6877,7 +6947,7 @@ def sim_kmeans_assign_step(spark, sf_dir):
     seeds = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    scored = e.crossJoin(F.broadcast(seeds)).select(
+    scored = e.crossJoin(F.broadcast(seeds)).select(  # bcast: centroids
         "vec_id",
         "cid",
         _fold_cos6(F.col("embedding"), F.col("cv")).alias("cos_sim"),
@@ -6962,7 +7032,7 @@ def text_bpe_apply_merge(spark, sf_dir):
     )
     applied = (
         toks.filter(F.size("toks") >= 2)
-        .crossJoin(F.broadcast(top1))
+        .crossJoin(F.broadcast(top1))  # bcast: scalar
         .select(
             "doc_id",
             F.col("pair").alias("merged_pair"),
@@ -7073,7 +7143,7 @@ def sim_knn_filtered_vs_postfilter(spark, sf_dir):
     qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     scored = (
         e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qf))
+        .crossJoin(F.broadcast(qf))  # bcast: scalar
         .select(
             "vec_id",
             "label",
@@ -7553,7 +7623,7 @@ def sim_pq_adc_recall(spark, sf_dir):
         f"aggregate(zip_with(slice(qv, cast(s * {_PQ_SD} + 1 AS int), {_PQ_SD}),"
         f" cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
     )
-    enc = vecs.crossJoin(F.broadcast(cent)).select(
+    enc = vecs.crossJoin(F.broadcast(cent)).select(  # bcast: centroids
         "vec_id", "s", "k", F.expr(sub_dist).alias("dist")
     )
     w_enc = Window.partitionBy("vec_id", "s").orderBy("dist", "k")
@@ -7569,12 +7639,12 @@ def sim_pq_adc_recall(spark, sf_dir):
     )
     dtab = (
         qs.withColumnRenamed("qqv", "qv")
-        .crossJoin(F.broadcast(cent))
+        .crossJoin(F.broadcast(cent))  # bcast: centroids
         .select("q_id", "s", "k", F.expr(sub_dist).alias("dt"))
     )
     approx = (
         codes.join(
-            F.broadcast(dtab),
+            F.broadcast(dtab),  # bcast: grid
             (codes.s == dtab.s) & (codes.code == dtab.k),
         )
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -7588,7 +7658,7 @@ def sim_pq_adc_recall(spark, sf_dir):
         .select("q_id", "vec_id", "rn")
     )
     exact = (
-        vecs.crossJoin(F.broadcast(qs))
+        vecs.crossJoin(F.broadcast(qs))  # bcast: keys
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -7690,7 +7760,7 @@ def pipeline_mix_temperature_shares(spark, sf_dir):
     tot = w.agg(
         F.sum("n_chars").alias("total_chars"), F.sum("w_int").alias("total_w")
     )
-    return w.crossJoin(F.broadcast(tot)).select(
+    return w.crossJoin(F.broadcast(tot)).select(  # bcast: scalar
         "source",
         "n_docs",
         "n_chars",
@@ -7792,9 +7862,9 @@ def dedup_bloom_prefilter_audit(spark, sf_dir):
         "doc_id", F.expr(bit_expr).alias("bit"), F.expr(_h60("text")).alias("h")
     )
     probe = (
-        b_exp.join(F.broadcast(a_bits.withColumnRenamed("bit", "abit")),
+        b_exp.join(F.broadcast(a_bits.withColumnRenamed("bit", "abit")),  # bcast: grid
                    F.col("bit") == F.col("abit"), "left")
-        .join(F.broadcast(a_hashes.withColumnRenamed("h", "ah")),
+        .join(a_hashes.withColumnRenamed("h", "ah"),
               F.col("h") == F.col("ah"), "left")
         .groupBy("doc_id")
         .agg(
@@ -8014,8 +8084,10 @@ def text_js_divergence_vs_corpus(spark, sf_dir):
 
     Scale shape: token explosion feeds three hash aggs (source×word,
     source, word); the grid is |sources| × |vocab| — bounded by
-    vocabulary, not corpus size — built from two broadcast-scale
-    dimensions; at web scale you'd cap vocab to the top-K words
+    vocabulary, not corpus size. Only the FIXED side (per-source
+    totals, enum domain) keeps a broadcast hint; the vocab side
+    grows with the corpus (Heaps' law), so it is left to AQE
+    (r11 hint audit); at web scale you'd cap vocab to the top-K words
     first (the standard practice), which drops in as one TakeOrdered
     before the grid."""
     docs = load_table(spark, sf_dir, "documents")
@@ -8029,8 +8101,8 @@ def text_js_divergence_vs_corpus(spark, sf_dir):
     cw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
     nt = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
     grid = (
-        ns.crossJoin(F.broadcast(cw))
-        .crossJoin(F.broadcast(nt))
+        cw.crossJoin(F.broadcast(ns))  # bcast: enum
+        .crossJoin(F.broadcast(nt))  # bcast: scalar
         .join(sw, ["source", "w"], "left")
         .select(
             "source", "n_s", "w", "c_w", "n_t",
@@ -8247,7 +8319,7 @@ def dedup_cluster_size_histogram(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
             F.sum("sz").cast("bigint").alias("n_docs"),
         )
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(total))  # bcast: scalar
         .select(
             "cluster_size", "n_clusters", "n_docs",
             F.expr("(n_docs * 10000) div tot")
@@ -8396,9 +8468,9 @@ def text_collocation_pmi(spark, sf_dir):
         bc.filter(F.col("c_xy") >= 5)
         .withColumn("w1", F.expr("split(bg, ' ')[0]"))
         .withColumn("w2", F.expr("split(bg, ' ')[1]"))
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
-        .crossJoin(F.broadcast(nn))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nn))  # bcast: scalar
         .withColumn(
             "pmi_nano",
             F.expr(

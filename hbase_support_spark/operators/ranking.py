@@ -104,7 +104,7 @@ def with_global_rank(
 
     w_loc = Window.partitionBy(_PID).orderBy(*cols)
     out = (
-        d.join(F.broadcast(offsets), _PID)
+        d.join(F.broadcast(offsets), _PID)  # bcast: grid
         .withColumn(rank_col, F.row_number().over(w_loc) + F.col(_OFF))
         .drop(_PID, _OFF)
     )
@@ -162,7 +162,7 @@ def with_global_prefix_sum(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        d.join(F.broadcast(offsets), _PID)
+        d.join(F.broadcast(offsets), _PID)  # bcast: grid
         .withColumn(out_col, F.sum(val_col).over(w_loc) + F.col(_OFF))
         .drop(_PID, _OFF)
     )
@@ -204,7 +204,7 @@ def with_global_prefix_max(
     # greatest() is null-safe only when at least one side is non-null;
     # cross-coalescing keeps an all-null predecessor set NULL.
     return (
-        d.join(F.broadcast(offsets), _PID)
+        d.join(F.broadcast(offsets), _PID)  # bcast: grid
         .withColumn(
             out_col,
             F.greatest(

@@ -114,7 +114,7 @@ def multi_get(spark, sf_dir):
     keys = spark.createDataFrame(
         [(1,), (7,), (42,), (99,), (1000,), (123456789,)], ["c_custkey"]
     )
-    return c.join(F.broadcast(keys), "c_custkey", "left_semi").select(
+    return c.join(F.broadcast(keys), "c_custkey", "left_semi").select(  # bcast: keys
         "c_custkey", "c_name", "c_acctbal"
     )
 
@@ -324,7 +324,7 @@ def _rowkey_octiles(spark, sf_dir):
     # derive n FROM the kernel output (max cum = total), never by
     # re-aggregating the scan (the r7 double-compute lesson)
     tot = g.agg(F.max("cum").cast("bigint").alias("n"))
-    gn = g.crossJoin(F.broadcast(tot))
+    gn = g.crossJoin(F.broadcast(tot))  # bcast: scalar
     return gn.agg(
         *[
             F.expr(
@@ -510,7 +510,7 @@ def layout_hotspot_report(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
     counts = (
-        ev.crossJoin(F.broadcast(bounds))
+        ev.crossJoin(F.broadcast(bounds))  # bcast: scalar
         .select(
             F.least(
                 F.floor(
@@ -658,7 +658,7 @@ def layout_region_merge_plan(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
     counts = (
-        ev.crossJoin(F.broadcast(bounds))
+        ev.crossJoin(F.broadcast(bounds))  # bcast: scalar
         .select(
             F.least(
                 F.floor(
@@ -809,7 +809,7 @@ def layout_region_balance_plan(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
     regions = (
-        ev.crossJoin(F.broadcast(bounds))
+        ev.crossJoin(F.broadcast(bounds))  # bcast: scalar
         .select(
             F.least(
                 F.floor(
@@ -839,7 +839,7 @@ def layout_region_balance_plan(spark, sf_dir):
             F.count("*").alias("n_regions"),
             F.sum("n_rows").alias("total_rows"),
         )
-        .crossJoin(F.broadcast(grand))
+        .crossJoin(F.broadcast(grand))  # bcast: scalar
         .select(
             "server_id",
             "n_regions",
@@ -1100,7 +1100,7 @@ def scan_keyset_pagination(spark, sf_dir):
         .agg(F.max("o_orderkey").alias("cursor"))
     )
     return (
-        o.crossJoin(F.broadcast(cursor))
+        o.crossJoin(F.broadcast(cursor))  # bcast: scalar
         .filter(F.col("o_orderkey") > F.col("cursor"))
         .select(
             "o_orderkey",
@@ -1173,7 +1173,7 @@ def layout_meta_lookup(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("probe_key")
     )
-    routed = o.crossJoin(F.broadcast(splits)).withColumn(
+    routed = o.crossJoin(F.broadcast(splits)).withColumn(  # bcast: scalar
         "region_idx",
         F.size(F.filter("ks", lambda s: F.col("probe_key") >= s)).cast("int"),
     )
@@ -1281,7 +1281,7 @@ def sample_neyman_allocation(spark, sf_dir):
         .alias("w_int"),
     )
     tot = weighted.agg(F.sum("w_int").alias("sum_w"))
-    return weighted.crossJoin(F.broadcast(tot)).select(
+    return weighted.crossJoin(F.broadcast(tot)).select(  # bcast: scalar
         "stratum",
         "n_h",
         "w_int",
@@ -1356,7 +1356,7 @@ def layout_compaction_io_amplification(spark, sf_dir):
     # sums × 10000 wrap BIGINT at ×128 magnitudes. Spark DECIMAL(38,0)
     # / DuckDB HUGEINT are both exact integer arithmetic — the
     # spelling split carries no IEEE risk.
-    return per_level.crossJoin(F.broadcast(tot)).select(
+    return per_level.crossJoin(F.broadcast(tot)).select(  # bcast: scalar
         F.col("level").cast("int").alias("level"),
         "n_files",
         "level_bytes",
@@ -1652,7 +1652,7 @@ def layout_region_normalizer_plan(spark, sf_dir):
     avg_t = regions.agg(
         F.expr("SUM(region_bytes) div COUNT(*)").alias("avg_bytes")
     )
-    seq = regions.crossJoin(F.broadcast(avg_t)).withColumn(
+    seq = regions.crossJoin(F.broadcast(avg_t)).withColumn(  # bcast: scalar
         "next_bytes", F.lead("region_bytes").over(Window.orderBy("region"))
     )
     return seq.select(

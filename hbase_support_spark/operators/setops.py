@@ -88,7 +88,7 @@ def topk_per_group(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     cand = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)  # bcast: dim
         .select("n_name", "s_suppkey", "s_acctbal")
         .withColumn("_pid", F.spark_partition_id())
     )

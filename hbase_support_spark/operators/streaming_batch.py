@@ -220,7 +220,7 @@ def time_series_gap_fill(spark, sf_dir):
         .agg(F.count("*").alias("event_cnt"), F.round(F.sum("value"), 2).alias("total_value"))
     )
     return (
-        F.broadcast(spine)
+        F.broadcast(spine)  # bcast: grid
         .join(actual, "hour_start", "left")
         .select(
             "hour_start",
@@ -515,7 +515,7 @@ def events_cusum_changepoint(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    walk = ev.crossJoin(F.broadcast(stats)).select(
+    walk = ev.crossJoin(F.broadcast(stats)).select(  # bcast: scalar
         "user_id",
         "n_rows",
         (
@@ -650,7 +650,7 @@ def events_cohort_ltv_curve(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        weekly.join(F.broadcast(sized), "cohort_week")
+        weekly.join(F.broadcast(sized), "cohort_week")  # bcast: grid
         .select(
             "cohort_week",
             "age_weeks",
@@ -957,8 +957,8 @@ def events_audience_overlap(spark, sf_dir):
         F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
     )
     return (
-        inter.join(F.broadcast(sa), "type_a")
-        .join(F.broadcast(sb), "type_b")
+        inter.join(F.broadcast(sa), "type_a")  # bcast: enum
+        .join(F.broadcast(sb), "type_b")  # bcast: enum
         .select(
             "type_a",
             "type_b",
@@ -1044,7 +1044,7 @@ def events_time_to_convert_curve(spark, sf_dir):
     day_us = 86400000000.0
     per_user = (
         vw.join(pu, "user_id", "left")
-        .crossJoin(F.broadcast(horizon))
+        .crossJoin(F.broadcast(horizon))  # bcast: scalar
         .select(
             F.floor((F.col("conv_us") - F.col("view_us")) / day_us)
             .cast("bigint")
@@ -1253,11 +1253,11 @@ def events_peak_concurrency(spark, sf_dir):
     peak = swept.agg(F.max("c").cast("bigint").alias("peak_concurrency"))
     n_sess = sess.agg(F.count("*").alias("n_sessions"))
     at = (
-        swept.join(F.broadcast(peak), swept.c == F.col("peak_concurrency"))
+        swept.join(F.broadcast(peak), swept.c == F.col("peak_concurrency"))  # bcast: scalar
         .agg(F.min("us").cast("bigint").alias("peak_at_us"))
     )
     return (
-        n_sess.crossJoin(F.broadcast(peak)).crossJoin(F.broadcast(at))
+        n_sess.crossJoin(F.broadcast(peak)).crossJoin(F.broadcast(at))  # bcast: scalar
     )
 
 
@@ -1812,7 +1812,7 @@ def events_retention_matrix(spark, sf_dir):
     base = cells.filter(F.col("week_offset") == 0).select(
         "cohort_week", F.col("n_active").alias("n_cohort")
     )
-    return cells.join(F.broadcast(base), "cohort_week").select(
+    return cells.join(F.broadcast(base), "cohort_week").select(  # bcast: grid
         "cohort_week",
         "week_offset",
         "n_active",

@@ -137,21 +137,21 @@ def tpch_q7_volume(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     n1 = (
-        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),  # bcast: dim
                n.n_regionkey == r.r_regionkey)
         .select(F.col("n_nationkey").alias("s_natkey"), F.col("n_name").alias("supp_nation"))
     )
     n2 = (
-        n.join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+        n.join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),  # bcast: dim
                n.n_regionkey == r.r_regionkey)
         .select(F.col("n_nationkey").alias("c_natkey"), F.col("n_name").alias("cust_nation"))
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_natkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_natkey"))  # bcast: dim
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_natkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_natkey"))  # bcast: dim
         .select(
             "supp_nation",
             "cust_nation",
@@ -204,7 +204,7 @@ def tpch_q8_share(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    cust_nat = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+    cust_nat = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(  # bcast: dim
         F.col("n_nationkey").alias("c_natkey")
     )
     supp_nat = n.select(
@@ -212,12 +212,12 @@ def tpch_q8_share(spark, sf_dir):
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("c_natkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("s_natkey"))
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("c_natkey"))  # bcast: dim
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("s_natkey"))  # bcast: dim
         .select(
             F.year("o_orderdate").alias("o_year"),
             vol.alias("volume"),
@@ -274,7 +274,7 @@ def tpch_q10_returns(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # bcast: dim
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -331,7 +331,9 @@ def tpch_q13_distribution(spark, sf_dir):
     """,
 )
 def tpch_q14_promo(spark, sf_dir):
-    """Q14: promo revenue share for one month. Part broadcasts onto
+    """Q14: promo revenue share for one month. AQE sizes the part
+    side at runtime (un-hinted in the r11 audit — part grows with
+    SF) onto
     the date-pruned lineitem scan; the whole query is map-side joins
     plus one scalar aggregate."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -341,7 +343,7 @@ def tpch_q14_promo(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -383,7 +385,7 @@ def tpch_q17_scalar_corr(spark, sf_dir):
         (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(part_avg, li.l_partkey == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(money_sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -470,10 +472,10 @@ def tpch_q22_anti_scalar(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_v"))
     return (
-        c.crossJoin(F.broadcast(avg_bal))
+        c.crossJoin(F.broadcast(avg_bal))  # bcast: scalar
         .filter(F.col("c_acctbal") > F.col("avg_v"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # bcast: dim
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),
@@ -530,10 +532,10 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         cost.join(best, (F.col("l_partkey") == F.col("b_partkey"))
                   & (F.col("min_price") == F.col("best_price")))
         .drop("b_partkey")
-        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(p, cost.l_partkey == p.p_partkey)
+        .join(s, cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)  # bcast: dim
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)  # bcast: dim
         .select(
             "p_partkey", "p_brand", "s_name", "n_name",
             F.round("min_price", 2).alias("best_price"),
@@ -568,17 +570,20 @@ def tpch_q9_product_profit(spark, sf_dir):
     which this query's cent-scale totals showed to be one ulp from
     the rounding boundary at sf0.01. The
     part filter prunes before the fact joins; orders joins on the
-    fact-fact key under AQE, supplier/nation/part broadcast."""
+    fact-fact key under AQE; nation keeps its dim hint, while the
+    SF-scale part/supplier sides are left to AQE's runtime sizing
+    (r11 hint audit: a force-hint on a frame that grows with SF is a
+    100-TB driver OOM; AQE still broadcasts them at small SF)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%rod%"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)  # bcast: dim
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -628,7 +633,7 @@ def tpch_q11_important_parts(spark, sf_dir):
     val = li.groupBy("l_partkey").agg(F.sum(cents).alias("pv_cents"))
     total = val.agg((F.sum("pv_cents") * 0.0006).alias("threshold_cents"))
     return (
-        val.crossJoin(F.broadcast(total))
+        val.crossJoin(F.broadcast(total))  # bcast: scalar
         .filter(F.col("pv_cents") > F.col("threshold_cents"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -708,9 +713,9 @@ def tpch_q15_top_supplier(spark, sf_dir):
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     s = load_table(spark, sf_dir, "supplier")
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.crossJoin(F.broadcast(mx))  # bcast: scalar
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -747,8 +752,8 @@ def tpch_q16_supplier_counts(spark, sf_dir):
         "s_suppkey"
     )
     per_key = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size", "l_suppkey")
         .agg(F.count("*").alias("_n"))
     )
@@ -781,7 +786,7 @@ def tpch_q19_bracket_revenue(spark, sf_dir):
     cross product."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     bracket = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -822,13 +827,13 @@ def tpch_q19_bracket_revenue(spark, sf_dir):
 def tpch_q20_excess_suppliers(spark, sf_dir):
     """Q20 shape (IN over a grouped-HAVING subquery): suppliers who
     moved more than a threshold volume of promo parts. The inner
-    aggregate runs once (shuffle on suppkey after the broadcast part
+    aggregate runs once (shuffle on suppkey after the AQE-sized part
     filter), then the IN is a left-semi join against the tiny
     qualifying set — never a per-supplier re-scan."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     heavy = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 2500)
@@ -838,7 +843,7 @@ def tpch_q20_excess_suppliers(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     return (
         s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)  # bcast: dim
         .select("s_suppkey", "s_name", "n_name")
     )
 
@@ -891,7 +896,7 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         l.filter(F.col("l_returnflag") == "R")
         .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)),
               "l_orderkey")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )

@@ -90,7 +90,7 @@ def win_rank_dense_ntile(spark, sf_dir):
     )
     rn = F.col("_grk") - F.col("_off")
     return (
-        g.join(F.broadcast(offs), "o_orderstatus")
+        g.join(F.broadcast(offs), "o_orderstatus")  # bcast: enum
         .select(
             "o_orderkey",
             "o_orderstatus",
@@ -273,7 +273,7 @@ def win_cume_percent_nth(spark, sf_dir):
     offs = g.groupBy("o_orderstatus").agg(
         (F.min("_grk") - 1).alias("_off"), F.count("*").alias("_n")
     )
-    gg = g.join(F.broadcast(offs), "o_orderstatus").withColumn(
+    gg = g.join(F.broadcast(offs), "o_orderstatus").withColumn(  # bcast: enum
         "_rn", F.col("_grk") - F.col("_off")
     )
     third = gg.filter(F.col("_rn") == 3).select(
@@ -282,7 +282,7 @@ def win_cume_percent_nth(spark, sf_dir):
     n = F.col("_n")
     rn = F.col("_rn")
     return (
-        gg.join(F.broadcast(third), "o_orderstatus", "left")
+        gg.join(F.broadcast(third), "o_orderstatus", "left")  # bcast: enum
         .select(
             "o_orderkey",
             "o_orderstatus",

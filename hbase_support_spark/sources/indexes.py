@@ -67,7 +67,7 @@ def index_lookup(
         .select(key_col)
         .distinct()
     )
-    return base.join(F.broadcast(keys), key_col, "left_semi")
+    return base.join(keys, key_col, "left_semi")
 
 
 def index_incremental_update(
@@ -95,7 +95,7 @@ def index_incremental_update(
     the write amplification."""
     bucket_of = lambda c: F.crc32(c.cast("string")) % n_buckets  # noqa: E731
     keys = delta.select(key_col).distinct()
-    old_entries = base_before.join(F.broadcast(keys), key_col, "left_semi").select(
+    old_entries = base_before.join(keys, key_col, "left_semi").select(
         indexed_col, key_col
     )
     new_entries = delta.select(indexed_col, key_col)
@@ -116,7 +116,7 @@ def index_incremental_update(
     # mid-overwrite. Survivor volume is bounded by the touched
     # buckets (~2 per delta key), not the index size.
     survivors = idx.filter(F.col("bucket").isin(touched)).join(
-        F.broadcast(keys), key_col, "left_anti"
+        keys, key_col, "left_anti"
     ).localCheckpoint(eager=True)
     additions = new_entries.withColumn(
         "bucket", bucket_of(F.col(indexed_col))

@@ -117,7 +117,7 @@ def write_zordered(
         return F.floor((c - F.col(lo)) * (1 << bits) / span).cast("long")
 
     (
-        df.crossJoin(F.broadcast(bounds))
+        df.crossJoin(F.broadcast(bounds))  # bcast: scalar
         .withColumn(
             "_z",
             morton_code(

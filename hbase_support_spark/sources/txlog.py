@@ -161,7 +161,7 @@ def _touched_files(
         F.col(key), F.input_file_name().alias("_file")
     )
     rows = (
-        cur.join(F.broadcast(keys), key, "left_semi")
+        cur.join(keys, key, "left_semi")
         .select("_file")
         .distinct()
         .collect()
@@ -185,7 +185,7 @@ def txlog_merge(
     touched = _touched_files(spark, files, keys, key)
     untouched = [f for f in files if f not in set(touched)]
     survivors = (
-        _read_files(spark, touched).join(F.broadcast(keys), key, "left_anti")
+        _read_files(spark, touched).join(keys, key, "left_anti")
         if touched
         else None
     )

@@ -97,3 +97,121 @@ def test_centroid_table_is_tiny_single_file(spark, sf_dir, tmp_path):
     ivf_build(spark, e, idx, assign_col=F.col("label"))
     files = glob.glob(f"{idx}/centroids/part-*.parquet")
     assert len(files) == 1
+
+
+def _files_snapshot(root: str) -> dict:
+    out = {}
+    for p in glob.glob(f"{root}/assignments/cell_id=*/part-*.parquet"):
+        out[p] = os.path.getsize(p)
+    return out
+
+
+def test_append_touches_only_its_cells(spark, sf_dir, tmp_path):
+    """r11 incremental maintenance: appending a batch must leave every
+    untouched cell directory byte-identical (same files, same sizes)
+    — the 100-TB contract is 'no rebuild, no rewrite of cold cells'."""
+    from hbase_support_spark.sources.ann_index import ivf_append
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_incr")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    ivf_build(spark, base, idx, assign_col=F.col("label"))
+    before = _files_snapshot(idx)
+
+    batch = e.filter((F.col("vec_id") % 4 == 1) & (F.col("label") < 3))
+    res = ivf_append(spark, batch, idx, assign_col=F.col("label"))
+    assert res["n_appended"] == batch.count()
+    assert res["touched_cells"] == sorted(
+        r.label for r in batch.select("label").distinct().collect()
+    )
+    after = _files_snapshot(idx)
+    # every pre-existing file is still there, byte-for-byte size
+    for p, sz in before.items():
+        assert after.get(p) == sz, f"pre-existing file rewritten: {p}"
+    # new files appear ONLY under touched cells
+    grew = {p for p in after if p not in before}
+    touched = {f"cell_id={c}" for c in res["touched_cells"]}
+    assert grew and all(p.split("/")[-2] in touched for p in grew)
+    # counts in the centroid table reflect the append
+    cents = {
+        r.cell_id: r.n
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    for c in res["touched_cells"]:
+        n_base = base.filter(F.col("label") == c).count()
+        n_new = batch.filter(F.col("label") == c).count()
+        assert cents[c] == n_base + n_new
+
+
+def test_two_appends_match_full_rebuild_probe(spark, sf_dir, tmp_path):
+    """Build(half) + two appends must probe IDENTICALLY to a full
+    rebuild with the same (label) quantizer: frozen centroids route
+    the same cells, and within-cell scoring is exact either way —
+    only the centroid VECTORS differ (base means vs full means), so
+    compare via the probe result, pinning nprobe to the same cells."""
+    from hbase_support_spark.sources.ann_index import ivf_append
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx_i = str(tmp_path / "ivf_i")
+    ivf_build(spark, e.filter(F.col("vec_id") % 2 == 0), idx_i,
+              assign_col=F.col("label"))
+    ivf_append(spark, e.filter(F.col("vec_id") % 4 == 1), idx_i,
+               assign_col=F.col("label"))
+    ivf_append(spark, e.filter(F.col("vec_id") % 4 == 3), idx_i,
+               assign_col=F.col("label"))
+    idx_f = str(tmp_path / "ivf_f")
+    ivf_build(spark, e, idx_f, assign_col=F.col("label"))
+
+    # same corpus in both indexes
+    n_i = spark.read.parquet(f"{idx_i}/assignments").count()
+    n_f = spark.read.parquet(f"{idx_f}/assignments").count()
+    assert n_i == n_f == e.count()
+
+    qv = _query_vec(e)
+    got_i = [(r.vec_id, r.cos_sim)
+             for r in ivf_probe(spark, idx_i, qv, k=10, nprobe=10,
+                                exclude_id=7).collect()]
+    got_f = [(r.vec_id, r.cos_sim)
+             for r in ivf_probe(spark, idx_f, qv, k=10, nprobe=10,
+                                exclude_id=7).collect()]
+    # nprobe=all cells: identical exact result regardless of centroid
+    # provenance — the recall-unchanged bound at its tightest
+    assert got_i == got_f
+
+
+def test_append_new_cell_and_kmeans_assign_path(spark, sf_dir, tmp_path):
+    """(a) a batch with an unseen assign_col value creates a fresh
+    routable cell; (b) the k-means index appends WITHOUT assign_col by
+    assigning to the frozen nearest centroid — cell ids stay within
+    the built set and the corpus count grows."""
+    from hbase_support_spark.sources.ann_index import ivf_append
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # (a) new-cell path
+    idx = str(tmp_path / "ivf_newcell")
+    ivf_build(spark, e.filter(F.col("label") < 9), idx,
+              assign_col=F.col("label"))
+    batch = e.filter(F.col("label") == 9)
+    if batch.head() is not None:
+        res = ivf_append(spark, batch, idx, assign_col=F.col("label"))
+        assert res["new_cells"] == [9]
+        cents = spark.read.parquet(f"{idx}/centroids")
+        row = cents.filter(F.col("cell_id") == 9).head()
+        assert row is not None and row.n == batch.count()
+        # probing toward the new cell's own centroid finds its members
+        got = ivf_probe(spark, idx, [float(x) for x in row.centroid],
+                        k=3, nprobe=1).collect()
+        assert got
+
+    # (b) frozen-quantizer k-means append
+    idx2 = str(tmp_path / "ivf_km")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    ivf_build(spark, half, idx2, nlist=8, iters=2)
+    built_cells = {
+        r.cell_id for r in spark.read.parquet(f"{idx2}/centroids").collect()
+    }
+    res = ivf_append(spark, e.filter(F.col("vec_id") % 2 == 1), idx2)
+    assert res["n_appended"] == e.count() - half.count()
+    assert not res["new_cells"]  # frozen quantizer: no new cells
+    assert set(res["touched_cells"]) <= built_cells
+    assert spark.read.parquet(f"{idx2}/assignments").count() == e.count()

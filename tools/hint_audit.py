@@ -46,10 +46,22 @@ by the data volume:
               bin edges, date spine bounded by a constant window)
   keys        an explicitly capped key list (e.g. sampled/multi-get
               key set of constant length)
+  verb        THE broadcast-join demo row itself (join_broadcast):
+              the hint is the demonstrated operator, precondition
+              documented in its docstring. Allowed ONLY in
+              operators/joins.py; exempt from growth/cap checks.
 
-Anything else -- degree tables, vocab DF, cohorts, per-entity stats --
-is NOT broadcastable by hint; leave it to AQE (see
-tests/test_broadcast_hints.py for the pinned un-hinted sites).
+Growth policy: every kind except `grid`/`verb` must be FLAT across a
+10x scale-up (ratio <= GROWTH_LIMIT) -- a "dim" that doubles with SF
+is a mis-tagged fact. `grid` frames (fixed cross-domain grids: CMS
+j x slot, class x band) legitimately FILL their domain as data grows,
+so they are exempt from the growth check but get a tight row cap
+(the domain product is a code constant).
+
+Anything else -- degree tables, vocab DF, cohorts, per-entity stats,
+SF-scale TPC-H part/supplier -- is NOT broadcastable by hint; leave
+it to AQE (r11 un-hinted 21 such sites; see
+tests/test_broadcast_hints.py for pinned un-hinted sites).
 """
 
 from __future__ import annotations
@@ -66,7 +78,12 @@ PKG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
                        "hbase_support_spark")
 REPO = os.path.dirname(PKG_DIR)
 
-KINDS = {"scalar", "dim", "enum", "topk", "centroids", "lexicon", "grid", "keys"}
+KINDS = {"scalar", "dim", "enum", "topk", "centroids", "lexicon", "grid",
+         "keys", "verb"}
+# kinds exempt from the flat-growth requirement (domain-fill / demo)
+GROWTH_EXEMPT = {"grid", "verb"}
+# `verb` is the broadcast-join §2 demo; one module only
+VERB_FILES = {"hbase_support_spark/operators/joins.py"}
 
 # A site tagged with kind K must stay under these row counts at ANY
 # scale (checked empirically in --measure). The caps are generous --
@@ -74,12 +91,13 @@ KINDS = {"scalar", "dim", "enum", "topk", "centroids", "lexicon", "grid", "keys"
 KIND_CAPS = {
     "scalar": 64,
     "dim": 1_000,
-    "enum": 1_000,
+    "enum": 2_000,
     "topk": 100_000,
     "centroids": 65_536,
     "lexicon": 100_000,
-    "grid": 100_000,
+    "grid": 8_192,
     "keys": 100_000,
+    "verb": None,  # exempt (documented precondition at the demo site)
 }
 # Max allowed count ratio between two SFs that differ 10x in volume.
 # Bounded frames are flat; 3x absorbs sampling noise (e.g. an enum
@@ -112,7 +130,9 @@ def scan_static():
 
 def run_static(verbose=True):
     sites = scan_static()
-    bad = [(f, l, t) for (f, l, t) in sites if t is None or t not in KINDS]
+    bad = [(f, l, t) for (f, l, t) in sites
+           if t is None or t not in KINDS
+           or (t == "verb" and f not in VERB_FILES)]
     by_kind = defaultdict(int)
     for _f, _l, t in sites:
         if t in KINDS:
@@ -201,9 +221,10 @@ def run_measure(sf_dirs, out_path):
         per_sf = {sf: runs[sf].get(site) for sf in sf_dirs}
         vals = [v for v in per_sf.values() if v is not None]
         cap = KIND_CAPS.get(tag, 0)
-        over_cap = max(vals) > cap if vals else False
+        over_cap = bool(vals) and cap is not None and max(vals) > cap
         growth = (max(vals) / max(1, min(vals))) if len(vals) > 1 else 1.0
-        grows = len(vals) > 1 and max(vals) > 32 and growth > GROWTH_LIMIT
+        grows = (tag not in GROWTH_EXEMPT and len(vals) > 1
+                 and max(vals) > 32 and growth > GROWTH_LIMIT)
         row = {"file": f, "line": l, "kind": tag, "rows": per_sf,
                "growth": round(growth, 2), "over_cap": over_cap,
                "grows": grows,
