@@ -113,3 +113,45 @@ def test_load_table_survives_missing_spark_context(spark, sf_dir):
     assert df.count() == 25
     # and a second call doesn't blow up on the (skipped) memo either
     assert load_table(NoCtx(spark), sf_dir, "nation").count() == 25
+
+
+def test_jvm_seams_survive_missing_spark_context(spark, sf_dir, tmp_path):
+    """r11: the two remaining JVM-gateway call sites (partition drop
+    in merge.py, compaction planning) must degrade to OS-level
+    fallbacks on a Connect-style session for local paths, and fail
+    LOUDLY (not silently no-op) for remote URIs."""
+    import pytest as _pytest
+
+    from hbase_support_spark.merge import _drop_partition_dir
+    from hbase_support_spark.sources.compaction import plan_compaction
+
+    class NoCtx:
+        def __init__(self, inner):
+            self._inner = inner
+
+        @property
+        def sparkContext(self):
+            raise Exception("sparkContext is not supported in Spark Connect")
+
+        def __getattr__(self, item):
+            return getattr(self._inner, item)
+
+    # compaction planning: identical answer with and without the JVM
+    want = plan_compaction(spark, sf_dir)
+    got = plan_compaction(NoCtx(spark), sf_dir)
+    assert got == want and got["n_files"] > 0
+
+    # partition drop: actually removes the local dir
+    part = tmp_path / "t" / "k=1"
+    part.mkdir(parents=True)
+    (part / "part-0.parquet").write_bytes(b"x")
+    _drop_partition_dir(NoCtx(spark), str(tmp_path / "t"), "k", 1)
+    assert not part.exists()
+    # missing dir: no-op, no crash
+    _drop_partition_dir(NoCtx(spark), str(tmp_path / "t"), "k", 2)
+
+    # remote URI without a JVM: loud failure, never a silent no-op
+    with _pytest.raises(NotImplementedError):
+        _drop_partition_dir(NoCtx(spark), "s3://bucket/t", "k", 1)
+    with _pytest.raises((NotImplementedError, OSError)):
+        plan_compaction(NoCtx(spark), "s3://bucket/t")
