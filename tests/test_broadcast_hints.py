@@ -54,6 +54,28 @@ _FORBIDDEN = {
     "scan_raw_with_tombstones": ["F.broadcast(markers)"],
     "layout_block_index_lookup": ["F.broadcast(idx)"],
     "join_shipping_priority_topk": ["F.broadcast(c)"],
+    # ---- r11 sweep (empirical two-scale measurement, HINT_AUDIT_r11):
+    # TPC-H part/supplier grow linearly with SF (part = SF x 200k,
+    # supplier = SF x 10k — ~2e10 / 1e9 rows at 100 TB); force-hints
+    # on them were guaranteed driver OOMs. AQE still broadcasts at
+    # small SF (plans verified unchanged at sf0.1).
+    "tpch_q2_min_cost_supplier": ["F.broadcast(p)", "F.broadcast(s)"],
+    "tpch_q7_volume": ["F.broadcast(s)"],
+    "tpch_q8_share": ["F.broadcast(p)", "F.broadcast(s)"],
+    "tpch_q9_product_profit": ["F.broadcast(p)", "F.broadcast(s)"],
+    "tpch_q14_promo": ["F.broadcast(p)"],
+    "tpch_q15_top_supplier": ["F.broadcast(s)"],
+    "tpch_q16_supplier_counts": ["F.broadcast(p)", "F.broadcast(bad)"],
+    "tpch_q17_scalar_corr": ["F.broadcast(p)"],
+    "tpch_q19_bracket_revenue": ["F.broadcast(p)"],
+    "tpch_q20_excess_suppliers": ["F.broadcast(p)"],
+    "tpch_q21_waiting_supplier": ["F.broadcast(s)"],
+    "orders_discount_elasticity_ols": ["F.broadcast(p)"],
+    "orders_price_volume_mix_bridge": ["F.broadcast(p)"],
+    # corpus-vocabulary frames (Heaps' law growth):
+    "text_collocation_pmi": ["F.broadcast(u1)", "F.broadcast(u2)"],
+    "text_js_divergence_vs_corpus": ["F.broadcast(cw)"],
+    "dedup_bloom_prefilter_audit": ["F.broadcast(a_hashes"],
 }
 
 
@@ -73,3 +95,22 @@ def test_unbounded_frame_stays_unhinted(name):
             "the data — driver OOM at scale; see SCALE.md r10 "
             "broadcast-hint audit"
         )
+
+
+# r11: data-scale frames inside SOURCE-module helpers (not query fns)
+_MODULE_FORBIDDEN = {
+    "hbase_support_spark.sources.txlog": ["F.broadcast(keys)"],
+    "hbase_support_spark.sources.indexes": ["F.broadcast(keys)"],
+}
+
+
+@pytest.mark.parametrize("mod", sorted(_MODULE_FORBIDDEN))
+def test_helper_modules_keep_key_frames_unhinted(mod):
+    """Merge-source key sets and index update batches grow with the
+    WORKLOAD (a 100-TB table's daily merge batch is itself huge);
+    left to AQE, which broadcasts them only when actually small."""
+    import importlib
+
+    src = inspect.getsource(importlib.import_module(mod))
+    for frag in _MODULE_FORBIDDEN[mod]:
+        assert frag not in src, f"{mod}: {frag!r} re-hinted a workload-scale frame"
