@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Full-registry census at an R-times replicated fixture.
+
+Runs EVERY registry query once (timed, noop sink) against the
+scale_stress replica set, with the census bookkeeping the per-round
+CENSUS_* artifacts use: a query that throws is retried once on the
+same session (``flaked`` if it then passes); a dead JVM (py4j
+connection error) restarts the session and retries (``jvm-died``);
+anything still failing is ``failed`` and listed. Output: one line per
+query sorted slowest-first, plus the header/footer tallies.
+
+Usage: python tools/census.py [R] [sf_dir] [out_file]
+Default: R=128 over sf0.1 -> CENSUS_x128_<label>.txt
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hbase_support_spark import QUERIES, get_spark, load_all
+from tools.scale_stress import build  # noqa: E402
+
+
+def _is_jvm_death(exc: BaseException) -> bool:
+    s = f"{type(exc).__name__}: {exc}"
+    return any(m in s for m in (
+        "Py4JNetworkError", "Connection refused", "Answer from Java side is empty",
+        "Java gateway process", "Py4JError",
+    ))
+
+
+def main() -> None:
+    r = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_path = sys.argv[3] if len(sys.argv) > 3 else f"CENSUS_x{r}_r11.txt"
+    load_all()
+    spark = get_spark("census", shuffle_partitions=32)
+    dst = os.path.abspath(f".scratch/stress_x{r}")
+    if not os.path.exists(f"{dst}/lineitem.parquet"):
+        t0 = time.time()
+        build(spark, src, dst, r)
+        print(f"built x{r} replica set in {time.time() - t0:.1f}s -> {dst}",
+              flush=True)
+    QUERIES["agg_rowcount"](spark, dst).collect()  # warm
+
+    times: dict[str, float] = {}
+    flaked, jvm_died, failed = [], [], []
+    names = sorted(QUERIES)
+    for i, name in enumerate(names, 1):
+        for attempt in (1, 2):
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, dst).write.format("noop").mode(
+                    "overwrite").save()
+                times[name] = time.perf_counter() - t0
+                if attempt == 2:
+                    flaked.append(name)
+                break
+            except Exception as e:
+                if _is_jvm_death(e):
+                    jvm_died.append(name)
+                    try:
+                        spark.stop()
+                    except Exception:
+                        pass
+                    spark = get_spark("census", shuffle_partitions=32)
+                if attempt == 2:
+                    failed.append(name)
+                    print(f"FAILED {name}: {type(e).__name__}: {e}"[:300],
+                          flush=True)
+                    traceback.print_exc(limit=3)
+        if i % 25 == 0:
+            print(f"... {i}/{len(names)} ({sum(times.values()):.0f}s so far)",
+                  flush=True)
+
+    total = sum(times.values())
+    hdr = (f"# x{r} census at r11 HEAD (post hint-classification sweep + "
+           f"decimal cusum + ivf_append): {len(times)}/{len(names)}, "
+           f"{len(set(flaked))} flaked / {len(set(jvm_died))} jvm-died / "
+           f"{len(failed)} failed, TOTAL {total:.1f}s")
+    lines = [hdr] + [
+        f"{n:37s} {t:7.3f}s" for n, t in
+        sorted(times.items(), key=lambda kv: -kv[1])
+    ] + [
+        f"TOTAL {total:.1f}s for {len(times)}/{len(names)} queries at "
+        f"{dst} ({len(set(flaked))} flaked-then-passed, "
+        f"{len(set(jvm_died))} jvm-died-then-passed, {len(failed)} failed)"
+    ]
+    if failed:
+        lines.append("FAILED: " + ", ".join(failed))
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(lines[0])
+    print(lines[-1])
+
+
+if __name__ == "__main__":
+    main()
