@@ -30,8 +30,29 @@ def _is_jvm_death(exc: BaseException) -> bool:
     s = f"{type(exc).__name__}: {exc}"
     return any(m in s for m in (
         "Py4JNetworkError", "Connection refused", "Answer from Java side is empty",
-        "Java gateway process", "Py4JError",
+        "Java gateway process", "Py4JError", "EOFError",
     ))
+
+
+def _restart_spark(old):
+    """Fully restart the JVM after a gateway death: py4j caches the
+    dead gateway on SparkContext, so a plain get_spark() would try to
+    reuse it and die with ConnectionRefused (observed r11)."""
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    try:
+        old.stop()
+    except Exception:
+        pass
+    SparkContext._active_spark_context = None
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    os.environ.pop("PYSPARK_GATEWAY_PORT", None)
+    os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
+    return get_spark("census", shuffle_partitions=32)
 
 
 def main() -> None:
@@ -64,11 +85,7 @@ def main() -> None:
             except Exception as e:
                 if _is_jvm_death(e):
                     jvm_died.append(name)
-                    try:
-                        spark.stop()
-                    except Exception:
-                        pass
-                    spark = get_spark("census", shuffle_partitions=32)
+                    spark = _restart_spark(spark)
                 if attempt == 2:
                     failed.append(name)
                     print(f"FAILED {name}: {type(e).__name__}: {e}"[:300],
