@@ -297,15 +297,28 @@ _MINHASH_ORACLE = f"""
 def minhash_pairs(docs, member_cap: int = 256, shingle_cap: int = 1 << 20):
     """MinHash+LSH candidate generation + exact-Jaccard verify over a
     `(doc_id, text)` DataFrame; returns `(doc_a, doc_b, jaccard)` with
-    jaccard ≥ 0.7. Factored out so tests can feed synthetic corpora
+    jaccard >= 0.7. Factored out so tests can feed synthetic corpora
     (oversized docs, adversarial buckets) without parquet fixtures.
 
-    Memory guards per (band, bucket): `member_cap` bounds the member
-    count (skew clamp) and `shingle_cap` bounds the TOTAL shingle
-    strings collected into one agg buffer — a 256-member bucket of
-    book-length docs would otherwise be a multi-GB collect_list at
-    100 TB. Oversized buckets are dropped, not spilled: at the verify
-    threshold (0.7) a bucket that big is either a hash pile-up or a
+    Scale shape (restructured r11 after an x128 disk-full): the band
+    explode shuffles ONLY (doc_id, n_shingles, band, bucket) — four
+    longs per row. The previous spelling carried each doc's full
+    shingle array through the 16-band explode, i.e. ~16x the corpus
+    bytes through one exchange (observed: a 70 GB shuffle + spill at
+    x128 on a 2 GB fixture; unrunnable at 100 TB). Shingles are now
+    joined back ONTO THE SURVIVING CANDIDATE PAIRS only (two hash
+    joins against the 1x corpus shingle projection; AQE broadcasts
+    the candidate side when small — no hint, it grows with data), so
+    total shuffle volume is O(corpus + pairs), not O(16 x corpus).
+
+    Memory guards per (band, bucket), applied COUNT-FIRST: pass 1
+    aggregates member count and total shingle volume (map-side
+    combinable longs), and only buckets within `member_cap` /
+    `shingle_cap` are admitted — via semi-join — into the doc-id
+    collect. A mass-duplicate bucket (boilerplate at 100 TB) is
+    dropped before ANY membership materializes; the collect buffer is
+    bounded at member_cap longs by construction. At the verify
+    threshold (0.7) an oversized bucket is either a hash pile-up or a
     mass-duplicate cluster that exact dedup already catches.
     """
     # Stage base hashes once (one string hash per shingle), then
@@ -313,63 +326,65 @@ def minhash_pairs(docs, member_cap: int = 256, shingle_cap: int = 1 << 20):
     # xxhash64(s, h) over two longs costs no string allocation, vs the
     # naive xxhash64(concat(seed, shingle)) which builds 64 strings
     # per shingle (2.5x end-to-end at sf0.1).
-    sigs = (
-        with_shingles(docs, "doc_id")
-        .filter(F.size("shingles") > 0)
-        .select(
-            "doc_id",
-            "shingles",
-            F.expr("transform(shingles, sh -> xxhash64(sh))").alias("hs"),
-        )
-        .select(
-            "doc_id",
-            "shingles",
-            F.expr(
-                "transform(sequence(0, 63), s ->"
-                " array_min(transform(hs, h -> xxhash64(s, h))))"
-            ).alias("sig"),
-        )
+    shing = with_shingles(docs, "doc_id").filter(F.size("shingles") > 0)
+    sigs = shing.select(
+        "doc_id",
+        F.size("shingles").alias("nsh"),
+        F.expr(
+            "transform(sequence(0, 63), s ->"
+            " array_min(transform(transform(shingles, sh -> xxhash64(sh)),"
+            " h -> xxhash64(s, h))))"
+        ).alias("sig"),
     )
     # 16 bands x 4 rows; bucket key = hash of the band slice + band id
     bands = sigs.select(
         "doc_id",
-        "shingles",
+        "nsh",
         F.expr(
             "explode(transform(sequence(0, 15), b ->"
             " named_struct('band', b, 'bucket',"
             " xxhash64(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x AS string)))))))"
         ).alias("bb"),
-    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # candidate pairs within a bucket (skew guard: cap member count
-    # AND total shingle volume — see docstring)
-    grouped = bands.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "shingles"))).alias("members")
+    ).select("doc_id", "nsh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # count-first skew guard (see docstring); the ok-bucket frame
+    # grows with data: no broadcast hint, AQE decides
+    bucket_ok = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.count("*").alias("_m"),
+            F.sum("nsh").alias("_vol"),
+        )
+        .filter(
+            (F.col("_m") > 1)
+            & (F.col("_m") <= member_cap)
+            & (F.col("_vol") <= shingle_cap)
+        )
+        .select("band", "bucket")
     )
-    total_shingles = F.aggregate(
-        "members", F.lit(0), lambda acc, m: acc + F.size(m["shingles"])
+    members = (
+        bands.join(bucket_ok, ["band", "bucket"], "left_semi")
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
     )
-    guarded = grouped.filter(
-        (F.size("members") > 1)
-        & (F.size("members") <= member_cap)
-        & (total_shingles <= shingle_cap)
-    )
-    pairs = (
-        guarded.select(
+    cand = (
+        members.select(
             F.explode(
                 F.expr(
                     "flatten(transform(members, (m1, i) ->"
                     " transform(slice(members, i + 2, size(members) - i - 1), m2 ->"
-                    " named_struct('a', m1, 'b', m2))))"
+                    " named_struct('doc_a', m1, 'doc_b', m2))))"
                 )
             ).alias("p")
         )
-        .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.shingles").alias("sh_a"),
-            F.col("p.b.shingles").alias("sh_b"),
-        )
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = cand.join(
+        shing.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        shing.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -385,11 +400,12 @@ def dedup_near_minhash(spark, sf_dir):
     Jaccard (the C4/GPT-3 pipeline, public technique). Kernel in
     :func:`minhash_pairs`; plan shape: one projection computes the
     64-perm signature (min over shingle hashes per seed), explode 16
-    bands → groupBy band bucket (member- and shingle-volume-capped)
-    → pair expansion inside buckets only → exact-Jaccard verify.
-    Sub-quadratic end-to-end. Shingles ride the band shuffle inside
-    the member structs — measured 20x faster at sf0.1 than joining
-    them back onto deduped id-pairs.
+    bands (doc_id + 3 longs per row — shingles do NOT ride the band
+    shuffle; r11 scale restructure) → count-first bucket guard
+    (member- and shingle-volume-capped BEFORE any membership
+    collects) → pair expansion inside buckets only → shingles joined
+    back onto the deduped candidate pairs → exact-Jaccard verify.
+    Sub-quadratic end-to-end, O(corpus + pairs) shuffle volume.
 
     Oracle validity: the output is the exact-verified subset of LSH
     candidates, so it equals the full exact-Jaccard pair set iff LSH
@@ -488,10 +504,25 @@ def dedup_simhash(spark, sf_dir):
             " (sig >> (b * 12)) & 4095)))"
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.key")
-    grouped = banded.groupBy("band", "key").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members")
+    # count-first bucket guard (r11, same fix as minhash_pairs): admit
+    # a bucket BEFORE collecting its members — a degenerate signature
+    # (e.g. near-empty docs collapsing to one sig) otherwise builds a
+    # corpus-sized collect_list buffer that the cap only inspects
+    # after the fact. No broadcast hint: the bucket list grows with
+    # data; the semi-join and groupBy share the (band, key) shuffle.
+    _bucket_ok = (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("_m"))
+        .filter((F.col("_m") > 1) & (F.col("_m") <= 256))
+        .select("band", "key")
     )
-    guarded = grouped.filter((F.size("members") > 1) & (F.size("members") <= 256))
+    guarded = (
+        banded.join(_bucket_ok, ["band", "key"], "left_semi")
+        .groupBy("band", "key")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members")
+        )
+    )
     pairs = (
         guarded.select(
             F.explode(
@@ -6152,10 +6183,25 @@ def multimodal_phash_near_dup(spark, sf_dir):
             " (sig >> (b * 12)) & 4095)))"
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.key")
-    grouped = banded.groupBy("band", "key").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members")
+    # count-first bucket guard (r11, same fix as minhash_pairs): admit
+    # a bucket BEFORE collecting its members — a degenerate signature
+    # (e.g. near-empty docs collapsing to one sig) otherwise builds a
+    # corpus-sized collect_list buffer that the cap only inspects
+    # after the fact. No broadcast hint: the bucket list grows with
+    # data; the semi-join and groupBy share the (band, key) shuffle.
+    _bucket_ok = (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("_m"))
+        .filter((F.col("_m") > 1) & (F.col("_m") <= 256))
+        .select("band", "key")
     )
-    guarded = grouped.filter((F.size("members") > 1) & (F.size("members") <= 256))
+    guarded = (
+        banded.join(_bucket_ok, ["band", "key"], "left_semi")
+        .groupBy("band", "key")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members")
+        )
+    )
     pairs = (
         guarded.select(
             F.explode(

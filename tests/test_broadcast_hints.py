@@ -114,3 +114,38 @@ def test_helper_modules_keep_key_frames_unhinted(mod):
     src = inspect.getsource(importlib.import_module(mod))
     for frag in _MODULE_FORBIDDEN[mod]:
         assert frag not in src, f"{mod}: {frag!r} re-hinted a workload-scale frame"
+
+
+# r11: count-first bucket guards. The LSH band-bucket kernels must
+# admit a bucket via a COUNT aggregate + semi-join BEFORE collecting
+# member structs — the post-collect spelling materialized a
+# mass-duplicate bucket's entire membership (shingle arrays in
+# minhash) into one agg buffer, observed as a >50 GB spill and a
+# disk-full task death at the x128 census. Order is asserted in
+# source: the semi-join precedes the collect_list.
+_COUNT_FIRST = {
+    "dedup_near_minhash": "minhash_pairs",
+    "dedup_simhash": None,
+    "multimodal_phash_near_dup": None,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_COUNT_FIRST))
+def test_bucket_guard_counts_before_collecting(name):
+    from hbase_support_spark.operators import llm
+
+    target = _COUNT_FIRST[name]
+    fn = getattr(llm, target) if target else QUERIES[name]
+    src = inspect.getsource(fn)
+    assert '"left_semi"' in src, f"{name}: count-first semi-join guard missing"
+    semi = src.index('"left_semi"')
+    collect = min(
+        i for i in (
+            src.find("F.collect_list(F.struct("),
+            src.find('F.collect_list("doc_id")'),
+        ) if i >= 0
+    )
+    assert semi < collect, (
+        f"{name}: collect_list runs before the bucket-count guard — "
+        "a hot bucket materializes its whole membership again"
+    )

@@ -73,6 +73,14 @@ def main() -> None:
     flaked, jvm_died, failed = [], [], []
     names = sorted(QUERIES)
     for i, name in enumerate(names, 1):
+        if i % 40 == 0:
+            # bound cross-query JVM state: localCheckpoint blocks and
+            # shuffle files accumulate across a 429-query session and
+            # at x128 eventually thrash GC (observed r11: 50+ GB heap,
+            # GCLocker retries, an 8g run died outright). A periodic
+            # clean restart keeps every query's timing on a fresh heap.
+            spark = _restart_spark(spark)
+            QUERIES["agg_rowcount"](spark, dst).collect()  # rewarm
         for attempt in (1, 2):
             t0 = time.perf_counter()
             try:
@@ -91,8 +99,8 @@ def main() -> None:
                     print(f"FAILED {name}: {type(e).__name__}: {e}"[:300],
                           flush=True)
                     traceback.print_exc(limit=3)
-        if i % 25 == 0:
-            print(f"... {i}/{len(names)} ({sum(times.values()):.0f}s so far)",
+        if name in times:
+            print(f"[{i}/{len(names)}] {name:37s} {times[name]:7.3f}s",
                   flush=True)
 
     total = sum(times.values())
