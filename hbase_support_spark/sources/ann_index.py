@@ -151,6 +151,32 @@ def ivf_append(
     The centroid table rewrite is an nlist-row metadata round-trip —
     the same class as the build's collect. Returns
     {"n_appended": ..., "touched_cells": [...], "new_cells": [...]}.
+
+    Crash-recovery contract (ADVICE r11): the append is two writes
+    and cannot be atomic on raw Parquet, so the ORDER is chosen to
+    make every partial state recall-safe. The updated centroid table
+    is staged to ``centroids__staged``, swapped into place, and only
+    THEN are assignments appended:
+
+      * crash before the swap — index byte-identical to pre-append;
+        re-run the batch.
+      * crash between swap and assignment append — centroid ``n``
+        counts overstate and a new cell may have no data directory
+        yet; both are metadata-conservative: every previously
+        routable vector is still routed by the SAME frozen centroid
+        vectors, and a probe of an empty/missing ``cell_id=`` dir
+        just contributes no candidates. Recovery: re-run the batch
+        (assignments were never written, so no rows duplicate;
+        counts re-add, so treat ``n`` as approximate after a crash
+        or rebuild via ``ivf_build``).
+
+    The reverse order (old behavior) could leave appended vectors in
+    cells whose centroid rows never materialized — permanently
+    unroutable, a silent recall drop. ``assigned`` is pinned
+    (localCheckpoint) before the stats collect so a
+    non-deterministic ``new_df`` (a sampled or limit-derived frame)
+    cannot make the persisted assignments diverge from the centroid
+    counts computed here.
     """
     cents_rows = spark.read.parquet(f"{index_dir}/centroids").collect()
     by_cell = {
@@ -169,6 +195,10 @@ def ivf_append(
             assigned = assigned.withColumn(
                 "cell_id", F.element_at(mapping, F.col("cell_id").cast("int") + 1)
             )
+    # Pin the assignment frame: the stats collect and the parquet
+    # write below must see the SAME rows even if new_df is
+    # non-deterministic (sample/limit lineage).
+    assigned = assigned.localCheckpoint(eager=True)
     stats = (
         assigned.groupBy("cell_id")
         .agg(
@@ -179,9 +209,6 @@ def ivf_append(
         )
         .collect()
     )  # ≤ nlist + new-cell rows — metadata-scale
-    assigned.write.mode("append").partitionBy("cell_id").parquet(
-        f"{index_dir}/assignments"
-    )
     new_cells = []
     for r in stats:
         c = int(r.cell_id)
@@ -195,7 +222,14 @@ def ivf_append(
         [(c, v, n) for c, (v, n) in sorted(by_cell.items())],
         "cell_id bigint, centroid array<double>, n bigint",
     )
-    out.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    # Publish centroids FIRST (staged write + swap), then append
+    # assignments — see the crash-recovery contract above.
+    staged = f"{index_dir}/centroids__staged"
+    out.coalesce(1).write.mode("overwrite").parquet(staged)
+    _replace_dir(spark, staged, f"{index_dir}/centroids")
+    assigned.write.mode("append").partitionBy("cell_id").parquet(
+        f"{index_dir}/assignments"
+    )
     touched = sorted(int(r.cell_id) for r in stats)
     n_appended = sum(int(r.n_new) for r in stats)
     return {
@@ -203,6 +237,43 @@ def ivf_append(
         "touched_cells": touched,
         "new_cells": sorted(new_cells),
     }
+
+
+def _replace_dir(spark, staged: str, final: str) -> None:
+    """Swap a staged directory into place: delete ``final``, rename
+    ``staged`` onto it. Hadoop FS when the JVM gateway is reachable
+    (any supported filesystem), OS rename for a Connect client on a
+    local path. The delete+rename pair is not atomic; a crash
+    between them leaves ``final`` missing with ``staged`` complete —
+    recovery is the rename (single-writer assumption, same as every
+    non-txlog writer in this package)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+    except Exception:
+        import os
+        import shutil
+
+        s, f = staged, final
+        for pre in ("file://", "file:"):
+            if s.startswith(pre):
+                s, f = s[len(pre):], f[len(pre):]
+                break
+        if "://" in s:
+            raise NotImplementedError(
+                "staged-dir swap on a non-local filesystem requires the "
+                f"JVM gateway (classic session), got Connect client + {staged!r}"
+            )
+        if os.path.isdir(f):
+            shutil.rmtree(f)
+        os.rename(s, f)
+        return
+    sp = jvm.org.apache.hadoop.fs.Path(staged)
+    fp = jvm.org.apache.hadoop.fs.Path(final)
+    fs = sp.getFileSystem(conf)
+    if fs.exists(fp):
+        fs.delete(fp, True)
+    fs.rename(sp, fp)
 
 
 def _assign(spark, df, cents: list[list[float]], vec_col: str) -> DataFrame:

@@ -215,3 +215,68 @@ def test_append_new_cell_and_kmeans_assign_path(spark, sf_dir, tmp_path):
     assert not res["new_cells"]  # frozen quantizer: no new cells
     assert set(res["touched_cells"]) <= built_cells
     assert spark.read.parquet(f"{idx2}/assignments").count() == e.count()
+
+
+def test_append_publishes_centroids_before_assignments(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash-ordering contract (ADVICE r11): the centroid table is
+    staged + swapped BEFORE the assignment append, so a crash between
+    the two writes is metadata-conservative (counts overstate, no
+    cell is ever unroutable) instead of a silent recall drop. Inject
+    a failure at the assignment write and verify the partial state."""
+    import pyspark.sql.readwriter as rw
+    import pytest
+
+    from hbase_support_spark.sources.ann_index import ivf_append
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_crash")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    ivf_build(spark, base, idx, assign_col=F.col("label"))
+    before = _files_snapshot(idx)
+
+    real = rw.DataFrameWriter.parquet
+
+    def boom(self, path, *a, **k):
+        if path.endswith("/assignments"):
+            raise RuntimeError("injected crash before assignment append")
+        return real(self, path, *a, **k)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", boom)
+    batch = e.filter(F.col("vec_id") % 4 == 1)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ivf_append(spark, batch, idx, assign_col=F.col("label"))
+    monkeypatch.undo()
+
+    # assignments untouched byte-for-byte; no staged dir left behind
+    assert _files_snapshot(idx) == before
+    assert not os.path.exists(f"{idx}/centroids__staged")
+    # centroids already published: counts include the doomed batch
+    # (the documented conservative overstatement) and every base
+    # vector stays routable — probe still returns exact top-k
+    cents = {
+        r.cell_id: r.n
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    for c in (r.label for r in batch.select("label").distinct().collect()):
+        n_base = base.filter(F.col("label") == c).count()
+        n_new = batch.filter(F.col("label") == c).count()
+        assert cents[c] == n_base + n_new
+    got = ivf_probe(spark, idx, _query_vec(e), k=5, nprobe=10).collect()
+    assert len(got) == 5
+
+
+def test_append_success_leaves_no_staged_dir(spark, sf_dir, tmp_path):
+    """After a clean append the staged centroid dir must be gone and
+    the centroid table readable (the swap completed)."""
+    from hbase_support_spark.sources.ann_index import ivf_append
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_clean")
+    ivf_build(spark, e.filter(F.col("vec_id") % 2 == 0), idx,
+              assign_col=F.col("label"))
+    ivf_append(spark, e.filter(F.col("vec_id") % 2 == 1), idx,
+               assign_col=F.col("label"))
+    assert not os.path.exists(f"{idx}/centroids__staged")
+    assert spark.read.parquet(f"{idx}/centroids").count() > 0
