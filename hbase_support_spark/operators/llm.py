@@ -1245,10 +1245,11 @@ def dedup_cluster_keep_min(spark, sf_dir):
     min-label hops; near-dup clusters are near-cliques, so labels
     converge in 1-2 rounds. The loop therefore checks a convergence
     scalar per round (sum of labels — strictly decreasing while any
-    label still moves) and stops at the fixed point, with a 16-round
-    ceiling as the pathological-chain bound. The scalar is a one-row
-    aggregate over the just-checkpointed labels — a driver-side
-    control decision, not a driver-side data loop.
+    label still moves) and stops at the fixed point; a graph that is
+    STILL moving at the 16-round ceiling raises instead of returning
+    under-merged labels (``_propagate_min_labels``, r12 guard). The
+    scalar is a one-row aggregate over the just-checkpointed labels —
+    a driver-side control decision, not a driver-side data loop.
 
     Iterative-DataFrame rule: localCheckpoint() each round —
     without lineage truncation the logical plan doubles per
@@ -1269,8 +1270,30 @@ def dedup_cluster_keep_min(spark, sf_dir):
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
+    labels = _propagate_min_labels(labels, edges, max_rounds=16)
+    return labels.select(
+        "doc_id", F.col("label").alias("keeper_doc_id")
+    ).orderBy("doc_id")
+
+
+def _propagate_min_labels(labels, edges, max_rounds: int = 16):
+    """Min-label propagation to FIXED POINT, or raise (VERDICT r11
+    item 2 — the last silent-degradation site): the loop previously
+    fell through the round ceiling and returned under-merged
+    clusters with no signal. Rounds needed = component diameter in
+    min-label hops; near-dup clusters are near-cliques (1-2 rounds),
+    but a chain-of-edits family (doc_i ~ doc_{i+1}) at 100 TB can
+    exceed any fixed ceiling — that case must FAIL LOUDLY, pointing
+    at the O(log n)-round alternative, exactly like the
+    ``_check_vec_block`` quarantine for oversized pair blocks.
+
+    ``labels``: (doc_id, label); ``edges``: (doc_a, doc_b), both
+    directions present. The convergence scalar (sum of labels —
+    strictly decreasing while any label still moves) is a one-row
+    aggregate over the just-checkpointed labels: a driver-side
+    control decision, not a driver-side data loop."""
     prev_sum = None
-    for _ in range(16):
+    for _ in range(max_rounds):
         # label via neighbors: min(own, min over neighbor labels)
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -1287,11 +1310,16 @@ def dedup_cluster_keep_min(spark, sf_dir):
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
-            break
+            return labels
         prev_sum = cur_sum
-    return labels.select(
-        "doc_id", F.col("label").alias("keeper_doc_id")
-    ).orderBy("doc_id")
+    raise ValueError(
+        f"min-label propagation did not reach a fixed point within "
+        f"{max_rounds} rounds: the pair graph has a component of "
+        f"diameter > {max_rounds} (a chain-of-edits family). Returning "
+        "would silently under-merge clusters. Raise the ceiling for a "
+        "known-deep graph, or switch to alternating large-star/small-"
+        "star contraction (O(log n) rounds) for adversarial chains."
+    )
 
 
 @register(

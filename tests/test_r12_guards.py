@@ -1,0 +1,53 @@
+"""r12 guards (VERDICT r11 item 2): min-label propagation must reach
+its fixed point or fail loudly — never silently return under-merged
+clusters past the round ceiling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_support_spark.operators.llm import _propagate_min_labels
+
+
+def _graph(spark, undirected_pairs):
+    pairs = spark.createDataFrame(undirected_pairs, "doc_a bigint, doc_b bigint")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    return labels, edges
+
+
+def test_deep_chain_raises_past_ceiling(spark):
+    """A 40-node path graph needs ~39 propagation rounds; the 16-round
+    ceiling must raise (the chain-of-edits family), not return
+    under-merged labels."""
+    labels, edges = _graph(spark, [(i, i + 1) for i in range(39)])
+    with pytest.raises(ValueError, match="did not reach a fixed point"):
+        _propagate_min_labels(labels, edges, max_rounds=16)
+
+
+def test_deep_chain_converges_with_raised_ceiling(spark):
+    """The same chain converges (every node labeled 0) once the
+    ceiling covers its diameter — the documented escape hatch."""
+    labels, edges = _graph(spark, [(i, i + 1) for i in range(20)])
+    out = _propagate_min_labels(labels, edges, max_rounds=64)
+    got = {r.doc_id: r.label for r in out.collect()}
+    assert got == {i: 0 for i in range(21)}
+
+
+def test_cliques_converge_fast_and_exactly(spark):
+    """Near-clique components (the real near-dup shape) converge
+    within the default ceiling and each member gets the component
+    minimum."""
+    clique_a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    labels, edges = _graph(spark, clique_a + clique_b)
+    out = _propagate_min_labels(labels, edges, max_rounds=16)
+    got = {r.doc_id: r.label for r in out.collect()}
+    assert got == {**{i: 0 for i in range(5)}, **{i: 10 for i in range(10, 14)}}
