@@ -2,8 +2,9 @@
 
 Runs the BASELINE.md query set through the engine's registry at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS], warm best-of-2 per query (same method as
-BASELINE.md), and prints ONE JSON line.
+local[$SPARK_GRAFT_CPUS], warm best-of-3 per query (BASELINE.md was
+best-of-2; r12 widened the sample and records every run so the judge
+can read the same-code spread directly), and prints ONE JSON line.
 """
 
 from __future__ import annotations
@@ -35,7 +36,8 @@ HEADLINE = {
     "sim_pairs_blas": "sim_pairs_threshold_blas",
 }
 
-RUNS = 2
+WARMS = 3
+RUNS = 3
 
 # Host-idleness gate (VERDICT r10 item 2): BENCH_r10 vs a same-day
 # same-code re-measure disagreed by 21% with loadavg 2.2+ at start —
@@ -60,10 +62,6 @@ def _wait_for_idle() -> tuple[float, float, bool]:
     return entry, waited, load <= LOAD_GATE
 
 
-LOAD_ENTRY, IDLE_WAITED, HOST_IDLE = _wait_for_idle()
-LOAD_START = os.getloadavg()
-
-
 def _cpu_cal() -> float:
     """Single-core CPU calibration marker (round 9).
 
@@ -84,16 +82,18 @@ def _cpu_cal() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-# The "idle triple" control (VERDICT r10 item 2): three consecutive
-# calibration readings taken automatically so the judge can separate
-# code from host without a manual re-run. A tight triple (spread
-# under ~10%) means the single-core speed was stable while the bench
-# ran; min is the comparable number (least-contended sample).
-CPU_CAL_TRIPLE = [_cpu_cal() for _ in range(3)]
-CPU_CAL = min(CPU_CAL_TRIPLE)
-
-
 def main() -> None:
+    # Idle gate + calibration run HERE, not at import: anything
+    # importing bench.py must not block on host load (ADVICE r11).
+    load_entry, idle_waited, host_idle = _wait_for_idle()
+    load_start = os.getloadavg()
+    # The "idle triple" control (VERDICT r10 item 2): three
+    # consecutive calibration readings so the judge can separate code
+    # from host without a manual re-run. A tight triple (spread under
+    # ~10%) means single-core speed was stable while the bench ran;
+    # min is the comparable number (least-contended sample).
+    cpu_cal_triple = [_cpu_cal() for _ in range(3)]
+    cpu_cal = min(cpu_cal_triple)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_all()
@@ -106,23 +106,28 @@ def main() -> None:
     registry.QUERIES["agg_rowcount"](spark, sf_dir).collect()
 
     per_query: dict[str, float] = {}
+    per_query_runs: dict[str, list[float]] = {}
     for name, qname in HEADLINE.items():
         fn = registry.QUERIES[qname]
-        # one unmeasured warm run per query, then best-of-2 measured:
-        # a fresh session's first executions ride the JVM tiered-JIT
-        # compile curve (measured: q1 falls 0.78 -> 0.41 s over six
-        # reps with zero plan change), so sampling runs 2-3 measures
-        # the PLAN, not compile luck. BASELINE.md's column was itself
-        # "run twice warm"; this keeps the comparison apples-to-apples
-        # and round-over-round numbers interpretable (VERDICT r05
-        # item 4 adjudication — the r4->r5 'drift' was JIT depth).
-        fn(spark, sf_dir).collect()
-        best = float("inf")
+        # three unmeasured warm runs per query, then best-of-3
+        # measured with EVERY run recorded (VERDICT r11 item 3: q3/q5
+        # swung +-25% same-code even idle-gated, so a single min hid
+        # the spread the judge needs to attribute a delta to code vs
+        # host). Warmup depth 3: a fresh session's executions ride
+        # the JVM tiered-JIT compile curve for ~6 reps (measured: q1
+        # falls 0.78 -> 0.41 s over six reps with zero plan change) —
+        # warm1 triples were still monotone-decreasing (r12 reading),
+        # warm3 puts the measured triple on the plateau so it
+        # measures the PLAN, not compile luck (VERDICT r05 item 4).
+        for _ in range(WARMS):
+            fn(spark, sf_dir).collect()
+        runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        per_query_runs[name] = runs
+        per_query[name] = min(runs)
 
     total = round(sum(per_query.values()), 3)
     # machine-load marker (VERDICT r05 item 7): the r4->r5 comparison
@@ -134,23 +139,24 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_total_best_of_2",
+                "metric": "headline_total_best_of_3",
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "query_runs": per_query_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "loadavg_entry_1m": round(LOAD_ENTRY, 2),
-                "loadavg_start_1m": round(LOAD_START[0], 2),
+                "loadavg_entry_1m": round(load_entry, 2),
+                "loadavg_start_1m": round(load_start[0], 2),
                 "loadavg_end_1m": round(load_end[0], 2),
                 # entry-state only: the bench's own 32-thread work
                 # legitimately inflates the END loadavg
-                "host_idle": HOST_IDLE,
+                "host_idle": host_idle,
                 "idle_gate": LOAD_GATE,
-                "idle_wait_sec": IDLE_WAITED,
-                "cpu_cal_sec": CPU_CAL,
-                "cpu_cal_triple": CPU_CAL_TRIPLE,
+                "idle_wait_sec": idle_waited,
+                "cpu_cal_sec": cpu_cal,
+                "cpu_cal_triple": cpu_cal_triple,
                 "cpus": os.cpu_count(),
-                "method": "warm1_best_of_2",
+                "method": "warm3_best_of_3",
             }
         )
     )
