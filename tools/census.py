@@ -1,16 +1,26 @@
 #!/usr/bin/env python
 """Full-registry census at an R-times replicated fixture.
 
-Runs EVERY registry query once (timed, noop sink) against the
-scale_stress replica set, with the census bookkeeping the per-round
-CENSUS_* artifacts use: a query that throws is retried once on the
-same session (``flaked`` if it then passes); a dead JVM (py4j
-connection error) restarts the session and retries (``jvm-died``);
-anything still failing is ``failed`` and listed. Output: one line per
-query sorted slowest-first, plus the header/footer tallies.
+r12: runs EVERY registry query — zero exclusions — against the
+DUPLICATION-BOUNDED replica set (tools/scale_stress.build_bounded):
+replicas are decorrelated (per-replica token suffixes on text, signed
+coordinate permutations on embeddings, whole-span time shifts on
+events), so the pair/similarity family's true output stays
+R × (base pairs) = O(corpus) instead of C(R,2) — the family every
+prior census had to exclude (bench_sweep.REPLICA_QUADRATIC) finally
+gets at-scale evidence on the same artifact as everything else.
 
-Usage: python tools/census.py [R] [sf_dir] [out_file]
-Default: R=128 over sf0.1 -> CENSUS_x128_<label>.txt
+Census bookkeeping: a query that throws is retried once on the same
+session (``flaked`` if it then passes); a dead JVM (py4j connection
+error) restarts the session and retries (``jvm-died``); anything
+still failing is ``failed`` and listed. Every flake/jvm-death is also
+printed as its own marker line so a ``--resume=<log>`` run carries
+prior tallies forward instead of silently laundering them (ADVICE
+r11). Output: one line per query sorted slowest-first, plus
+header/footer tallies.
+
+Usage: python tools/census.py [R] [sf_dir] [out_file] [--resume=log]
+Default: R=128 over sf0.1 -> CENSUS_x128_r12.txt
 """
 
 from __future__ import annotations
@@ -23,7 +33,7 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hbase_support_spark import QUERIES, get_spark, load_all
-from tools.scale_stress import build  # noqa: E402
+from tools.scale_stress import build_bounded  # noqa: E402
 
 
 def _is_jvm_death(exc: BaseException) -> bool:
@@ -63,61 +73,54 @@ def _restart_spark(old):
     return get_spark("census", shuffle_partitions=32)
 
 
-def _parse_done(log_path: str) -> dict[str, float]:
-    """Resume support: '[i/N] name   12.345s' lines from a prior run."""
+def _parse_prior(log_path: str) -> tuple[dict[str, float], list, list]:
+    """Resume support: timings from '[i/N] name   12.345s' lines PLUS
+    the flake/jvm-death markers of the prior segment, so the written
+    artifact's tallies cover the whole census, not just the resumed
+    part (ADVICE r11)."""
     import re
 
-    done = {}
+    done, flaked, jvm_died = {}, [], []
     with open(log_path, encoding="utf-8") as fh:
         for line in fh:
             m = re.match(r"\[\d+/\d+\] (\S+)\s+([0-9.]+)s", line)
             if m:
                 done[m.group(1)] = float(m.group(2))
-    return done
+            m = re.match(r"FLAKED (\S+)", line)
+            if m:
+                flaked.append(m.group(1))
+            m = re.match(r"JVM-DIED (\S+)", line)
+            if m:
+                jvm_died.append(m.group(1))
+    return done, flaked, jvm_died
 
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--resume")]
-    resume = {}
+    resume, flaked, jvm_died = {}, [], []
     for a in sys.argv[1:]:
         if a.startswith("--resume="):
-            resume = _parse_done(a.split("=", 1)[1])
+            resume, flaked, jvm_died = _parse_prior(a.split("=", 1)[1])
     r = int(args[0]) if len(args) > 0 else 128
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-    out_path = args[2] if len(args) > 2 else f"CENSUS_x{r}_r11.txt"
+    out_path = args[2] if len(args) > 2 else f"CENSUS_x{r}_r12.txt"
     load_all()
     spark = get_spark("census", shuffle_partitions=32)
-    dst = os.path.abspath(f".scratch/stress_x{r}")
+    dst = os.path.abspath(f".scratch/stress_bounded_x{r}")
     if not os.path.exists(f"{dst}/lineitem.parquet"):
         t0 = time.time()
-        build(spark, src, dst, r)
-        print(f"built x{r} replica set in {time.time() - t0:.1f}s -> {dst}",
+        build_bounded(spark, src, dst, r)
+        print(f"built bounded x{r} replica set in {time.time() - t0:.1f}s -> {dst}",
               flush=True)
     QUERIES["agg_rowcount"](spark, dst).collect()  # warm
 
     times: dict[str, float] = {}
-    flaked, jvm_died, failed = [], [], []
-    # The replica fixture gives every entity R-1 exact twins, so the
-    # pair/similarity family's TRUE output grows C(R,2) — a replica
-    # census of those measures the fixture artifact, not the plan.
-    # Same documented exclusion as every prior census (SCALE.md r8,
-    # bench_sweep.REPLICA_QUADRATIC); their at-scale behavior is
-    # covered instead by targeted scale_stress runs (SCALE.md r11 LSH
-    # restructure: the fixed minhash/simhash/pHash kernels now
-    # complete even at x128 of this adversarial fixture).
-    from tools.bench_sweep import REPLICA_QUADRATIC
-
-    excluded = sorted(n for n in QUERIES if n in REPLICA_QUADRATIC)
-    print(f"excluding {len(excluded)} replica-quadratic queries "
-          f"(bench_sweep.REPLICA_QUADRATIC)", flush=True)
-    names = [n for n in sorted(QUERIES) if n not in REPLICA_QUADRATIC]
-    for name, t in resume.items():
-        # re-time the dedup family fresh: the r11 LSH restructure
-        # landed mid-round, so prior-log timings there are stale
-        if name in names and "dedup" not in name:
-            times[name] = t
+    failed: list[str] = []
+    names = sorted(QUERIES)
+    times.update({n: t for n, t in resume.items() if n in names})
     if resume:
-        print(f"resumed {len(times)} timings from prior log", flush=True)
+        print(f"resumed {len(times)} timings, {len(set(flaked))} flakes, "
+              f"{len(set(jvm_died))} jvm-deaths from prior log", flush=True)
     for i, name in enumerate(names, 1):
         if name in times:
             continue
@@ -137,10 +140,12 @@ def main() -> None:
                 times[name] = time.perf_counter() - t0
                 if attempt == 2:
                     flaked.append(name)
+                    print(f"FLAKED {name}", flush=True)
                 break
             except Exception as e:
                 if _is_jvm_death(e):
                     jvm_died.append(name)
+                    print(f"JVM-DIED {name}", flush=True)
                     spark = _restart_spark(spark)
                 if attempt == 2:
                     failed.append(name)
@@ -152,10 +157,10 @@ def main() -> None:
                   flush=True)
 
     total = sum(times.values())
-    hdr = (f"# x{r} census at r11 HEAD (post hint-classification sweep + "
-           f"LSH shuffle restructure + ivf_append): {len(times)}/{len(names)} "
-           f"({len(QUERIES)} - {len(excluded)} replica-quadratic excluded, "
-           f"same family as every prior census), "
+    hdr = (f"# x{r} census at r12 HEAD on the DUPLICATION-BOUNDED replica "
+           f"fixture (decorrelated replicas, zero exclusions — the "
+           f"REPLICA_QUADRATIC family rides the same artifact): "
+           f"{len(times)}/{len(names)} of {len(QUERIES)} registry queries, "
            f"{len(set(flaked))} flaked / {len(set(jvm_died))} jvm-died / "
            f"{len(failed)} failed, TOTAL {total:.1f}s")
     lines = [hdr] + [

@@ -48,11 +48,95 @@ DEFAULT_QUERIES = [
 ]
 
 
+def _doc_perturb(d, i: int):
+    """Replica-unique suffix on EVERY whitespace token (injective
+    token mapping): within-replica duplicate structure is preserved
+    exactly — two docs share a shingle after the rewrite iff they
+    shared it before — while cross-replica token sets are disjoint,
+    so shingle/ngram Jaccard between replicas is 0. n_chars is
+    recomputed to keep the length column consistent."""
+    if i == 0:
+        return d
+    d = d.withColumn("text", F.regexp_replace("text", r"(\S+)", f"$1w{i}"))
+    return d.withColumn("n_chars", F.length("text").cast("long"))
+
+
+def _emb_perturb(d, i: int, dim: int = 64):
+    """Per-replica SIGNED COORDINATE PERMUTATION — an orthogonal
+    transform, so every within-replica cosine/dot/norm is preserved
+    bit-for-bit in structure (same pairs pass any threshold), while
+    cross-replica cosines are scrambled to ~0 (a vector and its
+    differently-permuted twin decorrelate). Permutation stride is odd
+    (bijective mod 64); the sign pattern is a per-(replica, dim)
+    sha256 parity so the rare stride/offset collision at i'=i+64
+    still decorrelates."""
+    if i == 0:
+        return d
+    import hashlib
+
+    a = 2 * (i % 16) + 1
+    perm = [(a * j + i) % dim for j in range(dim)]
+
+    def sgn(j: int) -> float:
+        return 1.0 if hashlib.sha256(f"{i},{j}".encode()).digest()[0] % 2 == 0 else -1.0
+
+    arr = F.array(
+        *[(F.col("embedding")[perm[j]] * F.lit(sgn(j))).cast("float") for j in range(dim)]
+    )
+    return d.withColumn("embedding", arr)
+
+
+def build_bounded(spark, src: str, dst: str, r: int) -> None:
+    """Duplication-bounded replica set (r12, VERDICT r11 item 1): the
+    plain ``build`` gives every doc/vector R-1 exact twins, so the
+    pair/similarity family's TRUE output grows C(R,2) — a replica
+    census of those kernels measures the fixture artifact, not the
+    plan, and every prior census excluded them (the standing blind
+    spot the r11 LSH shuffle bug hid in). Here each replica is
+    DECORRELATED from the others:
+
+    * documents.text — per-replica token suffix (``_doc_perturb``)
+    * embeddings.embedding — per-replica signed coordinate
+      permutation (``_emb_perturb``); embeddings.label also shifts so
+      label-blocked kernels keep base-sized blocks (the blocks-grow-
+      with-R alternative would trip the O(block²) caps by design)
+    * events.ts — per-replica whole-span time shift, so concurrent
+      actives per hour stay base-sized (events_coactivity_topk's
+      distinct-pair state is quadratic in concurrent actives — at x32
+      that's ~1.15e9 pair counts, sound on a cluster, unholdable in
+      one census JVM). Cost: the literal-2024-01 date-window family
+      sees base-density data here; the UNBOUNDED census artifacts
+      (CENSUS_x128_r11) already cover those at R× density — the two
+      fixtures are complementary, documented in SCALE.md.
+
+    Duplicate multiplicity bound: every true duplicate relationship
+    lives WITHIN one replica, so pair output is exactly R × (base
+    pair output) = O(corpus), and all registry queries can ride one
+    census with zero exclusions."""
+    ev = load_table(spark, src, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    step_days = int(((hi - lo).days if hi and lo else 30)) + 2
+
+    shift = {**SHIFT, "embeddings": ["vec_id", "label"]}
+    perturb = {
+        "documents": _doc_perturb,
+        "embeddings": _emb_perturb,
+        "events": lambda d, i: d
+        if i == 0
+        else d.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * step_days} DAYS")),
+    }
+    _replicate(spark, src, dst, r, shift, perturb)
+
+
 def build(spark, src: str, dst: str, r: int) -> None:
+    _replicate(spark, src, dst, r, SHIFT, {})
+
+
+def _replicate(spark, src, dst, r, shift, perturb) -> None:
     for t in TABLES:
         base = load_table(spark, src, t)
-        if t in SHIFT:
-            cols = SHIFT[t]
+        if t in shift:
+            cols = shift[t]
             maxes = base.agg(
                 *[F.max(c).alias(c) for c in cols]
             ).first()  # one metadata-scale row per table
@@ -62,6 +146,8 @@ def build(spark, src: str, dst: str, r: int) -> None:
                 d = base
                 for col in cols:
                     d = d.withColumn(col, F.col(col) + F.lit(i * steps[col]))
+                if t in perturb:
+                    d = perturb[t](d, i)
                 parts.append(d)
             out = parts[0]
             for p in parts[1:]:
