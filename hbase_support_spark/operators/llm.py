@@ -1756,6 +1756,45 @@ def ann_index_append(spark, sf_dir):
     return ivf_probe(spark, idx, qv, k=5, nprobe=2, exclude_id=7)
 
 
+@register("ann_index_compact", oracle=_ANN_APPEND_ORACLE)
+def ann_index_compact(spark, sf_dir):
+    """IVF index maintenance, end-to-end (VERDICT r11 item 4): the
+    append path grows per-cell file counts monotonically (one file
+    batch per ``ivf_append`` per touched cell), so production
+    maintenance compacts periodically. Same build(half)+two-appends
+    lineage as ``ann_index_append``, then ``ivf_compact`` re-clusters
+    every ``cell_id=`` directory into a single file via one shuffle
+    on the partition key, staged + count-validated + swapped so
+    readers never see a half-compacted index. The graded contract is
+    content preservation: the post-compaction probe must equal the
+    uncompacted probe bit-for-bit, so this query shares
+    ``ann_index_append``'s oracle (frozen-quantizer centroid means
+    over the base half, COALESCE to first-writer for late cells).
+    File-count mechanics (>=3 files/cell before, 1 after; centroids
+    untouched) are pinned in tests/test_ann_index.py."""
+    import os as _os
+
+    from ..sources.ann_index import ivf_append, ivf_build, ivf_compact, ivf_probe
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = _os.path.join(scratch_root(), "ivf_label_index_compact")
+    ivf_build(spark, e.filter(F.col("vec_id") % 2 == 0), idx,
+              assign_col=F.col("label"))
+    ivf_append(spark, e.filter(F.col("vec_id") % 4 == 1), idx,
+               assign_col=F.col("label"))
+    ivf_append(spark, e.filter(F.col("vec_id") % 4 == 3), idx,
+               assign_col=F.col("label"))
+    ivf_compact(spark, idx)
+    anchor = e.filter(F.col("vec_id") == 7).head()
+    if anchor is None:
+        probe = ivf_probe(
+            spark, idx, [1.0] + [0.0] * 63, k=5, nprobe=2, exclude_id=7
+        )
+        return probe.filter(F.lit(False))
+    qv = [float(x) for x in anchor.embedding]
+    return ivf_probe(spark, idx, qv, k=5, nprobe=2, exclude_id=7)
+
+
 @register(
     "sim_knn_batch",
     oracle=f"""
