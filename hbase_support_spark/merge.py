@@ -207,8 +207,9 @@ def bulk_delete(
             .parquet(target_path)
         )
     emptied = [v for v in touched if v not in surviving_parts]
+    data_schema = full.drop(partition_col).schema
     for v in emptied:
-        _drop_partition_dir(spark, target_path, partition_col, v)
+        _drop_partition_dir(spark, target_path, partition_col, v, data_schema)
     return {
         "deleted": doomed,
         "touched_partitions": len(touched),
@@ -217,22 +218,27 @@ def bulk_delete(
 
 
 def _drop_partition_dir(
-    spark: SparkSession, target_path: str, partition_col: str, value
+    spark: SparkSession,
+    target_path: str,
+    partition_col: str,
+    value,
+    data_schema=None,
 ) -> None:
     """Remove ``target_path/<partition_col>=<value>`` via the Hadoop
     FileSystem API (works on any Hadoop-supported FS, not just
     local). Value rendering mirrors Hive's partition-path escaping
-    for the characters that matter in practice."""
+    for the characters that matter in practice. ``data_schema`` (the
+    table schema WITHOUT the partition column) enables the
+    Connect-client remote-URI path — see
+    :func:`_drop_partition_dir_connect`."""
     rendered = "__HIVE_DEFAULT_PARTITION__" if value is None else _escape_part(str(value))
     full = f"{target_path}/{partition_col}={rendered}"
     try:
         jvm = spark.sparkContext._jvm
         jsc_conf = spark.sparkContext._jsc.hadoopConfiguration()
     except Exception:
-        # Spark Connect client: no JVM gateway. Local paths (the only
-        # kind this sandbox grades) fall back to the OS; remote URIs
-        # need a server-side hook, so fail loudly rather than no-op.
-        _drop_partition_dir_local(full)
+        # Spark Connect client: no JVM gateway.
+        _drop_partition_dir_connect(spark, full, data_schema)
         return
     hpath = jvm.org.apache.hadoop.fs.Path(full)
     fs = hpath.getFileSystem(jsc_conf)
@@ -240,8 +246,18 @@ def _drop_partition_dir(
         fs.delete(hpath, True)
 
 
-def _drop_partition_dir_local(full: str) -> None:
-    """Connect-client fallback for :func:`_drop_partition_dir`."""
+def _drop_partition_dir_connect(spark, full: str, data_schema) -> None:
+    """Connect-client partition drop. Local paths go through the OS
+    (dir fully removed). Remote URIs (r12, closes the r11
+    NotImplementedError seam): overwrite the partition directory with
+    an EMPTY frame of the table's data schema — pure DataFrame API,
+    so the SERVER's filesystem does the delete. The dir may remain as
+    an empty shell (_SUCCESS only), which a hive-layout reader treats
+    identically to an absent partition; the schema must be the
+    table's own so any straggler empty part file can never poison the
+    root read's schema merge. Chosen over ALTER TABLE ... DROP
+    PARTITION because it needs no catalog registration for a
+    raw-path table."""
     import os
     import shutil
 
@@ -250,13 +266,17 @@ def _drop_partition_dir_local(full: str) -> None:
         if local.startswith(pre):
             local = local[len(pre):]
             break
-    if "://" in local:
+    if "://" not in local:
+        if os.path.isdir(local):
+            shutil.rmtree(local)
+        return
+    if data_schema is None:
         raise NotImplementedError(
-            "partition drop on a non-local filesystem requires the JVM "
-            f"gateway (classic session), got Connect client + {full!r}"
+            "partition drop on a non-local filesystem from a Connect "
+            "client needs the table's data schema (pass data_schema=) "
+            f"to clear {full!r} via an empty overwrite"
         )
-    if os.path.isdir(local):
-        shutil.rmtree(local)
+    spark.createDataFrame([], data_schema).write.mode("overwrite").parquet(full)
 
 
 def _escape_part(v: str) -> str:

@@ -26,10 +26,11 @@ def plan_compaction(
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
     except Exception:
-        # Spark Connect client: no JVM gateway — list local paths via
-        # the OS (the graded surface); remote URIs would need a
-        # server-side listing, so fail loudly rather than report 0.
-        sizes = _list_parquet_sizes_local(path)
+        # Spark Connect client: no JVM gateway — list via the
+        # binaryFile source instead (server-side, any filesystem the
+        # server can reach; content column never selected, so nothing
+        # is read). Closes the r11 NotImplementedError seam.
+        sizes = _list_parquet_sizes_df(spark, path)
     else:
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(conf)
@@ -46,24 +47,40 @@ def plan_compaction(
     }
 
 
-def _list_parquet_sizes_local(path: str) -> list[int]:
-    """Connect-client fallback for :func:`plan_compaction`."""
-    import os
-
-    local = path
+def _strip_scheme(p: str) -> str:
     for pre in ("file://", "file:"):
-        if local.startswith(pre):
-            local = local[len(pre):]
-            break
-    if "://" in local:
-        raise NotImplementedError(
-            "compaction planning on a non-local filesystem requires the "
-            f"JVM gateway (classic session), got Connect client + {path!r}"
+        if p.startswith(pre):
+            return p[len(pre):]
+    return p
+
+
+def _list_parquet_sizes_df(spark, path: str) -> list[int]:
+    """Connect-client listing for :func:`plan_compaction`: the
+    binaryFile source with only (path, length) selected — a pure
+    DataFrame metadata scan executed by the SERVER, so it reaches any
+    filesystem the server's Hadoop conf can (the r11 version raised
+    NotImplementedError off-local). Matches the JVM branch's
+    direct-children-only semantics: a glob match that is itself a
+    directory lists its inner files with deeper paths, which the
+    dirname check drops. The collect is file-count-scale metadata."""
+    try:
+        rows = (
+            spark.read.format("binaryFile")
+            .load(f"{path.rstrip('/')}/*.parquet")
+            .select("path", "length")
+            .collect()
         )
+    except Exception as e:
+        # no matching files -> empty plan, same as an empty scandir;
+        # anything else (unreachable scheme, auth) must stay loud
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return []
+        raise
+    base = _strip_scheme(path).rstrip("/")
     return [
-        e.stat().st_size
-        for e in os.scandir(local)
-        if e.is_file() and e.name.endswith(".parquet")
+        int(r.length)
+        for r in rows
+        if _strip_scheme(r.path).rsplit("/", 1)[0] == base
     ]
 
 

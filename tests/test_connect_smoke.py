@@ -150,8 +150,76 @@ def test_jvm_seams_survive_missing_spark_context(spark, sf_dir, tmp_path):
     # missing dir: no-op, no crash
     _drop_partition_dir(NoCtx(spark), str(tmp_path / "t"), "k", 2)
 
-    # remote URI without a JVM: loud failure, never a silent no-op
+    # remote URI without a JVM and without a schema: loud failure,
+    # never a silent no-op (the empty-overwrite route needs the
+    # table's data schema — see the drop-delegation test below)
     with _pytest.raises(NotImplementedError):
         _drop_partition_dir(NoCtx(spark), "s3://bucket/t", "k", 1)
-    with _pytest.raises((NotImplementedError, OSError)):
+    # compaction planning now delegates to a server-side binaryFile
+    # listing (r12 — the seam is closed); this jar-less sandbox can't
+    # reach the s3 scheme, so the delegation still fails LOUDLY here,
+    # but on a real Connect deployment the server's FS answers.
+    with _pytest.raises(Exception):
         plan_compaction(NoCtx(spark), "s3://bucket/t")
+
+
+def test_connect_remote_partition_drop_delegates_empty_overwrite(spark, sf_dir):
+    """r12: with the table's data schema supplied, a Connect-client
+    partition drop on a REMOTE URI routes through a pure-DataFrame
+    empty overwrite of the partition directory (server-side FS does
+    the delete). Pin the delegation: empty rows, the caller's schema,
+    overwrite mode, the rendered partition path."""
+    from hbase_support_spark.merge import _drop_partition_dir
+
+    calls = {}
+
+    class FakeWriter:
+        def mode(self, m):
+            calls["mode"] = m
+            return self
+
+        def parquet(self, path):
+            calls["path"] = path
+
+    class FakeDF:
+        write = FakeWriter()
+
+    class FakeSpark:
+        @property
+        def sparkContext(self):
+            raise Exception("sparkContext is not supported in Spark Connect")
+
+        def createDataFrame(self, data, schema):
+            calls["data"], calls["schema"] = data, schema
+            return FakeDF()
+
+    sentinel = object()
+    _drop_partition_dir(FakeSpark(), "s3://bucket/t", "k", 7, sentinel)
+    assert calls == {
+        "data": [],
+        "schema": sentinel,
+        "mode": "overwrite",
+        "path": "s3://bucket/t/k=7",
+    }
+
+
+def test_connect_empty_dir_compaction_plan_is_zero(spark, tmp_path):
+    """The binaryFile listing must treat a dir with no parquet files
+    as an empty plan (scandir parity), not an error."""
+    from hbase_support_spark.sources.compaction import plan_compaction
+
+    class NoCtx:
+        def __init__(self, inner):
+            self._inner = inner
+
+        @property
+        def sparkContext(self):
+            raise Exception("sparkContext is not supported in Spark Connect")
+
+        def __getattr__(self, item):
+            return getattr(self._inner, item)
+
+    empty = tmp_path / "nothing_here"
+    empty.mkdir()
+    got = plan_compaction(NoCtx(spark), str(empty))
+    assert got == {"n_files": 0, "total_bytes": 0, "target_files": 1}
