@@ -25,7 +25,7 @@ EMPIRICAL GATE (``--measure SF_DIR [SF_DIR2]``):
   executing the final query). Run at two scales and any site whose
   row count grows super-constantly (ratio > GROWTH_LIMIT across a 10x
   data scale-up) is flagged — the empirical check that the static tag
-  told the truth. Results land in HINT_AUDIT_r11.json.
+  told the truth. Results land in HINT_AUDIT_r12.json.
 
 Taxonomy — every kind is bounded by CONSTRUCTION, i.e. its row count
 is fixed by a constant in the code or by a fixed schema domain, never
@@ -201,6 +201,24 @@ def measure(sf_dir):
     return counts, site_queries, errs
 
 
+def _resolve_site(tags, site):
+    """Anchor a RUNTIME broadcast site to its static-scan site. A
+    multi-line ``F.broadcast(...)`` expression can report any line of
+    the enclosing statement as ``f_lineno`` depending on the Python
+    version, while the ``# bcast:`` tag rides the line with the call
+    token — exact-line lookup would flag a correctly-tagged site as a
+    violation (ADVICE r11). Fall back to the NEAREST static site in
+    the same file within a statement-sized window."""
+    if site in tags:
+        return site
+    f, l = site
+    near = [(abs(sl - l), (sf, sl)) for (sf, sl) in tags
+            if sf == f and abs(sl - l) <= 8]
+    if near:
+        return min(near)[1]
+    return site
+
+
 def run_measure(sf_dirs, out_path):
     tags = _site_tags()
     runs = {}
@@ -208,9 +226,12 @@ def run_measure(sf_dirs, out_path):
     for sf in sf_dirs:
         print(f"measuring {sf} ...", flush=True)
         counts, site_queries, errs = measure(sf)
-        runs[sf] = counts
+        runs[sf] = {}
+        for s, n in counts.items():
+            anchor = _resolve_site(tags, s)
+            runs[sf][anchor] = max(runs[sf].get(anchor, 0), n)
         for s, qs in site_queries.items():
-            all_queries[s] |= {q for q in qs if q}
+            all_queries[_resolve_site(tags, s)] |= {q for q in qs if q}
         if errs:
             print(f"  {len(errs)} construction errors: {sorted(errs)[:5]}")
     sites = sorted(set().union(*[set(c) for c in runs.values()]))
@@ -253,7 +274,7 @@ if __name__ == "__main__":
     if args[:1] == ["--measure"]:
         sfs = args[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
         out = os.environ.get("HINT_AUDIT_OUT",
-                             os.path.join(REPO, "HINT_AUDIT_r11.json"))
+                             os.path.join(REPO, "HINT_AUDIT_r12.json"))
         sys.exit(run_measure(sfs, out))
     print(__doc__)
     sys.exit(2)
