@@ -1756,6 +1756,64 @@ def ann_index_append(spark, sf_dir):
     return ivf_probe(spark, idx, qv, k=5, nprobe=2, exclude_id=7)
 
 
+_ANN_DELETE_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    unn AS (
+      SELECT label, vec_id, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS v
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    cent AS (SELECT label, i, AVG(v) AS c FROM unn GROUP BY label, i),
+    cscore AS (
+      SELECT c.label,
+             SUM(c.c * CAST(q.qv[c.i] AS DOUBLE)) /
+               (SQRT(SUM(c.c * c.c)) *
+                SQRT(SUM(CAST(q.qv[c.i] AS DOUBLE) * CAST(q.qv[c.i] AS DOUBLE))))
+               AS score
+      FROM cent c, q GROUP BY c.label
+    ),
+    probe AS (SELECT label FROM cscore ORDER BY score DESC, label LIMIT 2),
+    scored AS (
+      SELECT e.vec_id, ROUND({_d_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e JOIN probe p ON e.label = p.label, q, range(1, 65) r(i)
+      WHERE e.vec_id <> 7 AND e.vec_id % 4 <> 2
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """
+
+
+@register("ann_index_delete", oracle=_ANN_DELETE_ORACLE)
+def ann_index_delete(spark, sf_dir):
+    """IVF index maintenance, leg three (r12): build the persisted
+    index over the FULL corpus, ``ivf_delete`` a quarter of it
+    (vec_id % 4 == 2 — GDPR-erasure shape), probe. The quantizer is
+    frozen through the delete: centroid VECTORS stay the full-corpus
+    means (probe routing unchanged — the oracle restates exactly
+    that: per-label centroid means over ALL embeddings, candidate
+    scoring over the three SURVIVING quarters in the 2 probed cells);
+    only the ``n`` counts decrement, and fully-emptied cell dirs are
+    dropped via the same copy-on-write bulk_delete the MERGE path
+    uses. File-level mechanics (untouched cells byte-identical,
+    doomed rows gone, counts updated, emptied-cell probe behavior)
+    are pinned in tests/test_ann_index.py."""
+    import os as _os
+
+    from ..sources.ann_index import ivf_build, ivf_delete, ivf_probe
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = _os.path.join(scratch_root(), "ivf_label_index_del")
+    ivf_build(spark, e, idx, assign_col=F.col("label"))
+    ivf_delete(spark, idx, F.col("vec_id") % 4 == 2)
+    anchor = e.filter(F.col("vec_id") == 7).head()
+    if anchor is None:
+        probe = ivf_probe(
+            spark, idx, [1.0] + [0.0] * 63, k=5, nprobe=2, exclude_id=7
+        )
+        return probe.filter(F.lit(False))
+    qv = [float(x) for x in anchor.embedding]
+    return ivf_probe(spark, idx, qv, k=5, nprobe=2, exclude_id=7)
+
+
 @register("ann_index_compact", oracle=_ANN_APPEND_ORACLE)
 def ann_index_compact(spark, sf_dir):
     """IVF index maintenance, end-to-end (VERDICT r11 item 4): the

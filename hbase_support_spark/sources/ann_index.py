@@ -239,6 +239,69 @@ def ivf_append(
     }
 
 
+def ivf_delete(
+    spark: SparkSession,
+    index_dir: str,
+    predicate: Column,
+) -> dict:
+    """Delete vectors matching ``predicate`` from a persisted IVF
+    index — the third leg of the maintenance triple (append /
+    compact / delete): GDPR erasure and stale-embedding eviction are
+    daily operations on a production ANN corpus and cannot afford a
+    rebuild.
+
+    Rides :func:`merge.bulk_delete` over the hive-partitioned
+    assignments (copy-on-write of ONLY the cells holding doomed rows;
+    fully-emptied ``cell_id=`` dirs are dropped), then rewrites the
+    nlist-row centroid table with decremented ``n`` counts via the
+    same staged-swap publish as append. Centroid VECTORS are frozen —
+    probe routing is unchanged, exactly the frozen-quantizer contract
+    of ``ivf_append``; an emptied cell keeps its centroid row at n=0
+    (routing to it is harmless — the probe finds no candidates).
+
+    Crash story (mirrors ivf_append's, in the safe order for
+    deletes): assignments first, centroids second. A crash between
+    leaves counts OVERSTATING — metadata-conservative; no vector is
+    ever unroutable and no deleted row can resurface. Returns
+    {"n_deleted", "touched_cells", "emptied_cells"}.
+    """
+    from ..merge import bulk_delete
+
+    src = f"{index_dir}/assignments"
+    per_cell = (
+        spark.read.parquet(src)
+        .filter(predicate)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_del"))
+        .collect()
+    )  # ≤ nlist rows — metadata-scale
+    if not per_cell:
+        return {"n_deleted": 0, "touched_cells": [], "emptied_cells": []}
+    dels = {int(r.cell_id): int(r.n_del) for r in per_cell}
+    stats = bulk_delete(spark, src, predicate, "cell_id")
+    cents = spark.read.parquet(f"{index_dir}/centroids").collect()
+    new_rows = [
+        (
+            int(r.cell_id),
+            [float(x) for x in r.centroid],
+            max(0, int(r.n) - dels.get(int(r.cell_id), 0)),
+        )
+        for r in cents
+    ]
+    out = spark.createDataFrame(
+        new_rows, "cell_id bigint, centroid array<double>, n bigint"
+    )
+    staged = f"{index_dir}/centroids__staged"
+    out.coalesce(1).write.mode("overwrite").parquet(staged)
+    _replace_dir(spark, staged, f"{index_dir}/centroids")
+    emptied = [c for c, _v, n in new_rows if n == 0 and c in dels]
+    return {
+        "n_deleted": int(stats["deleted"]),
+        "touched_cells": sorted(dels),
+        "emptied_cells": sorted(emptied),
+    }
+
+
 def ivf_compact(
     spark: SparkSession,
     index_dir: str,

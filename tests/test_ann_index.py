@@ -365,3 +365,76 @@ def test_compact_refuses_on_row_count_mismatch(spark, sf_dir, tmp_path, monkeypa
         ai.ivf_compact(spark, idx)
     monkeypatch.undo()
     assert sorted(glob.glob(f"{idx}/assignments/cell_id=*/part-*.parquet")) == before
+
+
+def test_delete_rewrites_only_touched_cells_updates_counts(spark, sf_dir, tmp_path):
+    """ivf_delete: untouched cell dirs stay byte-identical, doomed
+    rows disappear from touched cells, centroid vectors are frozen
+    while n counts decrement, and a fully-emptied cell's dir is
+    dropped with its centroid row pinned at n=0."""
+    from hbase_support_spark.sources.ann_index import ivf_delete
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_del")
+    ivf_build(spark, e, idx, assign_col=F.col("label"))
+    before = _files_snapshot(idx)
+    cents_before = {
+        r.cell_id: (tuple(r.centroid), r.n)
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+
+    doomed = (F.col("label") < 3) & (F.col("vec_id") % 4 == 2)
+    n_doomed = e.filter(doomed).count()
+    res = ivf_delete(spark, idx, doomed)
+    assert res["n_deleted"] == n_doomed
+    assert res["touched_cells"] == sorted(
+        r.label for r in e.filter(doomed).select("label").distinct().collect()
+    )
+    after = _files_snapshot(idx)
+    touched = {f"cell_id={c}" for c in res["touched_cells"]}
+    for p, sz in before.items():
+        if p.split("/")[-2] not in touched:
+            assert after.get(p) == sz, f"untouched cell rewritten: {p}"
+    a = spark.read.parquet(f"{idx}/assignments")
+    assert a.filter(doomed).count() == 0
+    assert a.count() == e.count() - n_doomed
+    cents_after = {
+        r.cell_id: (tuple(r.centroid), r.n)
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    assert set(cents_after) == set(cents_before)
+    for c, (vec, n) in cents_after.items():
+        assert vec == cents_before[c][0]  # frozen vectors
+        want = cents_before[c][1] - e.filter(doomed & (F.col("label") == c)).count()
+        assert n == want
+
+
+def test_delete_emptied_cell_dropped_and_probe_safe(spark, sf_dir, tmp_path):
+    """Deleting EVERY vector of one cell drops its directory, pins its
+    centroid at n=0, and a probe routed straight at that centroid
+    still answers (from the surviving neighbor cells)."""
+    from hbase_support_spark.sources.ann_index import ivf_delete
+
+    e = load_table(spark, sf_dir, "embeddings")
+    if e.filter(F.col("label") == 9).head() is None:
+        import pytest
+
+        pytest.skip("fixture has no label-9 vectors at this SF")
+    idx = str(tmp_path / "ivf_del_empty")
+    ivf_build(spark, e, idx, assign_col=F.col("label"))
+    row9 = (
+        spark.read.parquet(f"{idx}/centroids").filter(F.col("cell_id") == 9).head()
+    )
+    res = ivf_delete(spark, idx, F.col("label") == 9)
+    assert res["emptied_cells"] == [9]
+    assert not os.path.isdir(f"{idx}/assignments/cell_id=9")
+    cents = {
+        r.cell_id: r.n for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    assert cents[9] == 0
+    got = ivf_probe(
+        spark, idx, [float(x) for x in row9.centroid], k=3, nprobe=3
+    ).collect()
+    assert got and all(r.vec_id not in
+                       {x.vec_id for x in e.filter(F.col("label") == 9).collect()}
+                       for r in got)
