@@ -552,14 +552,23 @@ def dedup_simhash(spark, sf_dir):
 NGRAM_EXACT_BLOCK_CAP = 4096
 
 
-def _assert_blocks_bounded(d, cap: int = NGRAM_EXACT_BLOCK_CAP) -> None:
+def _assert_blocks_bounded(
+    d, cap: int = NGRAM_EXACT_BLOCK_CAP, name: str = "dedup_ngram_jaccard"
+) -> None:
     """Raise if any (lang, source) block exceeds the exact-path cap.
 
     The blocked-exact Jaccard join is O(Σ block²): one hot block
     degenerates it to N²/2 set intersections (the join_er_fuzzy_string
     r02 failure mode). Production near-dup must ride the bucketed
     sub-quadratic paths instead. The pre-check is one column-pruned
-    scan + tiny agg + a single-scalar collect (metadata-scale)."""
+    scan + tiny agg + a single-scalar collect (metadata-scale).
+
+    r12: applied to EVERY kernel that self-joins on the (lang,
+    source) block, not just the Jaccard twins — the first bounded
+    x128 census found dedup_containment effectively non-terminating
+    (32k-doc blocks → ~5e8 set intersections per block) because
+    the block key is low-cardinality metadata that grows with the
+    corpus unless the guard quarantines it."""
     hot = (
         d.groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -568,7 +577,7 @@ def _assert_blocks_bounded(d, cap: int = NGRAM_EXACT_BLOCK_CAP) -> None:
     )
     if hot is not None and hot > cap:
         raise ValueError(
-            f"dedup_ngram_jaccard: largest (lang, source) block has {hot} docs "
+            f"{name}: largest (lang, source) block has {hot} docs "
             f"(> cap {cap}); the exact O(block^2) path is verification-only at "
             "this size. Use dedup_near_minhash / dedup_simhash (bucketed LSH "
             "with member caps) or dedup_ngram_jaccard_fast on a sampled block."
@@ -3940,6 +3949,7 @@ def dedup_lsh_recall_report(spark, sf_dir):
     re-derives bit-identical signatures and the whole report is
     hash-graded."""
     d = load_table(spark, sf_dir, "documents")
+    _assert_blocks_bounded(d, name="dedup_lsh_recall_report")
     base = with_shingles(d, "doc_id", "lang", "source").filter(
         F.size("shingles") > 0
     )
@@ -4051,6 +4061,7 @@ def dedup_containment(spark, sf_dir):
     max-containment prefilter (|A∩B| ≤ min|A|,|B|) is built into the
     threshold on the smaller side."""
     d = load_table(spark, sf_dir, "documents")
+    _assert_blocks_bounded(d, name="dedup_containment")
     sh = with_shingles(d, "doc_id", "lang", "source")
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
@@ -4324,6 +4335,10 @@ def pipeline_dedup_cascade(spark, sf_dir):
     row, sub-quadratic candidates; the exact-Jaccard form here keeps
     the whole cascade hash-free for the oracle."""
     d = load_table(spark, sf_dir, "documents")
+    # the cap must gate the NEAR stage's post-exact blocks, but exact
+    # dedup only ever shrinks them — guarding the input is sufficient
+    # and one scan cheaper
+    _assert_blocks_bounded(d, name="pipeline_dedup_cascade")
     from pyspark.sql import Window
 
     sh = with_shingles(d, "doc_id", "lang", "source").join(
@@ -7399,6 +7414,7 @@ def dedup_minhash_1bit_recall(spark, sf_dir):
     join on (lang, source) with the size-ratio prefilter — never
     all-pairs."""
     d = load_table(spark, sf_dir, "documents")
+    _assert_blocks_bounded(d, name="dedup_minhash_1bit_recall")
     base = with_shingles(d, "doc_id", "lang", "source").filter(
         F.size("shingles") > 0
     )

@@ -51,3 +51,17 @@ def test_cliques_converge_fast_and_exactly(spark):
     out = _propagate_min_labels(labels, edges, max_rounds=16)
     got = {r.doc_id: r.label for r in out.collect()}
     assert got == {**{i: 0 for i in range(5)}, **{i: 10 for i in range(10, 14)}}
+
+
+def test_lang_source_block_cap_raises_on_hot_block(spark):
+    """The (lang, source) block guard must trip on a hot block with
+    the calling kernel's name in the message (r12: applied to every
+    blocked-exact pair kernel, not just the Jaccard twins)."""
+    from hbase_support_spark.operators.llm import _assert_blocks_bounded
+
+    d = spark.range(50).select(
+        F.lit("en").alias("lang"), F.lit("web").alias("source")
+    )
+    with pytest.raises(ValueError, match="dedup_containment: largest"):
+        _assert_blocks_bounded(d, cap=10, name="dedup_containment")
+    _assert_blocks_bounded(d, cap=50, name="dedup_containment")  # at cap: fine

@@ -54,10 +54,20 @@ def _doc_perturb(d, i: int):
     exactly — two docs share a shingle after the rewrite iff they
     shared it before — while cross-replica token sets are disjoint,
     so shingle/ngram Jaccard between replicas is 0. n_chars is
-    recomputed to keep the length column consistent."""
+    recomputed to keep the length column consistent.
+
+    ``source`` is ALSO suffixed per replica (a new crawl batch per
+    replica — the realistic shape of corpus growth): the blocked-
+    exact pair kernels self-join on the (lang, source) block, and
+    with a shared source the block size grows ×R — the first bounded
+    x128 census left dedup_containment effectively non-terminating
+    on 32k-doc blocks (and past NGRAM_EXACT_BLOCK_CAP those kernels
+    now RAISE by design). Suffixed sources keep every block at base
+    size, so candidate pairs stay R × base."""
     if i == 0:
         return d
     d = d.withColumn("text", F.regexp_replace("text", r"(\S+)", f"$1w{i}"))
+    d = d.withColumn("source", F.concat(F.col("source"), F.lit(f"_r{i}")))
     return d.withColumn("n_chars", F.length("text").cast("long"))
 
 
