@@ -47,15 +47,18 @@ from hbase_support_spark import QUERIES, get_spark, load_all
 
 _RETRIES = 2  # attempts after the first failure
 
-# The documented super-linear-under-replica-harness family: pair/
-# similarity kernels whose TRUE output grows C(R,2) when the harness
-# replicates every entity (each doc/user gains R-1 exact twins), so a
-# replica census measures the artifact, not the plan (SCALE.md, r5
-# minhash row onward). events_coactivity_topk joined in r8: at x32
-# its exact answer is ~1.15e9 distinct pair counts (~55 GB of
-# distributed aggregation state) — sound on a cluster, unholdable in
-# the single 8 g census JVM under ANY plan (completes at x8 in 90 s).
-# Auto-excluded when the sf_dir is a stress replica dir.
+# The documented super-linear-under-PLAIN-replica-harness family:
+# pair/similarity kernels whose TRUE output grows C(R,2) when the
+# harness replicates every entity verbatim (each doc/user gains R-1
+# exact twins), so a plain-replica census measures the artifact, not
+# the plan (SCALE.md, r5 minhash row onward). events_coactivity_topk
+# joined in r8: at x32 its exact answer is ~1.15e9 distinct pair
+# counts (~55 GB of distributed aggregation state) — sound on a
+# cluster, unholdable in the single 8 g census JVM under ANY plan.
+# Auto-excluded when the sf_dir is a PLAIN stress replica dir
+# (build()); the r12 census instead runs the whole registry on the
+# DUPLICATION-BOUNDED fixture (build_bounded — decorrelated replicas,
+# SCALE.md r12), where this family is linear and needs no exclusion.
 REPLICA_QUADRATIC = {
     "dedup_near_minhash",
     "dedup_semdedup_keep",
