@@ -2903,7 +2903,8 @@ def text_repetition_ratio(spark, sf_dir):
     oracle=f"""
     WITH w AS (
       SELECT *,
-             5 + 15 * (CAST(substring(source, 4) AS BIGINT) % 5) AS keep_pct,
+             5 + 15 * (COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1)
+                                         AS BIGINT), 0) % 5) AS keep_pct,
              {_d_h60("'epoch1|' || CAST(doc_id AS VARCHAR)")} % 100 AS slot
       FROM documents
     )
@@ -2922,7 +2923,18 @@ def pipeline_mix_weighted(spark, sf_dir):
     ('epoch1|') re-rolls the sample per epoch without reshuffling
     data. Pure map-side filter + one tiny per-source rollup."""
     d = load_table(spark, sf_dir, "documents")
-    keep_pct = 5 + 15 * (F.expr("cast(substring(source, 4) AS bigint)") % 5)
+    # first digit run, not a positional substring-cast: source ids are
+    # opaque strings at corpus scale (the x128 census's per-replica
+    # source suffixes turned 'src0' into 'src0_r93' and the strict
+    # CAST threw CAST_INVALID_INPUT); digit-extraction keys replicas
+    # of a source to the base source's rate, no-digit sources to 0
+    keep_pct = 5 + 15 * (
+        F.expr(
+            "coalesce(try_cast(regexp_extract(source, '([0-9]+)', 1) "
+            "AS bigint), 0)"
+        )
+        % 5
+    )
     slot = F.expr(_h60("concat('epoch1|', cast(doc_id AS string))")) % 100
     return (
         d.select("source", keep_pct.alias("keep_pct"), slot.alias("slot"))

@@ -51,6 +51,7 @@ def _restart_spark(old):
     from pyspark import SparkContext
     from pyspark.sql import SparkSession
 
+    proc = getattr(SparkContext._gateway, "proc", None)
     try:
         old.stop()
     except Exception:
@@ -58,11 +59,26 @@ def _restart_spark(old):
     try:
         # stop() alone leaves the py4j-launched JVM alive (observed
         # r11: each 40-query restart leaked a ~20 GB idle JVM);
-        # shutting the gateway down terminates the process.
+        # shutting the gateway down asks the process to exit.
         if SparkContext._gateway is not None:
             SparkContext._gateway.shutdown()
     except Exception:
         pass
+    if proc is not None:
+        # shutdown() is advisory: r12 observed every 40-query restart
+        # leaving its JVM alive AND busy (abandoned stages + GC loops
+        # burning 5-20 cores each), so by mid-census 7 orphaned JVMs
+        # were contending with the live one and poisoning timings.
+        # pyspark stores the JVM's Popen on the gateway — reap it,
+        # escalating to SIGKILL if it ignores the polite path.
+        try:
+            proc.wait(timeout=10)
+        except Exception:
+            try:
+                proc.kill()
+                proc.wait(timeout=10)
+            except Exception:
+                pass
     SparkContext._active_spark_context = None
     SparkContext._gateway = None
     SparkContext._jvm = None
