@@ -120,6 +120,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """Materialize-once marker for a DATA-SCALE frame consumed by
+    several plan branches: a lazy ``localCheckpoint`` at DISK_ONLY
+    (serialized, executor-local disk) so reuse never holds
+    deserialized rows on the heap.
+
+    Why the explicit storage level: localCheckpoint's default
+    MEMORY_AND_DISK keeps partitions as deserialized row objects
+    first — several-fold memory amplification that at the x128
+    census filled an 8 GiB JVM with pinned edge/fingerprint frames
+    and starved every later broadcast build ("Not enough memory to
+    build and broadcast", SCALE.md r12). DISK_ONLY blocks cost one
+    serialize/deserialize per consumer — the pinned frames are
+    narrow (ids, longs, small aggregates) so the round-trip is
+    cheap — and bound the pin's heap footprint to IO buffers.
+
+    Why localCheckpoint and not ``persist(DISK_ONLY)``: checkpoint
+    semantics make the pinned frame a fresh LEAF. The ranking
+    kernels join the pinned frame with aggregates derived from
+    itself; under persist the shared lineage makes those self-join
+    attributes ambiguous (caught by the r12 sf0.001 sweep:
+    agg_weighted_median "Column ... ambiguous"), and plan
+    canonicalization over ``spark_partition_id()`` stays
+    nondeterministic. The known localCheckpoint trade — truncated
+    lineage means a lost block fails the job instead of recomputing
+    — is accepted and documented: on the target cluster these pins
+    live for one query, and the frames are orders of magnitude
+    smaller than their inputs.
+    """
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views (mirrors the oracle's
     view names 1:1 so ``spark.sql`` text can be shared)."""

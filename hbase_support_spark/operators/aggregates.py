@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, pin as _pin
 from ..num import money_sum, round_z
 from ..registry import register
 
@@ -4432,10 +4432,10 @@ def agg_theta_sketch_users(spark, sf_dir):
     )
     # Consumed twice (exact-count agg + k-smallest candidate path):
     # pin one materialization so the distinct+union scan runs once —
-    # the same lazy-localCheckpoint pattern the ranking kernels use.
+    # the same DISK_ONLY io.pin the ranking kernels use.
     hashed = base.withColumn(
         "h", F.expr(_h("cast(user_id AS string)"))
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     counts = hashed.groupBy("segment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
@@ -4780,7 +4780,7 @@ def orders_skyline_customers(spark, sf_dir):
         .cast("bigint")
         .alias("avg_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     # ^ the per-customer aggregate is consumed twice (value table +
     #   join-back) and additionally sampled by the kernel's range
     #   shuffle — without pinning, the orders scan+agg re-runs four

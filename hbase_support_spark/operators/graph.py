@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, pin as _pin
 from ..registry import register
 
 _SCALE = 1_000_000_000_000  # integer rank units: 1.0 == 1e12
@@ -298,15 +298,16 @@ def graph_triangle_count(spark, sf_dir):
     # sides, wedge tails/heads, closure, edge count); without
     # materialization Catalyst re-runs the basket pair-expansion per
     # consumer (measured: 54 shuffles / 128 aggs in the audit). The
-    # lazy localCheckpoint pins each derived frame once — the same
-    # ReuseExchange rationale as the ranking kernel.
+    # DISK_ONLY pin (io.pin) materializes each derived frame once —
+    # the ReuseExchange rationale of the ranking kernel, without
+    # holding corpus-scale edges as deserialized rows on the heap.
     und = (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.part") < F.col("b.part")))
         .groupBy(F.col("a.part").alias("u"), F.col("b.part").alias("v"))
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     deg = (
         und.select(F.col("u").alias("id"))
@@ -326,7 +327,7 @@ def graph_triangle_count(spark, sf_dir):
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
@@ -392,7 +393,7 @@ def graph_bfs_hops(spark, sf_dir):
     IS Spark's iterative-graph execution model (GraphX compiles to
     exactly this frontier join + distinct per step; bounded depth
     keeps it a deterministic graded query, the pagerank decision).
-    The edge list is built once and pinned (localCheckpoint) so three
+    The edge list is built once and pinned (io.pin, DISK_ONLY) so three
     frontier joins don't re-derive it; each frontier is
     broadcast-joined while small and falls back to shuffle when it
     saturates — at 100 TB the frontier size, not the graph, drives
@@ -411,7 +412,7 @@ def graph_bfs_hops(spark, sf_dir):
     )
     edges = pairs.unionAll(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     d0 = li.agg(F.min("l_partkey").alias("id"))
     f1 = (
         edges.join(F.broadcast(d0), edges.a == d0.id).select(F.col("b").alias("id")).distinct()  # bcast: scalar
@@ -557,7 +558,7 @@ def graph_connected_components(spark, sf_dir):
     bounded-superstep decision as graph_bfs_hops.
 
     Scale shape: the adjacency list is derived once and pinned
-    (localCheckpoint) so 4 supersteps don't re-derive the self-join;
+    (io.pin, DISK_ONLY) so 4 supersteps don't re-derive the self-join;
     each superstep is one shuffle-join on nbr + one map-side-
     combining MIN agg on id — exactly GraphX's aggregateMessages
     plan. Label state is one row per vertex; MIN makes every round
@@ -581,7 +582,7 @@ def graph_connected_components(spark, sf_dir):
     adj = (
         edges.select(F.col("a").alias("id"), F.col("b").alias("nbr"))
         .unionAll(verts.select("id", F.col("id").alias("nbr")))
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     labels = verts.select("id", F.col("id").alias("lbl"))
     # Convergence scalar per superstep (r12, VERDICT r11 item 2):
@@ -785,7 +786,7 @@ def graph_hits_bipartite(spark, sf_dir):
     pairs = (
         li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     hubs = pairs.select("s").distinct()
     h = hubs.select("s", F.lit(1048576).cast("bigint").alias("h"))
@@ -911,7 +912,7 @@ def graph_random_walk_deterministic(spark, sf_dir):
         pairs.select(
             (F.col("s") * 2 + 1).alias("src"), (F.col("p") * 2).alias("dst")
         )
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     w = pairs.select((F.col("s") * 2 + 1).alias("walker")).distinct().select(
         "walker", F.col("walker").alias("cur")
     )
@@ -1006,7 +1007,7 @@ def graph_kcore_2step(spark, sf_dir):
     joins re-keying the edge list on each endpoint — the standard
     Pregel peel, every stage equality-keyed and parallel, state one
     row per vertex. The edge list is derived once and pinned
-    (localCheckpoint) so both rounds and the final report read one
+    (io.pin, DISK_ONLY) so both rounds and the final report read one
     materialization instead of re-running the co-purchase self-join
     five times. No step's parallelism depends on core size; at
     100 TB the peel is the same two shuffles per round GraphX's
@@ -1029,7 +1030,7 @@ def graph_kcore_2step(spark, sf_dir):
     )
     edges = pairs.unionAll(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
 
     def _deg(e):
         return e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("d"))

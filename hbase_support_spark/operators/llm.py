@@ -31,7 +31,7 @@ import re
 
 from pyspark.sql import functions as F
 
-from ..io import load_table, scratch_root
+from ..io import load_table, pin as _pin, scratch_root
 from ..num import d_round_ie, round_ie, round_z
 from ..registry import register
 
@@ -5199,7 +5199,7 @@ def sim_users_behavioral(spark, sf_dir):
         "user_id",
         "block",
         F.struct(*[F.col(f"p_{t}") for t in _ETYPES]).alias("vk"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
 
     # 11 smallest members per distinct vector — two-phase local top-k
     # so no single task ever sorts one vector's full member list.
@@ -5248,7 +5248,7 @@ def sim_users_behavioral(spark, sf_dir):
         ).alias("cos_sim"),
         (F.col("m") * (F.col("m") - 1) / 2).cast("bigint").alias("npairs"),
     )
-    vp = inter.unionAll(intra).localCheckpoint(eager=False)
+    vp = inter.unionAll(intra).transform(_pin)
 
     # cosine threshold where cumulative candidate-pair count reaches
     # k=10: a running sum over the tiny distinct-cos grid (aggregate-
@@ -5634,9 +5634,11 @@ def dedup_winnow_pairs(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # the picks frame feeds three consumers (bucket sizes + both pair
-    # sides); pin it so the Arrow kernel runs once, not per consumer
-    # (the graph_triangle_count ReuseExchange lesson)
-    picks = d.mapInPandas(emit_picks, schema).localCheckpoint(eager=False)
+    # sides); DISK_ONLY-pin it so the Arrow kernel runs once, not per
+    # consumer (the graph_triangle_count ReuseExchange lesson) and the
+    # corpus-scale picks never sit deserialized on the heap (the x128
+    # broadcast-starvation lesson, io.pin)
+    picks = d.mapInPandas(emit_picks, schema).transform(_pin)
     buckets = picks.groupBy("fp").agg(F.count("*").alias("sz"))
     ok_fps = buckets.filter((F.col("sz") >= 2) & (F.col("sz") <= 16)).select("fp")
     # ok_fps is fingerprint-keyed -> grows with the corpus; unhinted
@@ -6735,7 +6737,7 @@ def embedding_pca_power_top1(spark, sf_dir):
         e.mapInPandas(partial_moments, part_schema)
         .groupBy("i", "j")
         .agg(F.sum("val").cast("long").alias("val"))
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     mfr = moments.filter((F.col("i") > 0) & (F.col("j") > 0)).select(
         "i", "j", F.col("val").alias("mij")
     )

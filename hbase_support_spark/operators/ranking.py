@@ -31,9 +31,9 @@ rows and the rest ``n/k`` — a closed form over the rank, so quintile
 scoring needs no second window. Both kernels are verified
 value-identical to the native window forms in tests/test_ranking.py.
 
-Feeding contract (r7 ×128 lesson): every kernel here
-``localCheckpoint``s its range-partitioned input, so the
-materialization is INPUT-scale. Feed the smallest sufficient frame:
+Feeding contract (r7 ×128 lesson): every kernel here pins
+(``io.pin``, DISK_ONLY) its range-partitioned input, so the
+materialization is INPUT-scale and stays off the heap. Feed the smallest sufficient frame:
 for order statistics over values, hash-aggregate to the distinct
 (group, value) grid with counts FIRST and prefix-sum the counts —
 the grid is map-side-combined and usually orders of magnitude
@@ -46,6 +46,8 @@ output (RFM scores, per-row quartiles).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..io import pin as _pin
 
 _PID = "_gr_pid"
 _OFF = "_gr_off"
@@ -79,15 +81,17 @@ def with_global_rank(
     # plan canonicalization — without materialization each consumer
     # re-runs the whole upstream plan and ReuseExchange never fires
     # (measured: chaining three ranks exploded to 28 exchanges). A
-    # lazy localCheckpoint pins the ranged frame to executor-local
-    # storage on first use, so both consumers — and any downstream
-    # rank chained on top — read one materialization. The frame is
-    # the per-entity aggregate being ranked, not raw data, so local
-    # storage is the right cost at 100 TB.
+    # DISK_ONLY pin materializes the ranged frame to executor-local
+    # disk on first use, so both consumers — and any downstream
+    # rank chained on top — read one serialized materialization
+    # (deserialized on-heap pins starved the x128 census's broadcast
+    # builds; see io.pin). The frame is the per-entity aggregate
+    # being ranked, not raw data, so local disk is the right cost
+    # at 100 TB.
     d = (
         df.repartitionByRange(*cols)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     counts = d.groupBy(_PID).agg(F.count("*").alias("_cnt"))
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
@@ -150,7 +154,7 @@ def with_global_prefix_sum(
     d = (
         df.repartitionByRange(*cols)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     totals = d.groupBy(_PID).agg(F.sum(val_col).alias("_tot"))
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
@@ -189,7 +193,7 @@ def with_global_prefix_max(
     d = (
         df.repartitionByRange(*cols)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     totals = d.groupBy(_PID).agg(F.max(val_col).alias("_pmax"))
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)

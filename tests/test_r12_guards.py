@@ -65,3 +65,47 @@ def test_lang_source_block_cap_raises_on_hot_block(spark):
     with pytest.raises(ValueError, match="dedup_containment: largest"):
         _assert_blocks_bounded(d, cap=10, name="dedup_containment")
     _assert_blocks_bounded(d, cap=50, name="dedup_containment")  # at cap: fine
+
+
+def test_env_skip_probes_track_their_dependencies():
+    """The suite's three skips are environment gates (VERDICT r11 item
+    7: 'skip count <= 3 with reasons asserted'). Pin each gate's probe
+    to its actual dependency so the skips LIFT THEMSELVES on an image
+    that ships the dep — a probe that hardcodes False would silently
+    keep real coverage off forever."""
+    def _imports(*mods):
+        try:
+            for m in mods:
+                __import__(m)
+            return True
+        except ImportError:
+            return False
+
+    from hbase_support_spark.streaming.demo import transform_with_state_available
+
+    # transformWithStateInPandas demo <-> google.protobuf
+    assert transform_with_state_available() == _imports("google.protobuf")
+
+    # Connect smoke <-> grpc + protobuf
+    import sys
+    sys.path.insert(0, "tests")
+    try:
+        from test_connect_smoke import _has_connect
+    finally:
+        sys.path.remove("tests")
+    assert _has_connect() == _imports("grpc", "google.protobuf")
+
+    # ieee-knob sweep <-> duckdb exposing ieee_floating_point_ops
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute("SET ieee_floating_point_ops = false")
+        knob = True
+    except Exception:
+        knob = False
+    finally:
+        con.close()
+    from test_ieee_semantics import _knob_supported  # noqa: E402  (same sys.path dance)
+
+    assert _knob_supported() == knob
