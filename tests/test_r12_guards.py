@@ -109,3 +109,24 @@ def test_env_skip_probes_track_their_dependencies():
     from test_ieee_semantics import _knob_supported  # noqa: E402  (same sys.path dance)
 
     assert _knob_supported() == knob
+
+
+def test_pin_is_a_leaf_and_stores_disk_only(spark):
+    """io.pin's two contracts (SCALE.md r12): checkpoint LEAF
+    semantics (self-derived joins must resolve — the persist()
+    variant broke agg_weighted_median with ambiguous attributes) and
+    DISK_ONLY storage (pinned data-scale frames must not sit
+    deserialized on the heap)."""
+    from hbase_support_spark.io import pin
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    p = pin(df)
+    agg = p.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    assert p.join(agg, "v").count() == 1000  # self-derived join resolves
+
+    jsc = spark.sparkContext._jsc.sc()
+    levels = [
+        (i.storageLevel().useDisk(), i.storageLevel().useMemory())
+        for i in jsc.getRDDStorageInfo()
+    ]
+    assert (True, False) in levels, levels  # disk yes, on-heap rows no
