@@ -5641,14 +5641,21 @@ def dedup_winnow_pairs(spark, sf_dir):
     picks = d.mapInPandas(emit_picks, schema).transform(_pin)
     buckets = picks.groupBy("fp").agg(F.count("*").alias("sz"))
     ok_fps = buckets.filter((F.col("sz") >= 2) & (F.col("sz") <= 16)).select("fp")
-    # ok_fps is fingerprint-keyed -> grows with the corpus; unhinted
-    # join co-partitions with the buckets groupBy("fp") (r10
-    # broadcast-hint audit)
-    p = picks.join(ok_fps, "fp")
+    # ok_fps and the pair sides are fingerprint-keyed -> they grow
+    # with the corpus, so these joins must NEVER broadcast. r10 left
+    # them unhinted on the theory that AQE's runtime size check makes
+    # the safe call; the r12 bounded x128 census disproved that: AQE
+    # measured ok_fps under the 64 MB threshold and the deserialized
+    # broadcast build OOMed a fresh 8 GiB driver ("Not enough memory
+    # to build and broadcast", SCALE.md r12). hint("merge") pins the
+    # sort-merge path; both joins then co-partition on fp with the
+    # buckets groupBy, and the corpus-scale frames stay off the
+    # driver at every scale.
+    p = picks.join(ok_fps.hint("merge"), "fp")
     a, bb = p.alias("a"), p.alias("b")
     pairs = (
         a.join(
-            bb,
+            bb.hint("merge"),
             (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -33,7 +33,12 @@ _UNHINTED = {
     "text_tfidf_topterms": ['tf.join(df, "w")'],
     "text_ngram_lm_perplexity": ['toks.join(freq, "w")'],
     "text_boilerplate_density": ['s.join(bp, "shingle", "left")'],
-    "dedup_winnow_pairs": ['picks.join(ok_fps, "fp")'],
+    # r12: upgraded from merely-unhinted to an explicit merge hint —
+    # AQE measured ok_fps under the broadcast threshold at the x128
+    # bounded census and the deserialized build OOMed the driver; a
+    # corpus-growing frame must be pinned OFF the broadcast path,
+    # not left to a size heuristic (SCALE.md r12).
+    "dedup_winnow_pairs": ['picks.join(ok_fps.hint("merge"), "fp")', 'bb.hint("merge")'],
     "events_retention_daily": ['.join(cohort, "user_id")'],
     "tombstone_merge": ["puts.join(dels,"],
     "cells_major_compaction_view": ["live.join(dels,"],
