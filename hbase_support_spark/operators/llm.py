@@ -5920,9 +5920,8 @@ def sim_centroid_classify(spark, sf_dir):
     vector (|V| x nlist rounded cosines, argmax by (cos DESC, label)
     so ties can never flip cross-engine); the confusion matrix is a
     tiny label x label agg. At 100 TB: one scan + one broadcast —
-    no vector ever shuffles."""
-    from pyspark.sql import Window
-
+    no vector ever shuffles, and since r12 no SCORED ROW shuffles
+    either (map-side argmax; one pre-combined row per vector)."""
     e = load_table(spark, sf_dir, "embeddings")
     dims = e.select("label", F.posexplode("embedding").alias("pos", "val"))
     cent = (
@@ -5937,24 +5936,47 @@ def sim_centroid_classify(spark, sf_dir):
         )
         .select(F.col("label").alias("cand_label"), "cvec")
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(  # bcast: centroids
+    # r12 x128 rework (298 s -> see SCALE.md): the old spelling
+    # recomputed _norm(cvec) and _norm(embedding) per SCORED ROW
+    # (3 interpreted 64-element folds x |V| x nlist) and ran the
+    # argmax as a row_number window — a full shuffle+sort of the
+    # |V| x nlist scored relation. Both fixes are value-identical:
+    # norms hoist to one column per side (same fold expression, same
+    # ulps), and the (cos DESC, cand_label ASC) argmax becomes
+    # max(struct(cos, -cand_label)) — a declarative agg that
+    # resolves map-side, because every vector's nlist candidate rows
+    # are co-located in the broadcast crossJoin output. Shuffled
+    # bytes drop from the scored relation to one pre-combined row
+    # per vector.
+    cent = cent.withColumn("ncol", _norm(F.col("cvec")))
+    ev = e.withColumn("nvec", _norm(F.col("embedding")))
+    scored = ev.crossJoin(F.broadcast(cent)).select(  # bcast: centroids
         "vec_id",
         F.col("label").alias("true_label"),
         "cand_label",
         F.round(
             _dot(F.col("embedding"), F.col("cvec"))
-            / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+            / (F.col("nvec") * F.col("ncol")),
             6,
         ).alias("cos_c"),
     )
-    pred = scored.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cand_label")
-        ),
-    ).filter(F.col("rk") == 1)
+    pred = (
+        scored.groupBy("vec_id", "true_label")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_c"),
+                    (-F.col("cand_label")).alias("neg_label"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "true_label",
+            (-F.col("best.neg_label")).alias("pred_label"),
+        )
+    )
     return (
-        pred.groupBy("true_label", F.col("cand_label").alias("pred_label"))
+        pred.groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
 
