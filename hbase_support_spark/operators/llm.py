@@ -320,32 +320,75 @@ def minhash_pairs(docs, member_cap: int = 256, shingle_cap: int = 1 << 20):
     bounded at member_cap longs by construction. At the verify
     threshold (0.7) an oversized bucket is either a hash pile-up or a
     mass-duplicate cluster that exact dedup already catches.
+
+    r12 CPU restructure (OPTIMIZATION_r12.md, guide §1.2/§2.4): the
+    count-first guard's two passes each recomputed the whole
+    tokenize→shingle→signature subtree (no exchange reuse — different
+    payloads), the pushed-down emptiness filter rebuilt every doc's
+    shingle array a second time, and CollapseProject re-inlined the
+    base shingle hash into the per-seed lambda (64x). Fixes: filter
+    on token count before shingling, stage the base hash as its own
+    multi-referenced projection, hash the band slice as longs (no
+    per-band string build), pin the 4-long band frame (io.pin,
+    DISK_ONLY) so both guard passes read one materialization, and
+    compute |A∪B| as nsh_a+nsh_b-inter instead of materializing the
+    union array. Value-identical (parity green at sf0.001/sf0.01);
+    17.3 s → 2.9 s at sf0.1.
     """
+    # Row pruning BEFORE shingle construction (r12, guide §1.2/§2.3):
+    # `size(shingles) > 0` pushed below the shingle projection, so
+    # Catalyst inlined the whole zip_with/array_distinct expression
+    # into the Filter node — every doc built its shingle array TWICE
+    # (once to test emptiness, once for real). `size(toks) >= 3` is
+    # the same predicate (a ≥3-token doc always yields ≥1 trigram;
+    # a shorter one yields the CASE's empty array) but only re-runs
+    # the tokenizer in the pushed filter, not the shingler.
+    toks = docs.select("doc_id", F.expr(TOKENS).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    shing = toks.select("doc_id", F.expr(SHINGLES_FROM_TOKS).alias("shingles"))
     # Stage base hashes once (one string hash per shingle), then
-    # derive the 64 permutations by rehashing the LONG with the seed:
-    # xxhash64(s, h) over two longs costs no string allocation, vs the
-    # naive xxhash64(concat(seed, shingle)) which builds 64 strings
-    # per shingle (2.5x end-to-end at sf0.1).
-    shing = with_shingles(docs, "doc_id").filter(F.size("shingles") > 0)
-    sigs = shing.select(
+    # derive the 64 permutations by rehashing the LONG with the seed.
+    # `hs` MUST be its own projection referenced >1x (here: size +
+    # the seed loop) or CollapseProject inlines it back INSIDE the
+    # per-seed lambda and the string hash runs 64x per shingle —
+    # measured 3.46 s -> 2.18 s for the signature stage at sf0.1
+    # (r12; plan check keeps exactly two xxhash64 sites).
+    hashed = shing.select(
+        "doc_id", F.expr("transform(shingles, sh -> xxhash64(sh))").alias("hs")
+    )
+    sigs = hashed.select(
         "doc_id",
-        F.size("shingles").alias("nsh"),
+        F.size("hs").alias("nsh"),
         F.expr(
             "transform(sequence(0, 63), s ->"
-            " array_min(transform(transform(shingles, sh -> xxhash64(sh)),"
-            " h -> xxhash64(s, h))))"
+            " array_min(transform(hs, h -> xxhash64(s, h))))"
         ).alias("sig"),
     )
-    # 16 bands x 4 rows; bucket key = hash of the band slice + band id
-    bands = sigs.select(
-        "doc_id",
-        "nsh",
-        F.expr(
-            "explode(transform(sequence(0, 15), b ->"
-            " named_struct('band', b, 'bucket',"
-            " xxhash64(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x AS string)))))))"
-        ).alias("bb"),
-    ).select("doc_id", "nsh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # 16 bands x 4 rows; bucket key = one multi-arg long hash of the
+    # band id + the 4-minhash slice (r12: the previous spelling built
+    # 4 decimal strings + a concat per band·doc just to feed the same
+    # hash — equal slices bucket together either way, so candidates
+    # are unchanged). The band frame is PINNED (io.pin, DISK_ONLY):
+    # the count-first guard and the member collect both consume it,
+    # and without the pin each branch recomputed the ENTIRE
+    # tokenize→shingle→64-perm signature subtree (no exchange reuse —
+    # the two exchanges carry different payloads). Pinned rows are 4
+    # longs — metadata-scale next to the text they derive from.
+    bands = _pin(
+        sigs.select(
+            "doc_id",
+            "nsh",
+            F.expr(
+                "explode(transform(sequence(0, 15), b ->"
+                " named_struct('band', b, 'bucket',"
+                " xxhash64(b, element_at(sig, b * 4 + 1), element_at(sig, b * 4 + 2),"
+                " element_at(sig, b * 4 + 3), element_at(sig, b * 4 + 4)))))"
+            ).alias("bb"),
+        ).select(
+            "doc_id", "nsh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+    )
     # count-first skew guard (see docstring); the ok-bucket frame
     # grows with data: no broadcast hint, AQE decides
     bucket_ok = (
@@ -380,15 +423,37 @@ def minhash_pairs(docs, member_cap: int = 256, shingle_cap: int = 1 << 20):
         .dropDuplicates(["doc_a", "doc_b"])
     )
     pairs = cand.join(
-        shing.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        shing.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shingles").alias("sh_a"),
+            F.size("shingles").alias("nsh_a"),
+        ),
         "doc_a",
     ).join(
-        shing.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        shing.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shingles").alias("sh_b"),
+            F.size("shingles").alias("nsh_b"),
+        ),
         "doc_b",
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    # |A∪B| = |A| + |B| - |A∩B| for the already-distinct shingle
+    # arrays (identical to the oracle's n_a + n_b - inter form): one
+    # array_intersect per surviving pair, no union array ever built.
+    # `inter` gets its own projection for the same CollapseProject
+    # reason as `hs` above: it feeds both the ratio's numerator and
+    # denominator (and the pushed-down >= 0.7 filter) — inlined, the
+    # intersect would run 2x per candidate in every consumer.
+    scored = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        "nsh_a",
+        "nsh_b",
+    )
+    jac = F.col("inter") / (F.col("nsh_a") + F.col("nsh_b") - F.col("inter"))
     return (
-        pairs.withColumn("jaccard", round_ie(jac, 6))
+        scored.withColumn("jaccard", round_ie(jac, 6))
         .filter(F.col("jaccard") >= 0.7)
         .select("doc_a", "doc_b", "jaccard")
     )
