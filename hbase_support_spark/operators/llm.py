@@ -228,24 +228,41 @@ def text_source_vocab_overlap(spark, sf_dir):
     and a train-source sharing vocabulary mass with an eval source
     is a contamination flag before any doc-level match exists).
 
-    Scale shape: distinct (source, shingle) projection — one shuffle
-    on the shingle — then a self-join keyed on the shingle whose
-    fan-out per key is bounded by #sources² (a few hundred), NOT by
-    document count; the matrix itself is #sources² rows. Safe at
-    100 TB by construction; no document pair is ever formed."""
+    Scale shape (r12 restructure, guide §2.4): ONE shuffle on the
+    shingle — groupBy(g).collect_set(source) (set bounded by #sources,
+    a few hundred; partial sets combine map-side) — and both the
+    per-source vocabulary sizes and the shared counts derive from the
+    pinned per-shingle source set via in-row pair expansion. The old
+    spelling shuffled the distinct (source, g) projection THREE times
+    (the distinct itself + both sides of a shingle-keyed self sort-
+    merge join); at sf0.1 the two shapes tie (the explode dominates)
+    but at the x32 bounded replica the join shuffles dominate — see
+    OPTIMIZATION_r12.md for the measured split. Value-identical:
+    distinct == set semantics, the expanded (s1 < s2) pairs per
+    shingle are exactly the join's matches. The matrix itself is
+    #sources² rows. Safe at 100 TB by construction; no document pair
+    is ever formed."""
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        with_shingles(d, "source")
-        .select("source", F.explode("shingles").alias("g"))
-        .distinct()
+    occ = with_shingles(d, "source").select("source", F.explode("shingles").alias("g"))
+    per_g = _pin(
+        occ.groupBy("g").agg(F.sort_array(F.collect_set("source")).alias("srcs"))
     )
-    n = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    n = (
+        per_g.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_sh"))
+    )
     shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        per_g.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (s1, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs) - i - 1), s2 ->"
+                    " named_struct('source_a', s1, 'source_b', s2))))"
+                )
+            ).alias("p")
         )
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
         .agg(F.count("*").cast("bigint").alias("shared_sh"))
     )
     na = n.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
