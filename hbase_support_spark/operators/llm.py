@@ -70,14 +70,24 @@ SHINGLES_FROM_TOKS = (
 )
 
 
-def with_shingles(df, *keep):
+def with_shingles(df, *keep, nonempty: bool = False):
     """Project ``keep`` columns plus a ``shingles`` column, staging
-    tokenization exactly once (see SHINGLES_FROM_TOKS note)."""
+    tokenization exactly once (see SHINGLES_FROM_TOKS note).
+
+    ``nonempty=True`` drops shingle-free docs by filtering
+    ``size(toks) >= 3`` BELOW the shingle projection — equivalent to
+    the old call-site ``.filter(size(shingles) > 0)`` (a ≥3-token doc
+    always yields ≥1 trigram; a shorter one yields the CASE's empty
+    array), but the pushed-down spelling of that filter inlined the
+    whole zip_with/array_distinct shingle expression into the Filter
+    node, building every doc's shingle array TWICE (r12 catch; the
+    token-count filter only re-runs the tokenizer)."""
     from pyspark.sql import functions as F
 
-    return df.select(*keep, F.expr(TOKENS).alias("toks")).select(
-        *keep, F.expr(SHINGLES_FROM_TOKS).alias("shingles")
-    )
+    staged = df.select(*keep, F.expr(TOKENS).alias("toks"))
+    if nonempty:
+        staged = staged.filter(F.size("toks") >= 3)
+    return staged.select(*keep, F.expr(SHINGLES_FROM_TOKS).alias("shingles"))
 # DuckDB twins
 D_TOKENS = "list_filter(string_split(lower(text), ' '), w -> w <> '')"
 D_DISTINCT_TOKENS = f"list_distinct({D_TOKENS})"
@@ -353,17 +363,9 @@ def minhash_pairs(docs, member_cap: int = 256, shingle_cap: int = 1 << 20):
     17.3 s → 2.9 s at sf0.1.
     """
     # Row pruning BEFORE shingle construction (r12, guide §1.2/§2.3):
-    # `size(shingles) > 0` pushed below the shingle projection, so
-    # Catalyst inlined the whole zip_with/array_distinct expression
-    # into the Filter node — every doc built its shingle array TWICE
-    # (once to test emptiness, once for real). `size(toks) >= 3` is
-    # the same predicate (a ≥3-token doc always yields ≥1 trigram;
-    # a shorter one yields the CASE's empty array) but only re-runs
-    # the tokenizer in the pushed filter, not the shingler.
-    toks = docs.select("doc_id", F.expr(TOKENS).alias("toks")).filter(
-        F.size("toks") >= 3
-    )
-    shing = toks.select("doc_id", F.expr(SHINGLES_FROM_TOKS).alias("shingles"))
+    # see with_shingles(nonempty=True) — the old call-site emptiness
+    # filter built every doc's shingle array twice.
+    shing = with_shingles(docs, "doc_id", nonempty=True)
     # Stage base hashes once (one string hash per shingle), then
     # derive the 64 permutations by rehashing the LONG with the seed.
     # `hs` MUST be its own projection referenced >1x (here: size +
@@ -561,8 +563,7 @@ def dedup_simhash(spark, sf_dir):
     # exploded form is one whole-stage-codegen scan with map-side
     # partial aggregation — the shape that survives 100 TB.
     hs = (
-        with_shingles(d, "doc_id")
-        .filter(F.size("shingles") > 0)
+        with_shingles(d, "doc_id", nonempty=True)
         .select("doc_id", F.explode(F.expr(f"transform(shingles, sh -> {_h60('sh')})")).alias("hh"))
     )
     bit_sums = hs.groupBy("doc_id").agg(
@@ -3249,8 +3250,8 @@ def dedup_incremental_vs_corpus(spark, sf_dir):
     engines). At 100 TB the corpus side of the join is the standard
     skew risk: ultra-common shingles fan out — production would cap
     posting df (prefix filtering); kept exact here and flagged."""
-    sh = with_shingles(load_table(spark, sf_dir, "documents"), "doc_id").filter(
-        F.size("shingles") > 0
+    sh = with_shingles(
+        load_table(spark, sf_dir, "documents"), "doc_id", nonempty=True
     )
     batch = sh.filter(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("batch_id"),
@@ -4044,9 +4045,7 @@ def dedup_lsh_recall_report(spark, sf_dir):
     hash-graded."""
     d = load_table(spark, sf_dir, "documents")
     _assert_blocks_bounded(d, name="dedup_lsh_recall_report")
-    base = with_shingles(d, "doc_id", "lang", "source").filter(
-        F.size("shingles") > 0
-    )
+    base = with_shingles(d, "doc_id", "lang", "source", nonempty=True)
     # 16-perm signature via explode + codegen min-aggregates: the
     # higher-order form (transform+array_min per seed) runs ~16x
     # |shingles| interpreted lambda steps per doc; exploding the
@@ -7540,9 +7539,7 @@ def dedup_minhash_1bit_recall(spark, sf_dir):
     all-pairs."""
     d = load_table(spark, sf_dir, "documents")
     _assert_blocks_bounded(d, name="dedup_minhash_1bit_recall")
-    base = with_shingles(d, "doc_id", "lang", "source").filter(
-        F.size("shingles") > 0
-    )
+    base = with_shingles(d, "doc_id", "lang", "source", nonempty=True)
     hs_rows = base.select(
         "doc_id",
         F.explode(
