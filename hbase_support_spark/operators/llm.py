@@ -704,26 +704,28 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sub-quadratic production routes."""
     d = load_table(spark, sf_dir, "documents")
     _assert_blocks_bounded(d)
-    sh = with_shingles(d, "doc_id", "lang", "source").withColumn(
+    # nonempty: a shingle-free doc can never emit a pair (its jaccard
+    # is NULL and fails the threshold), so drop it before the join —
+    # same output, smaller join input, and no pushed-filter shingle
+    # rebuild (see with_shingles).
+    sh = with_shingles(d, "doc_id", "lang", "source", nonempty=True).withColumn(
         "n_sh", F.size("shingles")
     )
     a, b = sh.alias("a"), sh.alias("b")
-    # NULLIF: two shingle-free docs (sub-3-token text, r9 text drill)
-    # give a 0-size union; the oracle's /0 is NULL in DuckDB and the
-    # NULL fails the threshold — match it instead of ANSI-crashing
-    jac = round_ie(
-        F.size(F.array_intersect("a.shingles", "b.shingles"))
-        / F.nullif(
-            F.size(F.array_union("a.shingles", "b.shingles")).cast("double"),
-            F.lit(0.0),
-        ),
-        6,
-    )
     size_ok = (
         F.least(F.col("a.n_sh"), F.col("b.n_sh"))
         >= 0.3 * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
     )
-    return (
+    # Stage the intersect size ONCE per pair (r12, guide §1.2): the
+    # old jac expression (intersect + union arrays) was inlined into
+    # both the pushed >= 0.3 filter and the output projection — two
+    # intersects AND two union-array builds per pair. |A∪B| is
+    # n_a + n_b − inter for distinct shingle arrays (the oracle's
+    # LIST_DISTINCT(LIST_CONCAT(...)) of distinct inputs); NULLIF
+    # keeps the two-shingle-free-docs pair semantics of the oracle
+    # (0-size union → NULL → fails the threshold) — unreachable now
+    # that shingle-free docs are pre-filtered, kept for form.
+    scored = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -734,8 +736,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            F.size(F.array_intersect("a.shingles", "b.shingles")).alias("inter"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
+    )
+    jac = round_ie(
+        F.col("inter")
+        / F.nullif(
+            (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        scored.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.3)
     )
 
@@ -4071,9 +4086,6 @@ def dedup_lsh_recall_report(spark, sf_dir):
     ).drop(*[f"_m{s}" for s in range(16)])
     sigs = sigs.withColumn("n_sh", F.size("shingles"))
     a, b = sigs.alias("a"), sigs.alias("b")
-    jac = F.size(F.array_intersect("a.shingles", "b.shingles")) / F.size(
-        F.array_union("a.shingles", "b.shingles")
-    ).cast("double")
     # size-ratio prefilter (same pruning as dedup_ngram_jaccard):
     # J(A,B) <= min|A|,|B| / max|A|,|B|, so pairs whose sizes differ
     # beyond the threshold skip the set intersection entirely —
@@ -4083,7 +4095,10 @@ def dedup_lsh_recall_report(spark, sf_dir):
         / F.greatest(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
         >= 0.7
     )
-    truth = (
+    # staged intersect + arithmetic union (r12, same fix as
+    # dedup_ngram_jaccard): |A∪B| = n_a + n_b − inter for distinct
+    # shingle arrays; no union array, one intersect per pair.
+    scored = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -4091,9 +4106,19 @@ def dedup_lsh_recall_report(spark, sf_dir):
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(size_ok)
-        .filter(jac >= 0.7)
-        .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .select(
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            F.size(F.array_intersect("a.shingles", "b.shingles")).alias("inter"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
     )
+    truth = scored.filter(
+        F.col("inter")
+        / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+        >= 0.7
+    ).select("sig_a", "sig_b")
     # truth is tiny (n_true pairs x two 16-int signatures) but its
     # lineage carries the md5 signature projection and the blocked
     # jaccard join — and each config branch below re-derives it.
@@ -4155,28 +4180,44 @@ def dedup_containment(spark, sf_dir):
     threshold on the smaller side."""
     d = load_table(spark, sf_dir, "documents")
     _assert_blocks_bounded(d, name="dedup_containment")
-    sh = with_shingles(d, "doc_id", "lang", "source")
+    # nonempty replaces the old post-join emptiness pair-filter: a
+    # shingle-free doc can never reach the 0.5 threshold, and the
+    # pushed pair-filter rebuilt shingle arrays (see with_shingles).
+    sh = with_shingles(d, "doc_id", "lang", "source", nonempty=True).withColumn(
+        "n_sh", F.size("shingles")
+    )
     a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
-    return (
+    # staged intersect (r12): the old inline `inter` was referenced by
+    # the 0.5 prefilter AND both containment outputs — up to three
+    # array intersects per pair; now exactly one.
+    scored = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter((F.size("a.shingles") > 0) & (F.size("b.shingles") > 0))
-        .filter(
-            inter / F.least(F.size("a.shingles"), F.size("b.shingles")).cast("double")
-            >= 0.5
-        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            round_ie(inter / F.size("a.shingles").cast("double"), 6).alias(
+            F.size(F.array_intersect("a.shingles", "b.shingles"))
+            .cast("double")
+            .alias("inter"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+    )
+    return (
+        scored.filter(
+            F.col("inter") / F.least("n_a", "n_b").cast("double") >= 0.5
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            round_ie(F.col("inter") / F.col("n_a").cast("double"), 6).alias(
                 "containment_a_in_b"
             ),
-            round_ie(inter / F.size("b.shingles").cast("double"), 6).alias(
+            round_ie(F.col("inter") / F.col("n_b").cast("double"), 6).alias(
                 "containment_b_in_a"
             ),
         )
@@ -4443,10 +4484,9 @@ def pipeline_dedup_cascade(spark, sf_dir):
         F.col("rn") == 1
     )
     a, b = exact_kept.alias("a"), exact_kept.alias("b")
-    jac = F.size(F.array_intersect("a.shingles", "b.shingles")) / F.size(
-        F.array_union("a.shingles", "b.shingles")
-    ).cast("double")
-    losers = (
+    # staged intersect + arithmetic union (r12, same fix as
+    # dedup_ngram_jaccard): one intersect per pair, no union array.
+    scored_pairs = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -4454,8 +4494,20 @@ def pipeline_dedup_cascade(spark, sf_dir):
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter((F.size("a.shingles") > 0) & (F.size("b.shingles") > 0))
-        .filter(jac >= 0.7)
-        .select(F.col("b.doc_id").alias("doc_id"))
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.size(F.array_intersect("a.shingles", "b.shingles")).alias("inter"),
+            F.size("a.shingles").alias("n_a"),
+            F.size("b.shingles").alias("n_b"),
+        )
+    )
+    losers = (
+        scored_pairs.filter(
+            F.col("inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            >= 0.7
+        )
+        .select("doc_id")
         .distinct()
     )
     near_kept = exact_kept.join(losers, "doc_id", "left_anti")
@@ -7559,23 +7611,15 @@ def dedup_minhash_1bit_recall(spark, sf_dir):
         .withColumn("n_sh", F.size("shingles"))
     )
     a, b = sigs.alias("a"), sigs.alias("b")
-    jac = F.size(F.array_intersect("a.shingles", "b.shingles")) / F.size(
-        F.array_union("a.shingles", "b.shingles")
-    ).cast("double")
     size_ok = (
         F.least(F.col("a.n_sh"), F.col("b.n_sh"))
         / F.greatest(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
         >= 0.7
     )
-    n_eq_sig = F.expr(
-        "size(filter(sequence(0, 15), s ->"
-        " element_at(a.sig, s + 1) = element_at(b.sig, s + 1)))"
-    ).cast("long")
-    n_eq_bit = F.expr(
-        "size(filter(sequence(0, 15), s ->"
-        " element_at(a.sig, s + 1) % 2 = element_at(b.sig, s + 1) % 2))"
-    ).cast("long")
-    return (
+    # staged intersect + arithmetic union (r12, same fix as
+    # dedup_ngram_jaccard): the old jac fed both the 0.7 filter and
+    # the j_exact output — two intersects and two union arrays/pair.
+    scored = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -7583,10 +7627,32 @@ def dedup_minhash_1bit_recall(spark, sf_dir):
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(size_ok)
-        .filter(jac >= 0.7)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            F.size(F.array_intersect("a.shingles", "b.shingles")).alias("inter"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    n_eq_sig = F.expr(
+        "size(filter(sequence(0, 15), s ->"
+        " element_at(sig_a, s + 1) = element_at(sig_b, s + 1)))"
+    ).cast("long")
+    n_eq_bit = F.expr(
+        "size(filter(sequence(0, 15), s ->"
+        " element_at(sig_a, s + 1) % 2 = element_at(sig_b, s + 1) % 2))"
+    ).cast("long")
+    return (
+        scored.filter(jac >= 0.7)
+        .select(
+            "doc_a",
+            "doc_b",
             round_ie(jac, 6).alias("j_exact"),
             n_eq_sig.alias("n_eq_sig"),
             (n_eq_sig / 16.0).alias("j_minhash_est"),
