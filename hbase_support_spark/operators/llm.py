@@ -5641,7 +5641,7 @@ def text_winnow_fingerprint(spark, sf_dir):
                 if n < k:
                     continue
                 # unicode CODEPOINTS, matching DuckDB ascii(substring)
-                codes = np.fromiter((ord(c) for c in sl), dtype=np.int64, count=n)
+                codes = np.frombuffer(sl.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
                 h = np.zeros(n - k + 1, dtype=np.int64)
                 for j in range(k):
                     h = (h * b + codes[j : n - k + 1 + j]) % m
@@ -5749,7 +5749,7 @@ def dedup_winnow_pairs(spark, sf_dir):
                 n = len(sl)
                 if n < k:
                     continue
-                codes = np.fromiter((ord(c) for c in sl), dtype=np.int64, count=n)
+                codes = np.frombuffer(sl.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
                 h = np.zeros(n - k + 1, dtype=np.int64)
                 for j in range(k):
                     h = (h * b + codes[j : n - k + 1 + j]) % m
@@ -5784,18 +5784,35 @@ def dedup_winnow_pairs(spark, sf_dir):
     # sort-merge path; both joins then co-partition on fp with the
     # buckets groupBy, and the corpus-scale frames stay off the
     # driver at every scale.
-    p = picks.join(ok_fps.hint("merge"), "fp")
-    a, bb = p.alias("a"), p.alias("b")
-    pairs = (
-        a.join(
-            bb.hint("merge"),
-            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # r12: expand pairs INSIDE each admitted bucket (the minhash
+    # members pattern) instead of a fingerprint-keyed self-join. The
+    # old shape consumed the pinned picks THREE more times (the
+    # admission join ran once per self-join side) and sort-merged the
+    # corpus-scale picks twice; this shape reads the pin once for the
+    # collect, expands ≤C(16,2) pairs per bucket in-row, and the only
+    # remaining exchange is the tiny pair agg. The count-first
+    # discipline is unchanged: ok_fps admits buckets (2..16) BEFORE
+    # any membership collects, so the collect buffer is bounded at 16
+    # ids by construction.
+    members = (
+        picks.join(ok_fps.hint("merge"), "fp", "left_semi")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+    )
+    return (
+        members.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (m1, i) ->"
+                    " transform(slice(members, i + 2, size(members) - i - 1), m2 ->"
+                    " named_struct('doc_a', m1, 'doc_b', m2))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 4)
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------

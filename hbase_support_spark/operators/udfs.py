@@ -418,7 +418,7 @@ def multimodal_audio_energy(spark, sf_dir):
                 n = len(text)
                 if n < frame:
                     continue
-                codes = np.fromiter((ord(c) for c in text), dtype=np.int64, count=n)
+                codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
                 sq = (codes - 128) ** 2
                 cs = np.concatenate(([0], np.cumsum(sq)))
                 nfr = (n - frame) // hop + 1
@@ -794,7 +794,7 @@ def multimodal_audio_vad_segments(spark, sf_dir):
                 n = len(text)
                 if n < frame:
                     continue
-                codes = np.fromiter((ord(c) for c in text), dtype=np.int64, count=n)
+                codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
                 sq = (codes - 128) ** 2
                 cs = np.concatenate(([0], np.cumsum(sq)))
                 nfr = (n - frame) // hop + 1
