@@ -984,14 +984,18 @@ def dedup_semdedup_keep(spark, sf_dir):
             ).alias("cvec")
         )
     )
+    # r12 norm hoists: ‖cvec‖ once per centroid (rides the broadcast),
+    # ‖embedding‖ once per vector — not re-folded per scored row.
+    cent = cent.withColumn("cnrm", _norm(F.col("cvec")))
     ctr = (
-        e.join(F.broadcast(cent), "label")  # bcast: centroids
+        e.withColumn("nrm", _norm(F.col("embedding")))
+        .join(F.broadcast(cent), "label")  # bcast: centroids
         .select(
             "vec_id",
             "label",
             F.round(
                 _dot(F.col("embedding"), F.col("cvec"))
-                / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+                / (F.col("nrm") * F.col("cnrm")),
                 6,
             ).alias("ctr_cos"),
         )
@@ -2029,10 +2033,15 @@ def sim_pairs_threshold(spark, sf_dir):
     blocking keeps this sub-quadratic — O(Σ block²), not O(n²))."""
     e = load_table(spark, sf_dir, "embeddings")
     _assert_vec_blocks_bounded(e)
-    a, b = e.alias("a"), e.alias("b")
+    # r12 norm hoist — see sim_knn_self_join: per-vector norms staged
+    # once per side instead of two extra 64-element folds per pair
+    # (and four once the pushed threshold filter duplicated the
+    # scoring expression). Same fold, same operand order, same ulps.
+    en = e.withColumn("nrm", _norm(F.col("embedding")))
+    a, b = en.alias("a"), en.alias("b")
     cos = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
     return (
@@ -3378,10 +3387,15 @@ def sim_knn_self_join(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     _assert_vec_blocks_bounded(e)
-    a, b = e.alias("a"), e.alias("b")
+    # r12 hoists (the sim_centroid_classify pattern): each pair
+    # recomputed BOTH side norms (3 interpreted 64-element folds per
+    # pair); the norms are per-vector, so stage them once per side —
+    # same fold expression, same multiplication order, same ulps.
+    en = e.withColumn("nrm", _norm(F.col("embedding")))
+    a, b = en.alias("a"), en.alias("b")
     cos = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
     scored = a.join(
@@ -3392,7 +3406,12 @@ def sim_knn_self_join(spark, sf_dir):
         F.col("a.label").alias("label"),
         cos.alias("cos_sim"),
     )
-    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "nbr")
+    # (label, src) names the same groups as (src) — src determines
+    # label — but hash(label) from the block join SATISFIES the
+    # window's clustered distribution, so the rank reuses the join's
+    # exchange instead of reshuffling every scored pair by src (r12,
+    # guide §2.4 "window keyed like the preceding join").
+    w = Window.partitionBy("label", "src").orderBy(F.col("cos_sim").desc(), "nbr")
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
 
 
