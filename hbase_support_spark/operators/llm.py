@@ -1144,7 +1144,7 @@ def sim_rerank_rrf(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     d = load_table(spark, sf_dir, "documents")
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn"))
     dense = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))  # bcast: scalar
@@ -1152,7 +1152,7 @@ def sim_rerank_rrf(spark, sf_dir):
             F.col("vec_id").alias("id"),
             F.round(
                 _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                / (_norm(F.col("embedding")) * F.col("qn")),
                 6,
             ).alias("cos_sim"),
         )
@@ -1451,13 +1451,13 @@ def sim_knn_query(spark, sf_dir):
     baseline. The query vector is broadcast; scoring is a map-only
     pass; top-k is TakeOrdered (no global sort)."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn"))
     cand = e.filter(F.col("vec_id") != 0)
     scored = cand.crossJoin(F.broadcast(q)).select(  # bcast: scalar
         "vec_id",
         F.round(
             _dot(F.col("embedding"), F.col("qv"))
-            / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+            / (_norm(F.col("embedding")) * F.col("qn")),
             6,
         ).alias("cos_sim"),
     )
@@ -1591,7 +1591,7 @@ def sim_knn_int8_recall(spark, sf_dir):
         .over(Window.orderBy(F.col("s_int").desc(), "vec_id"))
         .cast("bigint"),
     )
-    qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn"))
     ftop = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qf))  # bcast: scalar
@@ -1599,7 +1599,7 @@ def sim_knn_int8_recall(spark, sf_dir):
             F.col("vec_id").alias("f_vec"),
             F.round(
                 _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                / (_norm(F.col("embedding")) * F.col("qn")),
                 6,
             ).alias("cos_sim"),
         )
@@ -1638,7 +1638,9 @@ def sim_knn_ivf(spark, sf_dir):
     probe prunes ~(1 - 1/nlist) of the data before any scoring."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 7).select(
-        F.col("embedding").alias("qv"), F.col("label").alias("qlabel")
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     scored = (
         e.filter(F.col("vec_id") != 7)
@@ -1647,7 +1649,7 @@ def sim_knn_ivf(spark, sf_dir):
             "vec_id",
             F.round(
                 _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                / (_norm(F.col("embedding")) * F.col("qn")),
                 6,
             ).alias("cos_sim"),
         )
@@ -1690,7 +1692,7 @@ def sim_knn_ivf_multiprobe(spark, sf_dir):
     cells' vectors are ever scored, so the scan cost is
     nprobe/nlist of the corpus."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    q = e.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn"))
     cand = e.filter(F.col("vec_id") != 7)
     cent = cand.groupBy("label").agg(
         *[
@@ -1710,7 +1712,7 @@ def sim_knn_ivf_multiprobe(spark, sf_dir):
         cent.crossJoin(F.broadcast(q))  # bcast: scalar
         .select(
             "label",
-            F.round(cdot / (cnorm * _norm(F.col("qv"))), 6).alias("score"),
+            F.round(cdot / (cnorm * F.col("qn")), 6).alias("score"),
         )
         .orderBy(F.col("score").desc(), "label")
         .limit(2)
@@ -1723,7 +1725,7 @@ def sim_knn_ivf_multiprobe(spark, sf_dir):
             "vec_id",
             F.round(
                 _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                / (_norm(F.col("embedding")) * F.col("qn")),
                 6,
             ).alias("cos_sim"),
         )
@@ -1991,7 +1993,9 @@ def sim_knn_batch(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))  # bcast: keys
@@ -2001,7 +2005,7 @@ def sim_knn_batch(spark, sf_dir):
             "vec_id",
             F.round(
                 _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                / (_norm(F.col("embedding")) * F.col("qn")),
                 6,
             ).alias("cos_sim"),
         )
@@ -4268,7 +4272,8 @@ def sim_range_search(spark, sf_dir):
     TakeOrdered), so at 100 TB it is one scan at full parallelism."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv")
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     return (
         e.filter(F.col("vec_id") != 0)
@@ -4278,7 +4283,7 @@ def sim_range_search(spark, sf_dir):
             "label",
             F.round(
                 _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                / (_norm(F.col("embedding")) * F.col("qn")),
                 6,
             ).alias("cos_sim"),
         )
@@ -4342,7 +4347,9 @@ def embedding_truncation_recall(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     base = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))  # bcast: keys
 
@@ -5093,7 +5100,7 @@ def sim_maxsim_multivector(spark, sf_dir):
     (`sim_knn_ivf*`) prunes candidates first.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn"))
     cand = e.filter(F.col("vec_id") != 0)
     maxsim = F.expr(
         "round(aggregate(sequence(0, 7), 0D, (acc, i) ->"
@@ -5233,7 +5240,7 @@ def sim_ivf_recall_report(spark, sf_dir):
     scheduled.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    q = e.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn"))
     exact = (
         e.filter(F.col("vec_id") != 7)
         .crossJoin(F.broadcast(q))  # bcast: scalar
@@ -5241,7 +5248,7 @@ def sim_ivf_recall_report(spark, sf_dir):
             "vec_id",
             F.round(
                 _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                / (_norm(F.col("embedding")) * F.col("qn")),
                 6,
             ).alias("cos_sim"),
         )
@@ -7273,7 +7280,7 @@ def embedding_binary_quantize_recall(spark, sf_dir):
             .cast("bigint"),
         )
     )
-    qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn"))
     ftop = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qf))  # bcast: scalar
@@ -7281,7 +7288,7 @@ def embedding_binary_quantize_recall(spark, sf_dir):
             F.col("vec_id").alias("f_vec"),
             F.round(
                 _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                / (_norm(F.col("embedding")) * F.col("qn")),
                 6,
             ).alias("cos_sim"),
         )
@@ -7538,7 +7545,7 @@ def sim_knn_filtered_vs_postfilter(spark, sf_dir):
     predicate's partitions; the unfiltered audit arm is the one you
     delete in production."""
     e = load_table(spark, sf_dir, "embeddings")
-    qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("qn"))
     scored = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qf))  # bcast: scalar
