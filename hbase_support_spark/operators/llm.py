@@ -587,6 +587,11 @@ def dedup_simhash(spark, sf_dir):
             " (sig >> (b * 12)) & 4095)))"
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.key")
+    # r12 note: the phash sibling pins `banded` here (measured −19%
+    # at x32); for simhash the same pin measured +19% — the
+    # recompute is cheaper than the DISK_ONLY round-trip on this
+    # kernel's row mix — so simhash deliberately stays unpinned
+    # (OPTIMIZATION_r12.md, measured A/B).
     # count-first bucket guard (r11, same fix as minhash_pairs): admit
     # a bucket BEFORE collecting its members — a degenerate signature
     # (e.g. near-empty docs collapsing to one sig) otherwise builds a
@@ -6542,6 +6547,11 @@ def multimodal_phash_near_dup(spark, sf_dir):
             " (sig >> (b * 12)) & 4095)))"
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.key")
+    # r12: pin the 4-long band frame (the minhash_pairs fix) — the
+    # count-first guard and the member collect otherwise each
+    # recompute the whole signature subtree (no exchange reuse: the
+    # two passes' exchanges carry different payloads).
+    banded = _pin(banded)
     # count-first bucket guard (r11, same fix as minhash_pairs): admit
     # a bucket BEFORE collecting its members — a degenerate signature
     # (e.g. near-empty docs collapsing to one sig) otherwise builds a
