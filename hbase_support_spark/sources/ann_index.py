@@ -115,8 +115,17 @@ def ivf_build(
         .partitionBy("cell_id")
         .parquet(f"{index_dir}/assignments")
     )
-    ncells = centroids.count()
-    return {"nlist": int(ncells), "n_vectors": assigned.count()}
+    # r12: the return stats used to re-run the assignment pass twice
+    # more (centroids.count() and assigned.count() each recomputed
+    # the full subtree). The just-written nlist-row centroid table
+    # already carries both numbers: nlist = its row count,
+    # n_vectors = Σ n (every assigned row lands in exactly one cell).
+    meta = (
+        spark.read.parquet(f"{index_dir}/centroids")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("n").alias("v"))
+        .first()
+    )
+    return {"nlist": int(meta.c), "n_vectors": int(meta.v or 0)}
 
 
 def ivf_append(

@@ -38,7 +38,11 @@ _UNHINTED = {
     # bounded census and the deserialized build OOMed the driver; a
     # corpus-growing frame must be pinned OFF the broadcast path,
     # not left to a size heuristic (SCALE.md r12).
-    "dedup_winnow_pairs": ['picks.join(ok_fps.hint("merge"), "fp")', 'bb.hint("merge")'],
+    # r12: the pair stage became an in-bucket expansion (sorted
+    # collect_list over count-first-admitted fingerprints); the one
+    # remaining corpus-scale join is the merge-hinted admission
+    # semi-join — still never broadcast.
+    "dedup_winnow_pairs": ['picks.join(ok_fps.hint("merge"), "fp", "left_semi")'],
     "events_retention_daily": ['.join(cohort, "user_id")'],
     "tombstone_merge": ["puts.join(dels,"],
     "cells_major_compaction_view": ["live.join(dels,"],
