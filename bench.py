@@ -155,7 +155,13 @@ def main() -> None:
                 "idle_wait_sec": idle_waited,
                 "cpu_cal_sec": cpu_cal,
                 "cpu_cal_triple": cpu_cal_triple,
-                "cpus": os.cpu_count(),
+                # EFFECTIVE core count: the $SPARK_GRAFT_CPUS value the
+                # session master was built from (session.py), NOT
+                # os.cpu_count() — the driver's low-core scaling probe
+                # must see its env take effect (VERDICT r12 item 3).
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "master": spark.sparkContext.master,
+                "host_cpus": os.cpu_count(),
                 "method": "warm3_best_of_3",
             }
         )

@@ -113,3 +113,30 @@ def round_z(col: Column | str, n: int) -> Column:
 def d_round_z(expr: str, n: int) -> str:
     """DuckDB/ANSI twin of :func:`round_z` (also valid Spark SQL)."""
     return f"(ROUND({expr}, {n}) + 0.0)"
+
+
+def nopush(col: Column) -> Column:
+    """Value-identity predicate-pushdown barrier for an expensive
+    computed column: ``element_at(shuffle(array(c)), 1)``.
+
+    A one-element array has exactly one permutation, so the wrapped
+    value is bit-identical to ``c`` on every row, every retry — but
+    ``shuffle`` is MARKED non-deterministic, and PushDownPredicates
+    refuses to push a Filter through a Project containing a
+    non-deterministic field. Without the barrier, a threshold filter
+    on a staged scoring column (Jaccard/containment/cosine) is
+    substituted straight back into the join condition or scan filter,
+    re-inlining the staged ``array_intersect``/dot-product subtree —
+    the whole expression then evaluates once in the (pushed) Filter
+    and AGAIN in the output projection, ~2x the per-pair CPU of the
+    blocked dedup family (VERDICT r12 item 3;
+    plans/r12/dedup_near_minhash_after.txt ~line 211).
+
+    Wrap the SCORE column, not the filter: the barrier survives
+    column pruning (it IS the output) and costs one 1-element array
+    build per row. Only use above a join/scan where the predicate
+    cannot reach the parquet scan anyway (a predicate over computed
+    array/fold expressions never becomes a PushedFilter); a barrier
+    on a plain source-column predicate would genuinely lose scan
+    pushdown."""
+    return F.element_at(F.shuffle(F.array(col)), F.lit(1))
