@@ -32,7 +32,7 @@ import re
 from pyspark.sql import functions as F
 
 from ..io import load_table, pin as _pin, scratch_root
-from ..num import d_round_ie, round_ie, round_z
+from ..num import d_round_ie, nopush, round_ie, round_z
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -460,13 +460,16 @@ def minhash_pairs(docs, member_cap: int = 256, shingle_cap: int = 1 << 20):
     # arrays (identical to the oracle's n_a + n_b - inter form): one
     # array_intersect per surviving pair, no union array ever built.
     # `inter` gets its own projection for the same CollapseProject
-    # reason as `hs` above: it feeds both the ratio's numerator and
-    # denominator (and the pushed-down >= 0.7 filter) — inlined, the
-    # intersect would run 2x per candidate in every consumer.
+    # reason as `hs` above AND is nopush-wrapped (r13, VERDICT r12
+    # item 3): without the barrier PushDownPredicates substituted the
+    # intersect into the >= 0.7 join-side filter, so every candidate
+    # paid the intersect in the pushed filter and every survivor paid
+    # it AGAIN in this projection (plan: 2 array_intersect sites →
+    # 1 with the barrier).
     scored = pairs.select(
         "doc_a",
         "doc_b",
-        F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        nopush(F.size(F.array_intersect("sh_a", "sh_b"))).alias("inter"),
         "nsh_a",
         "nsh_b",
     )
@@ -730,6 +733,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # keeps the two-shingle-free-docs pair semantics of the oracle
     # (0-size union → NULL → fails the threshold) — unreachable now
     # that shingle-free docs are pre-filtered, kept for form.
+    # nopush (r13): staging alone was not enough — the pushed >= 0.3
+    # predicate re-inlined the intersect into the join condition, so
+    # it still ran ~2x per pair; the barrier holds the filter above
+    # this projection (plan: 2 array_intersect sites → 1).
     scored = (
         a.join(
             b,
@@ -741,7 +748,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect("a.shingles", "b.shingles")).alias("inter"),
+            nopush(F.size(F.array_intersect("a.shingles", "b.shingles"))).alias("inter"),
             F.col("a.n_sh").alias("n_a"),
             F.col("b.n_sh").alias("n_b"),
         )
@@ -899,8 +906,11 @@ def dedup_embedding_cosine(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     raw = e.groupBy("label").applyInPandas(block_pairs, out_schema)
+    # nopush (r13): the pushed >= 0.3 filter re-evaluated the exact
+    # rescore fold below this projection — 2x three 64-element folds
+    # per surviving pair; the barrier keeps it to one evaluation.
     return (
-        raw.withColumn("cos_sim", _fold_cos6(F.col("_ea"), F.col("_eb")))
+        raw.withColumn("cos_sim", nopush(_fold_cos6(F.col("_ea"), F.col("_eb"))))
         .filter(F.col("cos_sim") >= 0.3)
         .select("vec_a", "vec_b", "cos_sim")
     )
@@ -1063,8 +1073,10 @@ def dedup_semdedup_keep(spark, sf_dir):
         )
 
     cand = e.groupBy("label").applyInPandas(block_pairs, pair_schema)
+    # nopush (r13): one exact-rescore fold per pair — see
+    # dedup_embedding_cosine.
     pairs = (
-        cand.withColumn("cos_sim", _fold_cos6(F.col("_ea"), F.col("_eb")))
+        cand.withColumn("cos_sim", nopush(_fold_cos6(F.col("_ea"), F.col("_eb"))))
         .drop("_ea", "_eb")
         .filter(F.col("cos_sim") >= 0.3)
     )
@@ -1291,6 +1303,15 @@ def text_keyphrase_rake(spark, sf_dir):
         ).alias("phrase"),
         F.count("*").cast("long").alias("plen"),
     )
+    # r13 negative result (VERDICT r12 item 7): a "narrow" restatement
+    # — join pw to plen only, score per (doc_id, island), re-attach
+    # the phrase string once per island at the end — was built and
+    # A/B-measured (value-identical, parity green). x32 noop best-of-3
+    # 3.88 s (this) vs 4.22 s (narrow); x128 16.0 s vs 19.1 s: the
+    # extra (doc_id, island) join + agg cost more than the phrase
+    # strings it kept off the `w` shuffle (islands are short, so the
+    # string bytes are small next to the per-token rows either way).
+    # Kept the direct shape; see OPTIMIZATION_r13.md.
     occ = pw.join(phrases, ["doc_id", "island"])
     wstat = occ.groupBy("w").agg(
         F.count("*").cast("long").alias("freq"),
@@ -2055,11 +2076,14 @@ def sim_pairs_threshold(spark, sf_dir):
     )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        # nopush (r13): without the barrier the pushed >= 0.25 filter
+        # re-inlined the whole dot fold into the join condition — two
+        # 64-element folds per pair instead of one.
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            cos.alias("cos_sim"),
+            nopush(cos).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.25)
     )
@@ -2155,8 +2179,10 @@ def sim_pairs_threshold_blas(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     raw = e.groupBy("label").applyInPandas(block_pairs, out_schema)
+    # nopush (r13): one exact-rescore fold per pair — see
+    # dedup_embedding_cosine.
     return (
-        raw.withColumn("cos_sim", _fold_cos6(F.col("_ea"), F.col("_eb")))
+        raw.withColumn("cos_sim", nopush(_fold_cos6(F.col("_ea"), F.col("_eb"))))
         .filter(F.col("cos_sim") >= 0.25)
         .select("vec_a", "vec_b", "label", "cos_sim")
     )
@@ -3274,42 +3300,71 @@ def dedup_incremental_vs_corpus(spark, sf_dir):
     corpus (the production shape — each crawl increment is checked
     against everything already ingested, never corpus-vs-corpus).
     doc_id % 5 splits batch (20%) from corpus here. Candidate pairs
-    come from a shingle-inverted-index equi-join (explode batch and
-    corpus shingles, join on shingle, count common per pair) — the
-    PPJoin-style set-similarity join: work is proportional to
-    shared-shingle postings, never |batch| x |corpus|. A pair is a
-    dup at Jaccard >= 1/3, tested as common*2 >= sa+sb-common in
-    exact integer arithmetic (no float rounding to diverge between
-    engines). At 100 TB the corpus side of the join is the standard
-    skew risk: ultra-common shingles fan out — production would cap
-    posting df (prefix filtering); kept exact here and flagged."""
+    come from a PREFIX-FILTERED shingle-inverted-index equi-join
+    (PPJoin, lossless — see below), then an exact array-intersect
+    verify on the candidate pairs. A pair is a dup when
+    common*2 >= sa+sb-common in exact integer arithmetic (no float
+    rounding to diverge between engines).
+
+    Prefix filtering (r13, VERDICT r12 item 5, guide §2.3): the dup
+    predicate 2c >= sa+sb-c implies 3c >= sa+sb, and c <= sb gives
+    c >= ceil(sa/2) (symmetrically c >= ceil(sb/2)). Order each
+    doc's distinct shingles canonically (sort_array) and keep the
+    first floor(n/2)+1 as posting keys: the SMALLEST common shingle
+    of any qualifying pair must sit inside BOTH prefixes (if it sat
+    past a side's prefix, that side could hold at most
+    n - (floor(n/2)+1) < ceil(n/2) <= c common elements —
+    contradiction). So the posting join emits a candidate superset
+    of the dup pairs while shuffling ~half the posting strings per
+    side, and the ultra-common-shingle fan-out risk is halved with
+    it. Verification joins the full shingle arrays back onto the
+    deduped candidates only (the minhash verify shape —
+    O(corpus + candidates) shuffle volume) and tests the SAME
+    integer predicate on |A∩B|, which equals the old posting-count
+    `common` exactly."""
     sh = with_shingles(
         load_table(spark, sf_dir, "documents"), "doc_id", nonempty=True
     )
+    prefix = F.expr("slice(sort_array(shingles), 1, size(shingles) div 2 + 1)")
     batch = sh.filter(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("batch_id"),
-        F.explode("shingles").alias("shingle"),
-        F.size("shingles").alias("sa"),
+        F.explode(prefix).alias("shingle"),
     )
     corpus = sh.filter(F.col("doc_id") % 5 != 0).select(
         F.col("doc_id").alias("corpus_id"),
-        F.explode("shingles").alias("shingle"),
-        F.size("shingles").alias("sb"),
+        F.explode(prefix).alias("shingle"),
+    )
+    cand = (
+        batch.join(corpus, "shingle")
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    pairs = cand.join(
+        sh.select(
+            F.col("doc_id").alias("batch_id"),
+            F.col("shingles").alias("sh_a"),
+            F.size("shingles").alias("sa"),
+        ),
+        "batch_id",
+    ).join(
+        sh.select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("shingles").alias("sh_b"),
+            F.size("shingles").alias("sb"),
+        ),
+        "corpus_id",
+    )
+    scored = pairs.select(
+        "batch_id",
+        nopush(F.size(F.array_intersect("sh_a", "sh_b"))).alias("common"),
+        "sa",
+        "sb",
     )
     dup = (F.col("common") * 2 >= F.col("sa") + F.col("sb") - F.col("common")).cast(
         "long"
     )
-    pairs = (
-        batch.join(corpus, "shingle")
-        .groupBy("batch_id", "corpus_id")
-        .agg(
-            F.count("*").alias("common"),
-            F.first("sa").alias("sa"),
-            F.first("sb").alias("sb"),
-        )
-    )
     return (
-        pairs.groupBy(F.col("batch_id").alias("doc_id"))
+        scored.groupBy(F.col("batch_id").alias("doc_id"))
         .agg(F.sum(dup).alias("n_dups"))
         .filter(F.col("n_dups") > 0)
         .withColumn("is_dup", F.col("n_dups") > 0)
@@ -4137,7 +4192,8 @@ def dedup_lsh_recall_report(spark, sf_dir):
         .select(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
-            F.size(F.array_intersect("a.shingles", "b.shingles")).alias("inter"),
+            # nopush (r13): one intersect per pair — see dedup_ngram_jaccard
+            nopush(F.size(F.array_intersect("a.shingles", "b.shingles"))).alias("inter"),
             F.col("a.n_sh").alias("n_a"),
             F.col("b.n_sh").alias("n_b"),
         )
@@ -4215,9 +4271,11 @@ def dedup_containment(spark, sf_dir):
         "n_sh", F.size("shingles")
     )
     a, b = sh.alias("a"), sh.alias("b")
-    # staged intersect (r12): the old inline `inter` was referenced by
-    # the 0.5 prefilter AND both containment outputs — up to three
-    # array intersects per pair; now exactly one.
+    # staged intersect (r12) + nopush barrier (r13): the old inline
+    # `inter` was referenced by the 0.5 prefilter AND both containment
+    # outputs — up to three array intersects per pair; staging got it
+    # to two (the pushed prefilter re-inlined it into the join
+    # condition), the barrier to exactly one.
     scored = (
         a.join(
             b,
@@ -4228,9 +4286,9 @@ def dedup_containment(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect("a.shingles", "b.shingles"))
-            .cast("double")
-            .alias("inter"),
+            nopush(
+                F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
+            ).alias("inter"),
             F.col("a.n_sh").alias("n_a"),
             F.col("b.n_sh").alias("n_b"),
         )
@@ -4283,13 +4341,20 @@ def sim_range_search(spark, sf_dir):
     return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))  # bcast: scalar
+        # nopush (r13): the pushed >= 0.2 filter duplicated the cosine
+        # folds below this projection (every row paid the fold in the
+        # filter, survivors again in the projection); the predicate is
+        # over a computed fold so it could never reach the parquet
+        # scan anyway — the barrier costs nothing and halves the fold.
         .select(
             "vec_id",
             "label",
-            F.round(
-                _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * F.col("qn")),
-                6,
+            nopush(
+                F.round(
+                    _dot(F.col("embedding"), F.col("qv"))
+                    / (_norm(F.col("embedding")) * F.col("qn")),
+                    6,
+                )
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.2)
@@ -4525,9 +4590,12 @@ def pipeline_dedup_cascade(spark, sf_dir):
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter((F.size("a.shingles") > 0) & (F.size("b.shingles") > 0))
+        # nopush (r13): holds the pushed >= 0.7 predicate above this
+        # projection so the intersect runs once per pair, not once in
+        # the join-side filter plus once here.
         .select(
             F.col("b.doc_id").alias("doc_id"),
-            F.size(F.array_intersect("a.shingles", "b.shingles")).alias("inter"),
+            nopush(F.size(F.array_intersect("a.shingles", "b.shingles"))).alias("inter"),
             F.size("a.shingles").alias("n_a"),
             F.size("b.shingles").alias("n_b"),
         )
@@ -6096,13 +6164,14 @@ def sim_centroid_classify(spark, sf_dir):
     """Nearest-centroid classification + confusion matrix — the
     in-engine quality readout for embedding clusters (how separable
     are the labels a mix/dedup pipeline keys on?). Centroids are one
-    exact per-(label, dim) aggregate (the semdedup kernel); the
-    nlist x 64 centroid table BROADCASTS and scoring is map-only per
-    vector (|V| x nlist rounded cosines, argmax by (cos DESC, label)
-    so ties can never flip cross-engine); the confusion matrix is a
-    tiny label x label agg. At 100 TB: one scan + one broadcast —
-    no vector ever shuffles, and since r12 no SCORED ROW shuffles
-    either (map-side argmax; one pre-combined row per vector)."""
+    exact per-(label, dim) aggregate (the semdedup kernel); scoring
+    (r13) is one native matmul per Arrow batch against the collected
+    nlist x 64 centroid matrix, with the exact rounded argmax
+    semantics preserved by an exact-fold rescore of near-tie band
+    candidates only (see the inline derivation); the confusion
+    matrix is a tiny label x label agg. At 100 TB: one scan, one
+    centroid broadcast, tie-rescore bytes proportional to actual
+    near-ties — no vector ever shuffles."""
     e = load_table(spark, sf_dir, "embeddings")
     dims = e.select("label", F.posexplode("embedding").alias("pos", "val"))
     cent = (
@@ -6117,47 +6186,139 @@ def sim_centroid_classify(spark, sf_dir):
         )
         .select(F.col("label").alias("cand_label"), "cvec")
     )
-    # r12 x128 rework (298 s -> see SCALE.md): the old spelling
-    # recomputed _norm(cvec) and _norm(embedding) per SCORED ROW
-    # (3 interpreted 64-element folds x |V| x nlist) and ran the
-    # argmax as a row_number window — a full shuffle+sort of the
-    # |V| x nlist scored relation. Both fixes are value-identical:
-    # norms hoist to one column per side (same fold expression, same
-    # ulps), and the (cos DESC, cand_label ASC) argmax becomes
-    # max(struct(cos, -cand_label)) — a declarative agg that
-    # resolves map-side, because every vector's nlist candidate rows
-    # are co-located in the broadcast crossJoin output. Shuffled
-    # bytes drop from the scored relation to one pre-combined row
-    # per vector.
-    cent = cent.withColumn("ncol", _norm(F.col("cvec")))
-    ev = e.withColumn("nvec", _norm(F.col("embedding")))
-    scored = ev.crossJoin(F.broadcast(cent)).select(  # bcast: centroids
-        "vec_id",
-        F.col("label").alias("true_label"),
-        "cand_label",
-        F.round(
-            _dot(F.col("embedding"), F.col("cvec"))
-            / (F.col("nvec") * F.col("ncol")),
-            6,
-        ).alias("cos_c"),
+    # r13 BLAS rework (VERDICT r12 item 4, guide §4.2): the r12 shape
+    # (norm hoists + map-side argmax) still paid |V| x nlist
+    # INTERPRETED 64-element folds — nlist grows with label count, so
+    # this was the census rank-4 row (151 s at x128). The scoring now
+    # runs as one native matmul per Arrow batch; ONLY the argmax
+    # decision needs exact semantics, and a candidate whose BLAS
+    # cosine sits more than BAND below the batch max provably cannot
+    # win the exact rounded argmax (floor(x*1e6+0.5) is monotone —
+    # a true gap > 1e-6 survives rounding — and the BLAS double is
+    # within ~1e-12 of the JVM fold: a 64-term summation-order
+    # bound). Vectors whose top-2 band is ambiguous (or any
+    # non-finite score: zero norms) fall back to the EXACT r12 fold
+    # + max(struct) argmax on just their band candidates, with the
+    # raw vector carried out through Arrow (bytes proportional to
+    # ties, not |V| — the _fold_cos6 rescore pattern). The centroid
+    # table is collected once (|labels| x 64 doubles — the same
+    # driver footprint the old broadcast of `cent` built) and the SAME
+    # realization feeds both paths via a local relation, so the
+    # decided/tie split and the tie rescore read one set of
+    # centroids.
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(cent.collect(), key=lambda r: r["cand_label"])
+    C = np.array([list(r["cvec"]) for r in crows], dtype="float64").reshape(
+        len(crows), -1
     )
-    pred = (
-        scored.groupBy("vec_id", "true_label")
+    CLAB = np.array([r["cand_label"] for r in crows], dtype="int64")
+    NC = np.linalg.norm(C, axis=1) if len(crows) else np.zeros((0,))
+    BAND = 2e-6
+
+    out_schema = (
+        "vec_id bigint, true_label int, cand_label int, "
+        "pred_label int, embedding array<float>"
+    )
+
+    def classify(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(CLAB) == 0:
+                continue
+            emb = pdf["embedding"].to_numpy()
+            E = np.stack(emb).astype("float64")
+            nv = np.linalg.norm(E, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (E @ C.T) / (nv[:, None] * NC[None, :])
+            finite = np.isfinite(S).all(axis=1)
+            smax = S.max(axis=1, where=np.isfinite(S), initial=-np.inf)
+            band = S >= (smax[:, None] - BAND)
+            decided = finite & (band.sum(axis=1) == 1)
+            pred = CLAB[np.argmax(S, axis=1)]
+            ndec = int(decided.sum())
+            dec = pd.DataFrame(
+                {
+                    "vec_id": pd.Series(
+                        pdf["vec_id"].to_numpy()[decided], dtype="int64"
+                    ),
+                    "true_label": pd.Series(
+                        pdf["label"].to_numpy()[decided], dtype="int32"
+                    ),
+                    "cand_label": pd.array([None] * ndec, dtype="Int32"),
+                    "pred_label": pd.array(pred[decided], dtype="Int32"),
+                    "embedding": pd.Series([None] * ndec, dtype="object"),
+                }
+            )
+            rows = []
+            for i in np.nonzero(~decided)[0]:
+                cands = (
+                    np.nonzero(band[i])[0] if finite[i] else np.arange(len(CLAB))
+                )
+                for j in cands:
+                    rows.append(
+                        (
+                            int(pdf["vec_id"].iloc[i]),
+                            int(pdf["label"].iloc[i]),
+                            int(CLAB[j]),
+                            None,
+                            emb[i],
+                        )
+                    )
+            tie = pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id",
+                    "true_label",
+                    "cand_label",
+                    "pred_label",
+                    "embedding",
+                ],
+            )
+            # concat of an empty frame is a pandas deprecation — yield
+            # only the non-empty parts
+            parts = [p for p in (dec, tie) if len(p)]
+            if len(parts) == 2:
+                yield pd.concat(parts, ignore_index=True)
+            elif parts:
+                yield parts[0]
+
+    raw = e.select("vec_id", "label", "embedding").mapInPandas(classify, out_schema)
+    decided = raw.filter(F.col("pred_label").isNotNull()).select(
+        "true_label", "pred_label"
+    )
+    # Tie rescore: EXACTLY the r12 expression — hoisted ncol column,
+    # inline _norm/_dot folds, F.round 6, max(struct(cos, -label)) —
+    # over the collected centroid realization (local relation).
+    cent2 = spark.createDataFrame(crows, schema=cent.schema).withColumn(
+        "ncol", _norm(F.col("cvec"))
+    )
+    ties = (
+        raw.filter(F.col("pred_label").isNull())
+        .join(F.broadcast(cent2), "cand_label")  # bcast: centroids
+        .select(
+            "vec_id",
+            "true_label",
+            "cand_label",
+            F.round(
+                _dot(F.col("embedding"), F.col("cvec"))
+                / (_norm(F.col("embedding")) * F.col("ncol")),
+                6,
+            ).alias("cos_c"),
+        )
+    )
+    tie_pred = (
+        ties.groupBy("vec_id", "true_label")
         .agg(
             F.max(
-                F.struct(
-                    F.col("cos_c"),
-                    (-F.col("cand_label")).alias("neg_label"),
-                )
+                F.struct(F.col("cos_c"), (-F.col("cand_label")).alias("neg_label"))
             ).alias("best")
         )
-        .select(
-            "true_label",
-            (-F.col("best.neg_label")).alias("pred_label"),
-        )
+        .select("true_label", (-F.col("best.neg_label")).alias("pred_label"))
     )
     return (
-        pred.groupBy("true_label", "pred_label")
+        decided.unionByName(tie_pred)
+        .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
 
@@ -7685,7 +7846,8 @@ def dedup_minhash_1bit_recall(spark, sf_dir):
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
-            F.size(F.array_intersect("a.shingles", "b.shingles")).alias("inter"),
+            # nopush (r13): one intersect per pair — see dedup_ngram_jaccard
+            nopush(F.size(F.array_intersect("a.shingles", "b.shingles"))).alias("inter"),
             F.col("a.n_sh").alias("n_a"),
             F.col("b.n_sh").alias("n_b"),
         )

@@ -1250,14 +1250,28 @@ def events_peak_concurrency(spark, sf_dir):
         "delta",
         "c",
     )
-    peak = swept.agg(F.max("c").cast("bigint").alias("peak_concurrency"))
-    n_sess = sess.agg(F.count("*").alias("n_sessions"))
-    at = (
-        swept.join(F.broadcast(peak), swept.c == F.col("peak_concurrency"))  # bcast: scalar
-        .agg(F.min("us").cast("bigint").alias("peak_at_us"))
-    )
-    return (
-        n_sess.crossJoin(F.broadcast(peak)).crossJoin(F.broadcast(at))  # bcast: scalar
+    # r13 single-pass rollup (VERDICT r12 item 6): the old spelling
+    # consumed `swept` twice (peak agg + the peak_at broadcast-join
+    # pass) AND re-ran the whole session_window aggregation a third
+    # time just to count sessions — three passes, no ReusedExchange
+    # (the kernel pins its range-shuffled frame, but each consumer
+    # re-ran the window+join above it, and n_sess re-ran the events
+    # scan + user_id shuffle from scratch). One aggregate now reads
+    # the sweep once and derives all three outputs exactly:
+    #   n_sessions = COUNT of +1 boundary rows (each session emits
+    #     exactly one) — integer-identical to COUNT(*) over sess;
+    #   peak = MAX(c);
+    #   peak_at_us = MIN(us) at the peak, via MAX(struct(c, -us)) —
+    #     lexicographic struct max picks max c then min us, the same
+    #     value the broadcast-join pass computed (exact integers, no
+    #     float ordering anywhere).
+    return swept.agg(
+        F.count(F.when(F.col("delta") == 1, F.lit(1))).alias("n_sessions"),
+        F.max(F.struct(F.col("c"), (-F.col("us")).alias("nus"))).alias("_best"),
+    ).select(
+        "n_sessions",
+        F.col("_best.c").cast("bigint").alias("peak_concurrency"),
+        (-F.col("_best.nus")).cast("bigint").alias("peak_at_us"),
     )
 
 
