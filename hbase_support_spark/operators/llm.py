@@ -5973,11 +5973,13 @@ def dedup_text_normalized(spark, sf_dir):
         F.concat(F.lit(">> "), F.upper("text"), F.lit(" !!")).alias("text"),
     )
     corpus = d.unionAll(variants)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-        )
-    )
+    # Single-pass twin of the oracle's two-pass normalizer (r13, guide
+    # §1.2): after pass 1 every non-alnum char IS a space, so pass 2's
+    # space-collapse acts exactly on the runs of non-alnum chars in
+    # the input — one "[^a-z0-9]+" → " " pass produces the identical
+    # string in half the regex work (equivalence pinned in
+    # tests/test_units.py::test_norm_text_single_pass_equivalent).
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
     return (
         corpus.select("doc_id", norm.alias("norm"))
         .select("doc_id", F.expr(_h60("norm")).alias("fp"))
@@ -8891,11 +8893,9 @@ def dedup_cluster_size_histogram(spark, sf_dir):
         F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
     )
     corpus = d.unionAll(v1).unionAll(v2)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-        )
-    )
+    # single-pass normalizer — same equivalence note as
+    # dedup_text_normalized
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
     clusters = (
         corpus.select("doc_id", norm.alias("norm"))
         .select("doc_id", F.expr(_h60("norm")).alias("fp"))

@@ -669,3 +669,35 @@ def test_vec_pair_block_cap_enforced(spark):
     with pytest.raises(ValueError, match="sim_lsh_hyperplane"):
         _assert_vec_blocks_bounded(hot)
     _assert_vec_blocks_bounded(hot.limit(100))
+
+
+def test_norm_text_single_pass_equivalent(spark):
+    """r13: the single-pass text normalizer `[^a-z0-9]+ -> ' '` must
+    equal the oracle's two-pass form (non-alnum-non-space -> space,
+    then collapse spaces) on adversarial inputs: after pass 1 every
+    non-alnum char IS a space, so pass 2 collapses exactly the runs
+    of non-alnum chars the single pass replaces. Also pins that both
+    Spark forms agree, so dedup_text_normalized /
+    dedup_cluster_size_histogram digests match the DuckDB twin."""
+    cases = [
+        "",
+        "   ",
+        "abc",
+        "A-B c",
+        ">> HELLO !!",
+        "a  b\t c--d..e",
+        "..leading and trailing!!",
+        "1a2B3 ~!@#$%^&*()_+ x",
+        "solo",
+        "- - -",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["text"])
+    two = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    one = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    rows = df.select(two.alias("two"), one.alias("one")).collect()
+    for r in rows:
+        assert r.two == r.one, (r.two, r.one)
